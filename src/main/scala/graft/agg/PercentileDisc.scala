@@ -1,0 +1,43 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Exact discrete percentile with floor interpolation — the reference's p95
+  * semantics: `sorted(xs)[int(q * (len(xs) - 1))]`
+  * (flink/latency_slo_monitor.py:45-53). This is NOT Spark's built-in
+  * `percentile` (linear interpolation) nor `percentile_approx`.
+  *
+  * Buffer is the full value multiset, exactly like the reference's
+  * ProcessWindowFunction which buffers every window element
+  * (latency_slo_monitor.py:47). O(group) memory is therefore *parity*, not
+  * an accident — at 100 TB use the approximate sketch path as a separate,
+  * explicitly-chosen operator (SURVEY §7.5/§7.6), never a silent swap, so
+  * oracle hashes stay exact.
+  *
+  * Partial aggregation still applies: `reduce` runs map-side per partition,
+  * `merge` combines partition buffers, so the shuffle carries one buffer per
+  * (key × partition), not one row per element.
+  */
+class PercentileDisc(q: Double) extends Aggregator[Double, ArrayBuffer[Double], Double] {
+  override def zero: ArrayBuffer[Double] = ArrayBuffer.empty[Double]
+  override def reduce(b: ArrayBuffer[Double], a: Double): ArrayBuffer[Double] = { b += a; b }
+  override def merge(b1: ArrayBuffer[Double], b2: ArrayBuffer[Double]): ArrayBuffer[Double] = { b1 ++= b2; b1 }
+  override def finish(b: ArrayBuffer[Double]): Double =
+    if (b.isEmpty) Double.NaN
+    else {
+      val s = b.toArray
+      java.util.Arrays.sort(s)
+      s(math.floor(q * (s.length - 1)).toInt)
+    }
+  override def bufferEncoder: Encoder[ArrayBuffer[Double]] = Encoders.kryo[ArrayBuffer[Double]]
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
+object PercentileDisc {
+  /** p95 as a Column-producing aggregate: `p95(col("latency_ms"))`. */
+  val p95 = udaf(new PercentileDisc(0.95))
+}

@@ -1,0 +1,369 @@
+package graft.oracle
+
+import graft.agg.PercentileDisc
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch formulations of the reference's operator inventory (SURVEY §2) over
+  * the driver fixtures, each paired with its DuckDB oracle (SURVEY §5.3).
+  *
+  * Streaming operators are replayed as their batch-window equivalents on the
+  * `events` table mapped to the raw-log shape ([[Tables.logs]]): tumbling
+  * window = floor-bucket on epoch seconds, sliding size-2s/slide-s = each
+  * event exploded into its two member windows. Day-scale windows keep the
+  * reference's thresholds (≥100 logs, rate ≥ 2%, 3 consecutive breaches)
+  * meaningful at the fixtures' event density; the streaming pipelines in
+  * `graft.pipeline` use the reference's native 20s/10s/1min windows.
+  *
+  * Scale notes (100 TB posture):
+  *  - every aggregation here is partial+final hash agg over a single
+  *    hash-partition exchange on (service, window) — the high-cardinality
+  *    composite key, not the 5-value `service` alone, so no hot partitions;
+  *  - the sliding window uses `explode` (one scan, 2× rows) rather than a
+  *    self-union (two scans);
+  *  - window-function stages (ST1/ST2 replays) partition by service — at
+  *    real scale those run per-key in the streaming `StatefulProcessor`
+  *    instead ([[graft.stateful]]), where state is O(1) per key.
+  */
+object CoreQueries {
+
+  private val DAY = 86400L
+
+  // ---------------------------------------------------------------- q01
+  /** A1/A3/P12 + parquet filter pushdown: TPC-H Q1-shaped pricing summary. */
+  def q01(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.table(spark, sfDir, "lineitem")
+      .filter(expr("l_shipdate <= CAST('1998-09-02' AS TIMESTAMP_NTZ)"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |       sum(l_quantity) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |       round(avg(l_quantity), 4) AS avg_qty,
+      |       round(avg(l_extendedprice), 4) AS avg_price,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  /** W1+A1+P7+P8+P11+P12: sliding-window error-rate spike detector
+    * (error_rate_detector.py:72-108) replayed in batch. Window = 2 days,
+    * slide = 1 day; alert iff total ≥ 100 and rate ≥ 0.02 (reference
+    * thresholds, error_rate_detector.py:89,93). Deterministic incident ids
+    * via sha2 (SURVEY §4.3). */
+  def spikes(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.logs(spark, sfDir)
+      .withColumn("w0", expr("ts_s div 86400 * 86400"))
+      .withColumn("window_start", explode(array(col("w0"), col("w0") - DAY)))
+      .groupBy(col("service"), col("window_start"))
+      .agg(
+        count(lit(1)).as("total_logs"),
+        count(when(col("level") === "ERROR", 1)).as("errors"))
+      .withColumn("error_rate", round(col("errors") / col("total_logs"), 4))
+      .filter(col("total_logs") >= 100 && col("error_rate") >= 0.02)
+      .select(
+        concat(lit("inc-"), substring(sha2(concat_ws("|", col("service"), col("window_start")), 256), 1, 8)).as("incident_id"),
+        col("service"),
+        lit("ERROR_RATE_SPIKE").as("type"),
+        lit("HIGH").as("severity"),
+        col("window_start"),
+        (col("window_start") + 2 * DAY).as("window_end"),
+        col("error_rate"),
+        col("total_logs"))
+
+  private val spikesCte =
+    s"""buck AS (SELECT service, ts_s // 86400 * 86400 AS w0, level FROM logs),
+       |sw AS (SELECT service, w0 AS window_start, level FROM buck
+       |       UNION ALL
+       |       SELECT service, w0 - 86400 AS window_start, level FROM buck),
+       |spikes AS (
+       |  SELECT 'inc-' || substr(sha256(service || '|' || window_start), 1, 8) AS incident_id,
+       |         service, 'ERROR_RATE_SPIKE' AS type, 'HIGH' AS severity,
+       |         window_start, window_start + 172800 AS window_end,
+       |         round(errors / total_logs, 4) AS error_rate, total_logs
+       |  FROM (SELECT service, window_start, count(*) AS total_logs,
+       |               count(CASE WHEN level = 'ERROR' THEN 1 END) AS errors
+       |        FROM sw GROUP BY service, window_start)
+       |  WHERE total_logs >= 100 AND round(errors / total_logs, 4) >= 0.02)""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** W2+A2: tumbling-window exact discrete p95 per service
+    * (latency_slo_monitor.py:45-59) via the custom [[PercentileDisc]]
+    * aggregator; oracle ranks per group and picks floor(0.95*(n-1))+1
+    * (SURVEY §5.4). */
+  def p95Windows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.logs(spark, sfDir)
+      .groupBy(col("service"), expr("ts_s div 86400 * 86400").as("window_start"))
+      .agg(count(lit(1)).as("n_events"), PercentileDisc.p95(col("latency_ms")).as("p95"))
+      .select(col("service"), col("window_start"), (col("window_start") + DAY).as("window_end"),
+        col("n_events"), col("p95"))
+
+  private val p95Cte =
+    """p95w AS (
+      |  SELECT service, window_start, window_start + 86400 AS window_end,
+      |         cnt AS n_events, latency_ms AS p95
+      |  FROM (SELECT service, ts_s // 86400 * 86400 AS window_start, latency_ms,
+      |               row_number() OVER (PARTITION BY service, ts_s // 86400 * 86400
+      |                                  ORDER BY latency_ms) AS rn,
+      |               count(*) OVER (PARTITION BY service, ts_s // 86400 * 86400) AS cnt
+      |        FROM logs)
+      |  WHERE rn = CAST(floor(0.95 * (cnt - 1)) AS BIGINT) + 1)""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** ST1 batch replay: consecutive-breach detector
+    * (latency_slo_monitor.py:68-109). Per service, ordered by window_start,
+    * p95 > 140 increments a counter, a miss resets it, every 3rd consecutive
+    * breach emits a CRITICAL alert and clears — i.e. emit at positions 3, 6,
+    * 9… within each breach run (gaps-and-islands). Threshold 140 (vs the
+    * reference's 100, latency_slo_monitor.py:22) keeps both branches
+    * populated at fixture value ranges; streaming pipeline uses 100. */
+  def breaches(spark: SparkSession, sfDir: String): DataFrame = {
+    val byService = Window.partitionBy(col("service")).orderBy(col("window_start"))
+    val byServiceBreach = Window.partitionBy(col("service"), col("breach")).orderBy(col("window_start"))
+    val seqd = p95Windows(spark, sfDir)
+      .withColumn("breach", when(col("p95") > 140, 1).otherwise(0))
+      .withColumn("island", row_number().over(byService) - row_number().over(byServiceBreach))
+    val posW = Window.partitionBy(col("service"), col("island"), col("breach")).orderBy(col("window_start"))
+    seqd.filter(col("breach") === 1)
+      .withColumn("pos", row_number().over(posW))
+      .filter(col("pos") % 3 === 0)
+      .select(
+        concat(lit("inc-"), substring(sha2(concat_ws("|", col("service"), col("window_start"), lit("SLO")), 256), 1, 8)).as("incident_id"),
+        col("service"),
+        lit("LATENCY_SLO_BREACH").as("type"),
+        lit("CRITICAL").as("severity"),
+        col("p95").as("p95_latency"),
+        lit(3).as("breach_count"),
+        col("window_start"),
+        col("window_end"))
+  }
+
+  private val breachesCte =
+    """seqd AS (
+      |  SELECT *, row_number() OVER (PARTITION BY service ORDER BY window_start)
+      |          - row_number() OVER (PARTITION BY service, breach ORDER BY window_start) AS island
+      |  FROM (SELECT *, CASE WHEN p95 > 140 THEN 1 ELSE 0 END AS breach FROM p95w)),
+      |breaches AS (
+      |  SELECT 'inc-' || substr(sha256(service || '|' || window_start || '|SLO'), 1, 8) AS incident_id,
+      |         service, 'LATENCY_SLO_BREACH' AS type, 'CRITICAL' AS severity,
+      |         p95 AS p95_latency, 3 AS breach_count, window_start, window_end
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY service, island, breach
+      |                                     ORDER BY window_start) AS pos
+      |        FROM seqd WHERE breach = 1)
+      |  WHERE pos % 3 = 0)""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** ST2 batch replay: count-to-3 escalation with TTL
+    * (incident_aggregator.py:22-66). Alert stream proxy = ERROR logs; per
+    * service in (ts, id) order every 3rd alert since the last counter reset
+    * is tagged ESCALATED; ALL rows are forwarded (unconditional yield,
+    * :64-66). TTL expiry == counter reset whenever the gap since the
+    * previous alert exceeds the TTL (OnCreateAndWrite refresh) — modeled as
+    * 1-day sessionization (reference uses 1 h; day-scale matches fixture
+    * density, streaming pipeline keeps 1 h). */
+  def escalations(spark: SparkSession, sfDir: String): DataFrame = {
+    val order = Window.partitionBy(col("service")).orderBy(col("ts_s"), col("event_id"))
+    val sess = Window.partitionBy(col("service")).orderBy(col("ts_s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withSession = Tables.logs(spark, sfDir)
+      .filter(col("level") === "ERROR")
+      .select(col("event_id"), col("service"), col("ts_s"))
+      .withColumn("new_sess",
+        when(col("ts_s") - lag(col("ts_s"), 1).over(order) > DAY, 1).otherwise(0))
+      .withColumn("session", sum(col("new_sess")).over(sess))
+    val rnW = Window.partitionBy(col("service"), col("session")).orderBy(col("ts_s"), col("event_id"))
+    withSession
+      .withColumn("rn", row_number().over(rnW))
+      .select(
+        col("event_id"), col("service"), col("ts_s"),
+        when(col("rn") % 3 === 0, "ESCALATED").otherwise("HIGH").as("severity"),
+        when(col("rn") % 3 === 0, "MULTIPLE_INCIDENTS").as("escalation_reason"))
+  }
+
+  private val q05Sql =
+    s"""WITH ${Tables.LOGS_CTE},
+       |errs AS (SELECT event_id, service, ts_s FROM logs WHERE level = 'ERROR'),
+       |sess AS (
+       |  SELECT *, sum(new_sess) OVER (PARTITION BY service ORDER BY ts_s, event_id
+       |                                ROWS UNBOUNDED PRECEDING) AS session
+       |  FROM (SELECT *, CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY service
+       |                       ORDER BY ts_s, event_id) > 86400 THEN 1 ELSE 0 END AS new_sess
+       |        FROM errs))
+       |SELECT event_id, service, ts_s,
+       |       CASE WHEN rn % 3 = 0 THEN 'ESCALATED' ELSE 'HIGH' END AS severity,
+       |       CASE WHEN rn % 3 = 0 THEN 'MULTIPLE_INCIDENTS' END AS escalation_reason
+       |FROM (SELECT *, row_number() OVER (PARTITION BY service, session
+       |                                   ORDER BY ts_s, event_id) AS rn FROM sess)""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** W3+A3-A7+P10: the notebooks' 1-min windowed alert metrics
+    * (spark_incident_alerts_metrics.ipynb:123-146) replayed in batch over
+    * the union of both alert producers (day-scale metric window on the
+    * alerts' window_end, exactly the notebooks'
+    * `event_time = cast(window_end)`). */
+  def alertsUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = spikes(spark, sfDir)
+      .withColumn("p95_latency", lit(null).cast("double"))
+      .withColumn("breach_count", lit(null).cast("int"))
+    val b = breaches(spark, sfDir)
+      .withColumn("error_rate", lit(null).cast("double"))
+      .withColumn("total_logs", lit(null).cast("long"))
+    s.unionByName(b)
+  }
+
+  private val alertsCte =
+    """alerts AS (
+      |  SELECT incident_id, service, type, severity,
+      |         CAST(NULL AS DOUBLE) AS p95_latency, CAST(NULL AS INTEGER) AS breach_count,
+      |         window_start, window_end, error_rate, total_logs
+      |  FROM spikes
+      |  UNION ALL
+      |  SELECT incident_id, service, type, severity, p95_latency, breach_count,
+      |         window_start, window_end,
+      |         CAST(NULL AS DOUBLE) AS error_rate, CAST(NULL AS BIGINT) AS total_logs
+      |  FROM breaches)""".stripMargin
+
+  def q06(spark: SparkSession, sfDir: String): DataFrame =
+    alertsUnion(spark, sfDir)
+      .groupBy(col("service"), expr("window_end div 86400 * 86400").as("metric_window_start"))
+      .agg(
+        count(lit(1)).as("total_alerts"),
+        count(when(col("type") === "LATENCY_SLO_BREACH", 1)).as("latency_breaches"),
+        count(when(col("type") === "ERROR_RATE_SPIKE", 1)).as("error_spikes"),
+        round(avg(col("p95_latency")), 4).as("avg_p95_latency"),
+        max(col("breach_count")).as("max_breach_count"),
+        round(sum(when(col("severity") === "CRITICAL", 1).otherwise(0)) / count(lit(1)), 4).as("critical_ratio"))
+
+  private val q06Sql =
+    s"""WITH ${Tables.LOGS_CTE},
+       |$spikesCte,
+       |$p95Cte,
+       |$breachesCte,
+       |$alertsCte
+       |SELECT service, window_end // 86400 * 86400 AS metric_window_start,
+       |       count(*) AS total_alerts,
+       |       count(CASE WHEN type = 'LATENCY_SLO_BREACH' THEN 1 END) AS latency_breaches,
+       |       count(CASE WHEN type = 'ERROR_RATE_SPIKE' THEN 1 END) AS error_spikes,
+       |       round(avg(p95_latency), 4) AS avg_p95_latency,
+       |       max(breach_count) AS max_breach_count,
+       |       round(sum(CASE WHEN severity = 'CRITICAL' THEN 1 ELSE 0 END) / count(*), 4) AS critical_ratio
+       |FROM alerts
+       |GROUP BY service, metric_window_start""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** P1: from_json field extraction on the hot path + per-key stats. */
+  def q07(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.logs(spark, sfDir)
+      .groupBy(col("service"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"),
+        count(when(col("level") === "ERROR", 1)).as("n_err"))
+
+  private val q07Sql =
+    s"""WITH ${Tables.LOGS_CTE}
+       |SELECT service, count(*) AS n, count(k) AS n_k, sum(k) AS sum_k,
+       |       round(avg(k), 4) AS avg_k,
+       |       count(CASE WHEN level = 'ERROR' THEN 1 END) AS n_err
+       |FROM logs GROUP BY service""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** Union-by-topic (SURVEY §2.6) as unionByName over the two alert shapes,
+    * then per-(type, severity) rollup (nullable-field aware). */
+  def q08(spark: SparkSession, sfDir: String): DataFrame =
+    alertsUnion(spark, sfDir)
+      .groupBy(col("type"), col("severity"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("error_rate")), 4).as("avg_error_rate"),
+        round(avg(col("p95_latency")), 4).as("avg_p95_latency"),
+        min(col("window_start")).as("first_window"),
+        max(col("window_end")).as("last_window"))
+
+  private val q08Sql =
+    s"""WITH ${Tables.LOGS_CTE},
+       |$spikesCte,
+       |$p95Cte,
+       |$breachesCte,
+       |$alertsCte
+       |SELECT type, severity, count(*) AS n,
+       |       round(avg(error_rate), 4) AS avg_error_rate,
+       |       round(avg(p95_latency), 4) AS avg_p95_latency,
+       |       min(window_start) AS first_window,
+       |       max(window_end) AS last_window
+       |FROM alerts GROUP BY type, severity""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** P6: ISO-8601 format → parse round-trip (the producer/detector timestamp
+    * contract, log_producer.py:50 / error_rate_detector.py:25-37), bucketed
+    * hourly. */
+  def q09(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.logs(spark, sfDir)
+      .select(date_format(timestamp_seconds(col("ts_s")), "yyyy-MM-dd'T'HH:mm:ss").as("iso"))
+      .select(unix_timestamp(to_timestamp(col("iso"), "yyyy-MM-dd'T'HH:mm:ss")).as("parsed_s"))
+      .groupBy(expr("parsed_s div 3600 * 3600").as("hour_start"))
+      .agg(count(lit(1)).as("n"))
+
+  private val q09Sql =
+    s"""WITH ${Tables.LOGS_CTE}
+       |SELECT epoch_ns(strptime(strftime(make_timestamp(ts_s * 1000000), '%Y-%m-%dT%H:%M:%S'),
+       |                         '%Y-%m-%dT%H:%M:%S')) // 1000000000 // 3600 * 3600 AS hour_start,
+       |       count(*) AS n
+       |FROM logs GROUP BY hour_start""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** 3-way join rollup (scale posture: broadcast the small dims, shuffle on
+    * the fact's join key only). Not in the reference (§2.6 — no joins), part
+    * of the beyond-reference surface. */
+  def q10(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.table(spark, sfDir, "lineitem")
+    val ord = Tables.table(spark, sfDir, "orders")
+    val cust = Tables.table(spark, sfDir, "customer")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+  }
+
+  private val q10Sql =
+    """SELECT c_mktsegment, o_orderpriority,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*) AS n_items,
+      |       count(DISTINCT o_orderkey) AS n_orders
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment, o_orderpriority""".stripMargin
+
+  private def withLogs(body: String): String = s"WITH ${Tables.LOGS_CTE},\n$body"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
+    QueryDef("q02_error_rate_sliding", spikes, Some(withLogs(s"$spikesCte\nSELECT * FROM spikes"))),
+    QueryDef("q03_p95_tumbling", p95Windows, Some(withLogs(s"$p95Cte\nSELECT * FROM p95w"))),
+    QueryDef("q04_consecutive_breach", breaches,
+      Some(withLogs(s"$p95Cte,\n$breachesCte\nSELECT * FROM breaches"))),
+    QueryDef("q05_escalation_ttl", escalations, Some(q05Sql)),
+    QueryDef("q06_alert_metrics", q06, Some(q06Sql)),
+    QueryDef("q07_json_extract_stats", q07, Some(q07Sql)),
+    QueryDef("q08_union_alert_rollup", q08, Some(q08Sql)),
+    QueryDef("q09_ts_parse_roundtrip", q09, Some(q09Sql)),
+    QueryDef("q10_join_revenue", q10, Some(q10Sql))
+  )
+}

@@ -1,0 +1,17 @@
+package graft.oracle
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One graded query: a Spark DataFrame program plus (where SQL-expressible)
+  * the equivalent DuckDB oracle SQL over the same parquet tables. Column
+  * names/aliases MUST match between the two — the driver's compare sorts
+  * columns by name before hashing values. */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Registry {
+  lazy val all: Seq[QueryDef] = CoreQueries.defs
+  lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,57 @@
+package graft.oracle
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver-provided parquet fixtures (TESTDATA.md) plus the
+  * canonical events→raw-log mapping used by every batch formulation of the
+  * reference's streaming operators (SURVEY §5.3).
+  *
+  * `events.parquet` is Parquet TIMESTAMP(NANOS); Spark reads it only with
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, yielding `ts: bigint` nanos
+  * (verified on Spark 4.1.2). The DuckDB oracle sees the same instants via
+  * `epoch_ns(ts)` — both sides floor-divide to epoch seconds, so the window
+  * math is bit-identical.
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  private val propsSchema = new StructType().add("k", IntegerType)
+
+  /** `events` mapped onto the reference's raw-log stream (FIXTURES.md §B):
+    * service := event_type, event time := ts (nanos→seconds), latency :=
+    * value, level := ERROR iff props.k < 10 (~10% — mirrors the producer's
+    * error-rate mix, kafka/log_producer.py:18-23,59). The JSON parse of
+    * `props` plays the role of P1 (`from_json`) on the hot path.
+    *
+    * NB `ts div 1000000000` must stay integer division: epoch-nanos
+    * (~1.7e18) exceeds a double's 2^53 exact range.
+    */
+  def logs(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .select(
+        col("event_id"),
+        expr("ts div 1000000000").as("ts_s"),
+        col("event_type").as("service"),
+        col("value").as("latency_ms"),
+        from_json(col("props"), propsSchema).getField("k").as("k"))
+      .withColumn("level", when(col("k") < 10, "ERROR").otherwise("INFO"))
+
+  /** Matching DuckDB CTE — keep in lockstep with [[logs]]. */
+  val LOGS_CTE: String =
+    """logs AS (
+      |  SELECT event_id,
+      |         epoch_ns(ts) // 1000000000 AS ts_s,
+      |         event_type AS service,
+      |         value AS latency_ms,
+      |         json_extract(props, '$.k')::INT AS k,
+      |         CASE WHEN json_extract(props, '$.k')::INT < 10
+      |              THEN 'ERROR' ELSE 'INFO' END AS level
+      |  FROM events)""".stripMargin
+}
