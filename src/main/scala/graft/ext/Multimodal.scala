@@ -1,0 +1,106 @@
+package graft.ext
+
+import graft.oracle.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` + typed metadata,
+  * with decode / feature-extraction running partition-batched (the Scala
+  * analog of `mapInPandas` — one buffer reuse per partition, not per row).
+  *
+  * The actual codec is STUBBED (no image/audio libraries in this
+  * environment): [[StubCodec.decode]] derives deterministic fake dimensions
+  * from the content hash. Everything around it — schema, binary column,
+  * batch shape, partitioning — is real and tested; swapping in a real codec
+  * is a one-function change.
+  */
+object Multimodal {
+
+  /** A media record as a training pipeline would carry it: raw bytes +
+    * sidecar metadata. */
+  final case class MediaRecord(doc_id: Long, media: Array[Byte], source: String)
+  final case class DecodedMedia(
+      doc_id: Long, source: String, byte_len: Long, content_hash: String,
+      width: Int, height: Int, format: String)
+
+  /** STUB codec — deterministic fake decode standing in for an image/audio
+    * library. Real implementation would parse `bytes` headers; this derives
+    * stable pseudo-dimensions so tests/oracles are exact. */
+  object StubCodec {
+    def decode(bytes: Array[Byte]): (Int, Int, String) = {
+      val n = bytes.length
+      val width = (n * 7919) % 1024
+      val height = (n * 104729) % 768
+      val format = (n % 3) match {
+        case 0 => "jpeg"; case 1 => "png"; case 2 => "webp"
+      }
+      (width, height, format)
+    }
+  }
+
+  /** documents → media records (text bytes stand in for image payloads). */
+  def mediaRecords(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"), col("source"))
+      .as[MediaRecord]
+  }
+
+  /** Partition-batched decode: one iterator pass per partition (buffer reuse
+    * / model-load amortization happens here in a real codec), no per-row
+    * driver round-trips, no shuffle. */
+  def decodeAll(records: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // per-partition setup would open the codec once here
+      it.map { r =>
+        val (w, h, fmt) = StubCodec.decode(r.media)
+        val hash = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(r.media).map("%02x".format(_)).mkString
+        DecodedMedia(r.doc_id, r.source, r.media.length.toLong, hash, w, h, fmt)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- q22
+  /** Oracle-checkable metadata path: the same fake-decode arithmetic as pure
+    * column expressions (codegen'd; the mapPartitions path above is the
+    * custom-codec variant, covered by MultimodalSpec equivalence tests). */
+  def mediaMeta(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("media"),
+        sha2(col("text"), 256).as("content_hash"))
+      .withColumn("byte_len", length(col("media")).cast("long"))
+      .withColumn("width", (col("byte_len") * 7919) % 1024)
+      .withColumn("height", (col("byte_len") * 104729) % 768)
+      .withColumn("format",
+        when(col("byte_len") % 3 === 0, "jpeg")
+          .when(col("byte_len") % 3 === 1, "png")
+          .otherwise("webp"))
+      .groupBy(col("source"), col("format"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("byte_len")).as("total_bytes"),
+        round(avg(col("width")), 4).as("avg_width"),
+        round(avg(col("height")), 4).as("avg_height"),
+        min(col("content_hash")).as("min_hash"))
+
+  private val q22Sql =
+    """WITH m AS (SELECT doc_id, source, sha256(text) AS content_hash,
+      |                  octet_length(encode(text)) AS byte_len
+      |           FROM documents),
+      |d AS (SELECT *, (byte_len * 7919) % 1024 AS width,
+      |              (byte_len * 104729) % 768 AS height,
+      |              CASE WHEN byte_len % 3 = 0 THEN 'jpeg'
+      |                   WHEN byte_len % 3 = 1 THEN 'png'
+      |                   ELSE 'webp' END AS format
+      |      FROM m)
+      |SELECT source, format, count(*) AS n_media, sum(byte_len) AS total_bytes,
+      |       round(avg(width), 4) AS avg_width, round(avg(height), 4) AS avg_height,
+      |       min(content_hash) AS min_hash
+      |FROM d GROUP BY source, format""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q22_multimodal_meta", mediaMeta, Some(q22Sql))
+  )
+}

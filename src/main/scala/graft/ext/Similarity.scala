@@ -1,0 +1,133 @@
+package graft.ext
+
+import graft.oracle.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` fixture (64-dim float vectors).
+  *
+  * Cosine is computed in DOUBLE on both engines with the identical formula
+  * `dot / (sqrt(dot(a,a)) * sqrt(dot(b,b)))` and identical left-to-right
+  * summation (Spark `aggregate` HOF fold vs DuckDB `list_dot_product`), then
+  * rounded to 6 dp before ranking so tie-breaks are deterministic.
+  *
+  * Scale posture: brute-force top-k broadcasts the (small) query set against
+  * the candidate corpus — one scan, no shuffle of the big side; the IVF
+  * variant prunes candidates to the query's cell (here the pre-assigned
+  * `label` plays the offline-clustered cell id), turning the cross product
+  * into an equi-join — the standard billion-vector layout. The sign-LSH
+  * variant buckets by a 12-bit hyperplane-sign key for pairwise near-dup.
+  */
+object Similarity {
+
+  /** embeddings with vectors widened to double (float math differs between
+    * engines; double is exact on both for these magnitudes). */
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"), col("label"))
+
+  private val embCte =
+    "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)"
+
+  private val dotExpr = "aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)"
+  private def normExpr(c: String) =
+    s"aggregate(transform($c, x -> x * x), cast(0 AS double), (acc, x) -> acc + x)"
+
+  // ---------------------------------------------------------------- q19
+  /** Brute-force cosine top-5 neighbors for query vectors (vec_id < 20). */
+  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val sims = e.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("sim", round(
+        expr(dotExpr) / (sqrt(expr(normExpr("qv"))) * sqrt(expr(normExpr("v")))), 6))
+    sims
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  private val q19Sql =
+    s"""WITH $embCte,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 20),
+       |p AS (SELECT query_id, vec_id,
+       |             round(list_dot_product(qv, v) /
+       |                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS sim
+       |      FROM q JOIN emb ON query_id != vec_id),
+       |r AS (SELECT query_id, vec_id AS neighbor_id, sim,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |      FROM p)
+       |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** IVF-style ANN: candidates pruned to the query's cell (= `label`,
+    * standing in for an offline-assigned coarse centroid id), then exact
+    * cosine top-3 within the cell. */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label").as("qlabel"))
+    val sims = e.join(broadcast(q),
+        col("qlabel") === col("label") && col("query_id") =!= col("vec_id"))
+      .withColumn("sim", round(
+        expr(dotExpr) / (sqrt(expr(normExpr("qv"))) * sqrt(expr(normExpr("v")))), 6))
+    sims
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("label").as("cell"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
+  private val q20Sql =
+    s"""WITH $embCte,
+       |q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel FROM emb WHERE vec_id < 20),
+       |p AS (SELECT query_id, label, vec_id,
+       |             round(list_dot_product(qv, v) /
+       |                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS sim
+       |      FROM q JOIN emb ON qlabel = label AND query_id != vec_id),
+       |r AS (SELECT query_id, label AS cell, vec_id AS neighbor_id, sim,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |      FROM p)
+       |SELECT query_id, cell, neighbor_id, rank, sim FROM r WHERE rank <= 3""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** Embedding near-dup via random-hyperplane sign LSH: bucket key = sign
+    * bits of the first 12 dims; pairs within a bucket with cosine ≥ 0.25.
+    * (Fixture vectors are random — no planted >0.95 pairs — so the
+    * threshold is set where the fixture has signal; the operator is the
+    * bucketed-pair shape itself.) */
+  def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = emb(spark, sfDir)
+      .withColumn("bucket", expr(
+        "concat_ws('', transform(slice(v, 1, 12), x -> CASE WHEN x >= cast(0 AS double) THEN '1' ELSE '0' END))"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.v").as("qv"), col("b.v").as("v"))
+      .withColumn("sim", round(
+        expr(dotExpr) / (sqrt(expr(normExpr("qv"))) * sqrt(expr(normExpr("v")))), 6))
+      .filter(col("sim") >= 0.25)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+  }
+
+  private val q21Sql =
+    s"""WITH $embCte,
+       |b AS (SELECT vec_id, v,
+       |             array_to_string(list_transform(v[1:12],
+       |               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+       |      FROM emb),
+       |p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |             round(list_dot_product(x.v, y.v) /
+       |                   (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
+       |      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.25""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q19_cosine_topk", cosineTopK, Some(q19Sql)),
+    QueryDef("q20_ann_ivf", annIvf, Some(q20Sql)),
+    QueryDef("q21_embed_neardup_lsh", embedNearDup, Some(q21Sql))
+  )
+}

@@ -1,0 +1,321 @@
+package graft.ext
+
+import graft.oracle.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline text operators over the `documents` fixture:
+  * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard), language-ID,
+  * quality scoring, token counting, fingerprinting.
+  *
+  * Scale posture: all shingle/minhash work is expression-level (codegen'd
+  * built-ins — split/transform/explode/md5), aggregations shuffle on
+  * high-cardinality keys (doc_id, shingle), and the LSH band join turns the
+  * O(n²) near-dup problem into a per-bucket join whose fan-in is governed by
+  * band width — the standard 100 TB dedup shape (band-bucket join + exact
+  * verify on candidates only).
+  *
+  * All hashes are md5/sha2 hex strings so Spark and the DuckDB oracle
+  * compute bit-identical values; a lexicographic min over md5(shingle # i)
+  * is a valid uniform min-hash permutation.
+  */
+object TextOps {
+
+  // ---------------------------------------------------------------- shared
+  /** Distinct word-3-gram shingles per document. */
+  def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))")).as("s"))
+      .distinct()
+
+  private val shingleCte =
+    """docsw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |shing AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+      |         i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS s
+      |  FROM docsw WHERE len(ws) >= 3)),
+      |shcnt AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Exact dedup: content-hash groups, canonical keeper = min doc_id.
+    * (Fixture texts are all distinct — groups are singletons; the near-dup
+    * detectors below are the interesting path on this data.) */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+    d.groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("keep_id"))
+      .join(d, "content_hash")
+      .select(col("doc_id"), col("content_hash"), col("group_size"),
+        (col("doc_id") =!= col("keep_id")).cast("int").as("is_dup"))
+  }
+
+  private val q11Sql =
+    """WITH d AS (SELECT doc_id, sha256(text) AS content_hash FROM documents),
+      |g AS (SELECT content_hash, count(*) AS group_size, min(doc_id) AS keep_id
+      |      FROM d GROUP BY content_hash)
+      |SELECT doc_id, d.content_hash, group_size,
+      |       CASE WHEN doc_id != keep_id THEN 1 ELSE 0 END AS is_dup
+      |FROM d JOIN g ON d.content_hash = g.content_hash""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** MinHash+LSH near-dup: k=12 min-hashes over shingles, 4 bands × 3 rows;
+    * docs sharing any band key become candidates; candidates verified with
+    * exact shingle Jaccard ≥ 0.5. */
+  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir).cache()
+    val sig = sh
+      .withColumn("i", explode(sequence(lit(0), lit(11))))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(md5(concat_ws("", col("s"), lit("#"), col("i")))).as("mh"))
+    val bands = sig
+      .withColumn("band", expr("i div 3"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(expr("concat_ws('|', transform(array_sort(collect_list(struct(i, mh))), x -> x.mh))").as("bk"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .filter(col("inter") / (col("ca.n") + col("cb.n") - col("inter")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("ca.n") + col("cb.n") - col("inter")), 4).as("jaccard"))
+  }
+
+  private val q12Sql =
+    s"""WITH $shingleCte,
+       |sig AS (SELECT doc_id, i, min(md5(s || '#' || i)) AS mh
+       |        FROM shing, range(12) t(i) GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 3 AS band, string_agg(mh, '|' ORDER BY i) AS bk
+       |          FROM sig GROUP BY doc_id, i // 3),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |inter AS (SELECT doc_a, doc_b, count(*) AS inter
+       |          FROM cand
+       |          JOIN shing sa ON sa.doc_id = doc_a
+       |          JOIN shing sb ON sb.doc_id = doc_b AND sb.s = sa.s
+       |          GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b, round(inter / (ca.n + cb.n - inter), 4) AS jaccard
+       |FROM inter
+       |JOIN shcnt ca ON ca.doc_id = doc_a
+       |JOIN shcnt cb ON cb.doc_id = doc_b
+       |WHERE inter / (ca.n + cb.n - inter) >= 0.5""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** SimHash: 32-bit fingerprint over shingle features. Bit j comes from
+    * the j-th bit of the first 8 md5 hex chars of each shingle (extracted
+    * arithmetically via nibble lookup so Spark and DuckDB agree without any
+    * hex→int cast), majority-voted across the doc's shingles. */
+  private def bitExpr(j: Int, h: String): String = {
+    val pos = 8 - j / 4           // hex char holding bit j (char 1 = bits 28..31)
+    val shift = 1 << (j % 4)
+    s"(((instr('0123456789abcdef', substr($h, $pos, 1)) - 1) div $shift) % 2)"
+  }
+  private def bitExprDuck(j: Int, h: String): String = {
+    val pos = 8 - j / 4
+    val shift = 1 << (j % 4)
+    s"(((strpos('0123456789abcdef', substr($h, $pos, 1)) - 1) // $shift) % 2)"
+  }
+
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val withBits = shingles(spark, sfDir)
+      .withColumn("h8", substring(md5(col("s")), 1, 8))
+    val sums = (0 until 32).map(j => sum(expr(s"2 * ${bitExpr(j, "h8")} - 1")).as(s"b$j"))
+    val fp = (0 until 32).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    val hashed = withBits.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+    hashed.withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("simhash"))))
+  }
+
+  private val q13Sql = {
+    val sums = (0 until 32).map(j => s"sum(2 * ${bitExprDuck(j, "h8")} - 1) AS b$j").mkString(",\n         ")
+    val fp = (0 until 32).map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH $shingleCte,
+       |hb AS (SELECT doc_id, substr(md5(s), 1, 8) AS h8 FROM shing),
+       |sums AS (SELECT doc_id,
+       |         $sums
+       |         FROM hb GROUP BY doc_id),
+       |fps AS (SELECT doc_id, $fp AS simhash FROM sums)
+       |SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS cluster_size
+       |FROM fps""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q14
+  /** n-gram Jaccard near-dup without LSH (exhaustive pair verify via
+    * shingle-inverted-index join) — the exact baseline q12 approximates.
+    * Emits all pairs with Jaccard ≥ 0.2. */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir).cache()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .filter(col("inter") / (col("ca.n") + col("cb.n") - col("inter")) >= 0.2)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("inter") / (col("ca.n") + col("cb.n") - col("inter")), 4).as("jaccard"))
+  }
+
+  private val q14Sql =
+    s"""WITH $shingleCte,
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |          FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b, inter,
+       |       round(inter / (ca.n + cb.n - inter), 4) AS jaccard
+       |FROM inter
+       |JOIN shcnt ca ON ca.doc_id = doc_a
+       |JOIN shcnt cb ON cb.doc_id = doc_b
+       |WHERE inter / (ca.n + cb.n - inter) >= 0.2""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** Language-ID n-gram/stopword heuristic → confusion matrix against the
+    * labeled `lang` column. Marker lists are deliberately tiny (the operator
+    * shape is the point; fixture text is synthetic word-soup). */
+  private val markers = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "que", "y"))
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+    val scored = markers.foldLeft(base) { case (df, (l, ms)) =>
+      df.withColumn(s"s_$l",
+        size(array_intersect(col("ws"), array(ms.map(lit): _*))))
+    }
+    val pred = when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es") && col("s_en") > 0, "en")
+      .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") && col("s_de") > 0, "de")
+      .when(col("s_fr") >= col("s_es") && col("s_fr") > 0, "fr")
+      .when(col("s_es") > 0, "es")
+      .otherwise("und")
+    scored.withColumn("pred_lang", pred)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val q15Sql = {
+    val scores = markers.map { case (l, ms) =>
+      val list = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_intersect(ws, [$list])) AS s_$l"
+    }.mkString(",\n       ")
+    s"""WITH docsw AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |       $scores
+       |  FROM docsw),
+       |pred AS (SELECT lang,
+       |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+       |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+       |       WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+       |       WHEN s_es > 0 THEN 'es'
+       |       ELSE 'und' END AS pred_lang
+       |  FROM scored)
+       |SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q16
+  /** Quality scoring: type-token ratio, stopword ratio, word stats → score. */
+  def quality(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("ttr", round(size(array_distinct(col("ws"))) / col("n_words"), 4))
+      .withColumn("stop_ratio", round(
+        expr("size(filter(ws, w -> w in ('the', 'a', 'of', 'and', 'to', 'in')))") / col("n_words"), 4))
+      .withColumn("avg_word_len", round(length(regexp_replace(col("text"), " ", "")) / col("n_words"), 4))
+      // floor-truncation, not round: the composite score lands exactly on
+      // decimal half-boundaries (inputs are pre-rounded), where Spark's
+      // HALF_UP BigDecimal round and DuckDB's double round can disagree;
+      // floor(x*1e4)/1e4 on the identical double is bit-deterministic.
+      .withColumn("quality_score", floor(
+        (lit(0.4) * col("ttr") + lit(0.3) * least(col("n_words") / 100.0, lit(1.0)) +
+         lit(0.3) * (lit(1.0) - col("stop_ratio"))) * 10000) / 10000)
+      .select(col("doc_id"), col("n_words"), col("ttr"), col("stop_ratio"),
+        col("avg_word_len"), col("quality_score"))
+
+  private val q16Sql =
+    """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |s AS (SELECT doc_id,
+      |        len(ws)::BIGINT AS n_words,
+      |        round(len(list_distinct(ws)) / len(ws), 4) AS ttr,
+      |        round(len(list_filter(ws, w -> w in ('the', 'a', 'of', 'and', 'to', 'in'))) / len(ws), 4) AS stop_ratio,
+      |        round(length(replace(text, ' ', '')) / len(ws), 4) AS avg_word_len
+      |      FROM d)
+      |SELECT doc_id, n_words, ttr, stop_ratio, avg_word_len,
+      |       floor((0.4 * ttr + 0.3 * least(n_words / 100.0, 1.0) + 0.3 * (1.0 - stop_ratio)) * 10000) / 10000 AS quality_score
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** Token counting per source: whitespace tokens + a BPE-ish estimate
+    * (ceil(len/4) per word — the ~4-chars-per-token heuristic). */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(lit(1)).as("n_ws_tokens"),
+        sum(ceil(length(col("w")) / 4.0).cast("long")).as("n_bpe_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_ws_tokens")).as("ws_tokens"),
+        sum(col("n_bpe_tokens")).as("bpe_tokens"),
+        round(avg(col("n_bpe_tokens")), 4).as("avg_bpe_per_doc"))
+
+  private val q17Sql =
+    """WITH w AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |per_doc AS (SELECT doc_id, source, count(*) AS n_ws_tokens,
+      |                   sum(cast(ceil(length(w) / 4.0) AS BIGINT)) AS n_bpe_tokens
+      |            FROM w GROUP BY doc_id, source)
+      |SELECT source, count(*) AS n_docs, sum(n_ws_tokens) AS ws_tokens,
+      |       sum(n_bpe_tokens) AS bpe_tokens,
+      |       round(avg(n_bpe_tokens), 4) AS avg_bpe_per_doc
+      |FROM per_doc GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** Document fingerprint: content hash of normalized text + content-defined
+    * chunk count (word is a chunk boundary iff its md5's first nibble is
+    * ≡ 0 mod 8 — a deterministic rolling-hash-style boundary rule). */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+      .select(
+        col("doc_id"),
+        md5(lower(col("text"))).as("fingerprint"),
+        (expr("size(filter(ws, w -> substr(md5(w), 1, 1) in ('0', '8')))") + 1).as("n_chunks"))
+
+  private val q18Sql =
+    """SELECT doc_id, md5(lower(text)) AS fingerprint,
+      |       len(list_filter(string_split(text, ' '),
+      |                       w -> substr(md5(w), 1, 1) in ('0', '8'))) + 1 AS n_chunks
+      |FROM documents""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q11_dedup_exact", dedupExact, Some(q11Sql)),
+    QueryDef("q12_dedup_minhash_lsh", dedupMinhashLsh, Some(q12Sql)),
+    QueryDef("q13_dedup_simhash", dedupSimhash, Some(q13Sql)),
+    QueryDef("q14_ngram_jaccard", ngramJaccard, Some(q14Sql)),
+    QueryDef("q15_lang_id", langId, Some(q15Sql)),
+    QueryDef("q16_quality_score", quality, Some(q16Sql)),
+    QueryDef("q17_token_counts", tokenCounts, Some(q17Sql)),
+    QueryDef("q18_fingerprint", fingerprint, Some(q18Sql))
+  )
+}

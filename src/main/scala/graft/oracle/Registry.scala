@@ -12,6 +12,8 @@ final case class QueryDef(
     oracle: Option[String])
 
 object Registry {
-  lazy val all: Seq[QueryDef] = CoreQueries.defs
+  lazy val all: Seq[QueryDef] =
+    CoreQueries.defs ++ graft.ext.TextOps.defs ++ graft.ext.Similarity.defs ++
+      graft.ext.Multimodal.defs
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,83 @@
+package graft
+
+import graft.ext.{Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+class ExtOpsSpec extends SparkSpec {
+
+  test("minhash-LSH candidates achieve full recall vs exhaustive jaccard >= 0.5") {
+    val lsh = TextOps.dedupMinhashLsh(spark, sf0001)
+      .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = TextOps.ngramJaccard(spark, sf0001)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh), s"missed pairs: ${exact -- lsh}")
+  }
+
+  test("simhash: near-dup pairs are close in hamming distance") {
+    import spark.implicits._
+    val fp = TextOps.dedupSimhash(spark, sf0001)
+      .select(col("doc_id"), col("simhash")).as[(Long, Long)].collect().toMap
+    val dups = TextOps.ngramJaccard(spark, sf0001).filter(col("jaccard") >= 0.9)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+    assert(dups.nonEmpty, "fixture should contain planted near-dups")
+    // random 32-bit pairs average hamming 16; jaccard>=0.9 pairs must sit
+    // far below that (each bit flips only if its small feature-diff swings
+    // a majority vote)
+    val hams = dups.map { case (a, b) => java.lang.Long.bitCount(fp(a) ^ fp(b)) }
+    hams.foreach(h => assert(h <= 12, s"near-dup pair at hamming $h"))
+    assert(hams.sum.toDouble / hams.length < 8.0, s"mean hamming ${hams.sum.toDouble / hams.length}")
+  }
+
+  test("exact dedup marks no duplicates on all-distinct fixture") {
+    val d = TextOps.dedupExact(spark, sf0001)
+    assert(d.filter(col("is_dup") === 1).count() == 0)
+    assert(d.filter(col("group_size") =!= 1).count() == 0)
+  }
+
+  test("cosine top-k: self excluded, k respected, sim within [-1, 1]") {
+    val t = Similarity.cosineTopK(spark, sf0001).cache()
+    assert(t.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    assert(t.groupBy("query_id").count().filter(col("count") > 5).count() == 0)
+    assert(t.filter(col("sim") > 1.0 || col("sim") < -1.0).count() == 0)
+    t.unpersist()
+  }
+
+  test("IVF ANN returns only candidates from the query's own cell") {
+    import spark.implicits._
+    val labels = Tables.emb(spark)
+    val bad = Similarity.annIvf(spark, sf0001).join(labels, col("neighbor_id") === col("vec_id"))
+      .filter(col("cell") =!= col("label")).count()
+    assert(bad == 0)
+  }
+  private object Tables {
+    def emb(s: org.apache.spark.sql.SparkSession) =
+      graft.oracle.Tables.table(s, sf0001, "embeddings").select(col("vec_id"), col("label"))
+  }
+
+  test("multimodal: mapPartitions decode path == expression metadata path") {
+    import spark.implicits._
+    val decoded = Multimodal.decodeAll(Multimodal.mediaRecords(spark, sf0001))
+    // re-derive the expression-path per-doc fields and compare row-by-row
+    val exprPath = graft.oracle.Tables.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("media"),
+        sha2(col("text"), 256).as("content_hash"))
+      .withColumn("byte_len", length(col("media")).cast("long"))
+      .withColumn("width", ((col("byte_len") * 7919) % 1024).cast("int"))
+      .withColumn("height", ((col("byte_len") * 104729) % 768).cast("int"))
+      .withColumn("format",
+        when(col("byte_len") % 3 === 0, "jpeg")
+          .when(col("byte_len") % 3 === 1, "png").otherwise("webp"))
+      .select(col("doc_id"), col("source"), col("byte_len"), col("content_hash"),
+        col("width"), col("height"), col("format"))
+    val diff = decoded.toDF().except(exprPath).count() + exprPath.except(decoded.toDF()).count()
+    assert(diff == 0, "stub codec and expression path disagree")
+  }
+
+  test("quality score stays in [0, 1] and token counts are positive") {
+    val q = TextOps.quality(spark, sf0001)
+    assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
+    val t = TextOps.tokenCounts(spark, sf0001)
+    assert(t.filter(col("bpe_tokens") <= 0 || col("ws_tokens") <= 0).count() == 0)
+  }
+}
