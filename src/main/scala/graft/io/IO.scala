@@ -1,0 +1,59 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Source/sink builders (S2-S5). The Kafka builders mirror the reference's
+  * topology (topics app_logs_raw / incident_alerts / incident_escalations)
+  * and need `spark-sql-kafka-0-10` on the classpath at runtime — not present
+  * in this environment, where tests drive the same pipelines through
+  * MemoryStream/file sources instead (same DataFrame programs either way;
+  * only the boundary format changes). */
+object Topics {
+  val rawLogs = "app_logs_raw"
+  val alerts = "incident_alerts"
+  val escalations = "incident_escalations"
+}
+
+object Sources {
+  /** Kafka value-only stream (S3) — reference consumer shape
+    * (error_rate_detector.py:121-129). */
+  def kafka(spark: SparkSession, brokers: String, topic: String,
+            startingOffsets: String = "latest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** File-based JSON stream with an explicit schema (no inference — SURVEY
+    * §1.3: explicit schemas everywhere). */
+  def jsonDir(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).json(path)
+}
+
+object Sinks {
+  /** Kafka JSON sink (S2/S4): expects `key`/`value` columns (use
+    * [[Codec.encode]]); acks=all is the Kafka default for the Spark sink. */
+  def kafka(df: DataFrame, brokers: String, topic: String,
+            checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  def parquet(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+
+  /** S5 parity: per-batch console dump when non-empty
+    * (spark_incident_alerts_metrics.ipynb:149-159). */
+  def console(df: DataFrame, trigger: Trigger = Trigger.ProcessingTime("2 minutes")): DataStreamWriter[Row] =
+    df.writeStream.outputMode("update").trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) batch.show(truncate = false)
+      }
+}

@@ -1,0 +1,203 @@
+package graft
+
+import graft.gen.LogGenerator
+import graft.io.Codec
+import graft.model._
+import graft.pipeline.{ErrorRateDetector, LatencySloMonitor, MetricsJob}
+import graft.stateful.{BreachDetector, Escalator}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming end-to-end behavior: event-time windows + watermark, stateful
+  * operators across micro-batches, and the batch-replay equivalence property
+  * (SURVEY §5.3: incremental run == one-shot batch run). */
+class StreamingSpec extends SparkSpec {
+
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def iso(epoch: Long): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.ofEpochSecond(epoch))
+
+  private def rawLog(epoch: Long, service: String, level: String, latency: Int): RawLog =
+    RawLog(iso(epoch), service, "node-1", level, s"req-$epoch-$latency", "m", latency)
+
+  val T0 = 1767680000L // window-aligned base (divisible by 20)
+
+  test("error-rate detector: streaming with watermark == batch on same data") {
+    import spark.implicits._
+    // 30 ERROR-heavy events in [T0, T0+20), quiet after
+    val logs = (0 until 30).map(i => rawLog(T0 + i % 20, "auth-service", if (i % 2 == 0) "ERROR" else "INFO", 100)) ++
+      (0 until 30).map(i => rawLog(T0 + i % 20, "payment-service", "INFO", 50))
+    val stream = MemoryStream[RawLog]
+    val sq = ErrorRateDetector.detect(
+        ErrorRateDetector.withEventTime(stream.toDF()), minVolume = 10)
+      .writeStream.format("memory").queryName("alerts_stream").outputMode("append").start()
+    try {
+      stream.addData(logs)
+      sq.processAllAvailable()
+      // advance watermark beyond window ends (+5s wm +20s window)
+      stream.addData(rawLog(T0 + 120, "auth-service", "INFO", 10))
+      sq.processAllAvailable()
+      stream.addData(rawLog(T0 + 180, "auth-service", "INFO", 10))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = spark.table("alerts_stream")
+      .select("incident_id", "service", "window_start", "window_end", "error_rate", "total_logs")
+      .collect().toSet
+    val batch = ErrorRateDetector.detect(
+        ErrorRateDetector.withEventTime(logs.toDF()), minVolume = 10)
+      .select("incident_id", "service", "window_start", "window_end", "error_rate", "total_logs")
+      .collect().toSet
+    assert(streamed.nonEmpty, "no alerts emitted by streaming run")
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // only auth-service spikes; payment has 0% errors
+    assert(streamed.forall(_.getString(1) == "auth-service"))
+  }
+
+  test("breach detector: emits on 3rd consecutive breach, resets on healthy window, state spans batches") {
+    import spark.implicits._
+    val w = (i: Int, p95: Double) => P95Window("auth-service", T0 + i * 60L, T0 + (i + 1) * 60L, p95)
+    val stream = MemoryStream[P95Window]
+    val sq = BreachDetector.detect(stream.toDS())
+      .writeStream.format("memory").queryName("breaches_stream").outputMode("update").start()
+    try {
+      stream.addData(w(0, 150), w(1, 160))          // 2 consecutive breaches
+      sq.processAllAvailable()
+      assert(spark.table("breaches_stream").count() == 0, "premature emission")
+      stream.addData(w(2, 170))                     // 3rd — emit + clear
+      sq.processAllAvailable()
+      assert(spark.table("breaches_stream").count() == 1)
+      stream.addData(w(3, 180), w(4, 190))          // only 2 since clear
+      sq.processAllAvailable()
+      assert(spark.table("breaches_stream").count() == 1)
+      stream.addData(w(5, 50), w(6, 150), w(7, 150)) // healthy resets; 2 breaches
+      sq.processAllAvailable()
+      assert(spark.table("breaches_stream").count() == 1)
+      stream.addData(w(8, 150))                     // 3rd again
+      sq.processAllAvailable()
+      assert(spark.table("breaches_stream").count() == 2)
+      stream.addData(w(2, 500))                     // regression guard: stale window replay
+      sq.processAllAvailable()
+      assert(spark.table("breaches_stream").count() == 2)
+    } finally sq.stop()
+    val a = spark.table("breaches_stream").as[IncidentAlert].collect().head
+    assert(a.`type` == "LATENCY_SLO_BREACH" && a.severity == "CRITICAL" && a.breach_count.contains(3))
+  }
+
+  test("breach detector: in-batch delivery order does not matter (sorted by window_start)") {
+    import spark.implicits._
+    val w = (i: Int, p95: Double) => P95Window("s", T0 + i * 60L, T0 + (i + 1) * 60L, p95)
+    val shuffled = Seq(w(2, 150), w(0, 150), w(1, 150), w(4, 50), w(3, 150))
+    val alerts = BreachDetector.detect(shuffled.toDS()).collect()
+    assert(alerts.length == 1 && alerts.head.window_start == T0 + 120)
+  }
+
+  test("escalator: every 3rd alert per service tagged, all forwarded, counter spans batches") {
+    import spark.implicits._
+    val mk = (s: String, i: Int) => IncidentAlert(s"inc-$s-$i", s, "ERROR_RATE_SPIKE", "HIGH",
+      None, None, T0 + i * 10L, T0 + i * 10L + 20, Some(0.05), Some(200L))
+    val stream = MemoryStream[IncidentAlert]
+    // ttlMs = None: a processing-time timeout keeps the micro-batch engine
+    // scheduling timeout-check batches forever under processAllAvailable
+    val sq = Escalator.escalate(stream.toDS(), ttlMs = None)
+      .writeStream.format("memory").queryName("esc_stream").outputMode("update").start()
+    try {
+      stream.addData(mk("a", 0), mk("a", 1), mk("b", 0))
+      sq.processAllAvailable()
+      stream.addData(mk("a", 2), mk("b", 1), mk("b", 2)) // a:3rd, b:3rd
+      sq.processAllAvailable()
+      stream.addData(mk("a", 3))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    import org.apache.spark.sql.functions.col
+    val out = spark.table("esc_stream")
+    assert(out.count() == 7, "passthrough: every alert forwarded")
+    val esc = out.filter(col("severity") === "ESCALATED")
+    assert(esc.count() == 2)
+    assert(esc.filter(col("escalation_reason") =!= "MULTIPLE_INCIDENTS").count() == 0)
+    // the 3rd alert per service in order: a's i=2, b's i=2
+    assert(esc.select("incident_id").as[String].collect().toSet == Set("inc-a-2", "inc-b-2"))
+  }
+
+  test("escalator batch replay == streaming final tags (no TTL gap in data)") {
+    import spark.implicits._
+    val mk = (s: String, i: Int) => IncidentAlert(s"inc-$s-$i", s, "ERROR_RATE_SPIKE", "HIGH",
+      None, None, T0 + i * 10L, T0 + i * 10L + 20, Some(0.05), Some(200L))
+    val alerts = (0 until 7).map(i => mk("a", i)) ++ (0 until 5).map(i => mk("b", i))
+    val tagged = Escalator.escalate(alerts.toDS()).collect()
+    assert(tagged.length == 12)
+    val escalated = tagged.filter(_.severity == "ESCALATED").map(_.incident_id).toSet
+    assert(escalated == Set("inc-a-2", "inc-a-5", "inc-b-2"))
+  }
+
+  test("slo monitor end-to-end in batch: generator -> p95 windows -> breaches") {
+    val base = T0 + 40 // minute-aligned (T0 is only 20s-aligned)
+    val logs = ErrorRateDetector.withEventTime(LogGenerator.logs(spark, base, 300, seed = 7))
+    val p95s = LatencySloMonitor.p95Windows(logs)
+    assert(p95s.count() == 5 * 4, "4 services x 5 one-minute windows")
+    // payment-service base latency 300 > 100 threshold => breaches every 3rd window
+    val alerts = LatencySloMonitor.monitor(logs).collect()
+    assert(alerts.nonEmpty)
+    assert(alerts.forall(_.`type` == "LATENCY_SLO_BREACH"))
+    val payment = alerts.filter(_.service == "payment-service")
+    assert(payment.length == 1, s"5 windows all breaching -> emit at window 3 only, got ${payment.length}")
+  }
+
+  test("metrics job: streaming update mode over alert stream matches batch") {
+    import spark.implicits._
+    val alerts = Seq(
+      IncidentAlert("i1", "a", "ERROR_RATE_SPIKE", "HIGH", None, None, T0, T0 + 20, Some(0.05), Some(200L)),
+      IncidentAlert("i2", "a", "LATENCY_SLO_BREACH", "CRITICAL", Some(150), Some(3), T0, T0 + 60, None, None),
+      IncidentAlert("i3", "b", "LATENCY_SLO_BREACH", "CRITICAL", Some(220), Some(3), T0 + 60, T0 + 120, None, None))
+    val stream = MemoryStream[IncidentAlert]
+    val sq = MetricsJob.metrics(stream.toDF())
+      .writeStream.format("memory").queryName("metrics_stream").outputMode("update").start()
+    try {
+      stream.addData(alerts: _*)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = spark.table("metrics_stream")
+      .select("service", "window_start", "total_alerts", "latency_breaches", "error_spikes",
+        "avg_p95_latency", "max_breach_count", "critical_ratio").collect().toSet
+    val batch = MetricsJob.metrics(alerts.toDF())
+      .select("service", "window_start", "total_alerts", "latency_breaches", "error_spikes",
+        "avg_p95_latency", "max_breach_count", "critical_ratio").collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("codec: alert JSON round-trip preserves values; stringified numerics null out (negative case)") {
+    import spark.implicits._
+    val a = IncidentAlert("inc-1", "auth-service", "ERROR_RATE_SPIKE", "HIGH",
+      None, None, 1767680000L, 1767680020L, Some(0.0412), Some(212L))
+    val encoded = Codec.encode(Seq(a).toDS().toDF())
+    assert(encoded.columns.toSeq == Seq("key", "value"))
+    val back = Codec.decodeAlerts(encoded).as[IncidentAlert].collect().head
+    assert(back == a)
+    // the reference's literal spike encoding (error_rate_detector.py:99-102):
+    // quoted numerics -> NULL under the Long/Double schema, row survives
+    val legacy = Seq("""{"incident_id":"inc-2","service":"auth-service","type":"ERROR_RATE_SPIKE",
+      "severity":"HIGH","window_start":"1767680000","window_end":"1767680020",
+      "error_rate":"0.0412","total_logs":"212"}""".replaceAll("\n\\s*", "")).toDF("value")
+    val parsed = Codec.decodeAlerts(legacy).collect().head
+    assert(parsed.getAs[String]("incident_id") == "inc-2")
+    assert(parsed.isNullAt(parsed.fieldIndex("window_start")), "quoted long must not coerce")
+    assert(parsed.isNullAt(parsed.fieldIndex("error_rate")))
+  }
+
+  test("generator: deterministic for a seed, spike seconds carry elevated error rate") {
+    val a = LogGenerator.logs(spark, T0, 120, seed = 1).collect()
+    val b = LogGenerator.logs(spark, T0, 120, seed = 1).collect()
+    assert(a.toSeq == b.toSeq)
+    val df = LogGenerator.logs(spark, T0, 120, seed = 1)
+      .withColumn("sec", unix_timestamp(to_timestamp(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss")))
+      .withColumn("spike", pmod(col("sec"), lit(60)) < 5)
+      .filter(col("service") === "auth-service")
+      .groupBy("spike")
+      .agg(avg((col("level") === "ERROR").cast("int")).as("er"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(df(true) > 0.9, s"spike error rate ${df(true)} (x10 of 0.30, capped)")
+    assert(df(false) > 0.2 && df(false) < 0.4)
+  }
+}
