@@ -23,22 +23,39 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   // ---------------------------------------------------------------- shared
-  /** Distinct word-3-gram shingles per document. */
-  def shingles(spark: SparkSession, sfDir: String): DataFrame =
+  /** Word-3-gram shingle instances per document (not deduplicated — min-hash
+    * is multiset-invariant, so the signature path skips the distinct
+    * shuffle). */
+  def shinglesRaw(spark: SparkSession, sfDir: String): DataFrame =
     Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))")).as("s"))
-      .distinct()
+
+  /** Distinct shingle sets (for counts / exact Jaccard). */
+  def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    shinglesRaw(spark, sfDir).distinct()
 
   private val shingleCte =
     """docsw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |shing AS (SELECT DISTINCT doc_id, s FROM (
+      |shraw AS (
       |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
       |         i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS s
-      |  FROM docsw WHERE len(ws) >= 3)),
+      |  FROM docsw WHERE len(ws) >= 3),
+      |shing AS (SELECT DISTINCT doc_id, s FROM shraw),
       |shcnt AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id)""".stripMargin
+
+  /** First/second 8 hex chars of an md5 column as a BIGINT, via pure
+    * nibble arithmetic (identical in Spark and DuckDB — no hex casts). */
+  private def hexVal(m: String, off: Int, duck: Boolean): String = {
+    val fn = if (duck) "strpos" else "instr"
+    (0 until 8).map { k =>
+      val mult = 1L << (4 * (7 - k))
+      // CAST to BIGINT: int32 * 268435456 overflows (errors under ANSI mode)
+      s"CAST($fn('0123456789abcdef', substr($m, ${off + k}, 1)) - 1 AS BIGINT) * $mult"
+    }.mkString("(", " + ", ")")
+  }
 
   // ---------------------------------------------------------------- q11
   /** Exact dedup: content-hash groups, canonical keeper = min doc_id.
@@ -65,17 +82,28 @@ object TextOps {
   // ---------------------------------------------------------------- q12
   /** MinHash+LSH near-dup: k=12 min-hashes over shingles, 4 bands × 3 rows;
     * docs sharing any band key become candidates; candidates verified with
-    * exact shingle Jaccard ≥ 0.5. */
+    * exact shingle Jaccard ≥ 0.5.
+    *
+    * Hash family: ONE md5 per shingle split into two 32-bit halves (h1, h2),
+    * then hash_i = (h1 + i·h2) mod 2³¹-1 (Carter-Wegman pairwise-independent
+    * family) — 12× fewer cryptographic hashes than hashing per-i, the
+    * dominant signature cost at scale. All 12 mins come from one
+    * aggregation pass (no row explosion, single shuffle on doc_id). */
+  private val MersenneP = 2147483647L
+
   def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val hv = shinglesRaw(spark, sfDir)
+      .withColumn("m", md5(col("s")))
+      .withColumn("h1", expr(hexVal("m", 1, duck = false)))
+      .withColumn("h2", expr(hexVal("m", 9, duck = false)))
+    val sigCols = (0 until 12).map(i =>
+      min(expr(s"(h1 + $i * h2) % $MersenneP")).as(s"mh$i"))
+    val sigs = hv.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until 4).map(b =>
+      s"$b, concat_ws('|', mh${3 * b}, mh${3 * b + 1}, mh${3 * b + 2})").mkString(", ")
+    val bands = sigs.select(col("doc_id"),
+      expr(s"stack(4, $bandCols)").as(Seq("band", "bk")))
     val sh = shingles(spark, sfDir).cache()
-    val sig = sh
-      .withColumn("i", explode(sequence(lit(0), lit(11))))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(md5(concat_ws("", col("s"), lit("#"), col("i")))).as("mh"))
-    val bands = sig
-      .withColumn("band", expr("i div 3"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(expr("concat_ws('|', transform(array_sort(collect_list(struct(i, mh))), x -> x.mh))").as("bk"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
@@ -95,12 +123,20 @@ object TextOps {
         round(col("inter") / (col("ca.n") + col("cb.n") - col("inter")), 4).as("jaccard"))
   }
 
-  private val q12Sql =
+  private val q12Sql = {
+    val sigCols = (0 until 12)
+      .map(i => s"min((h1 + $i * h2) % $MersenneP) AS mh$i").mkString(",\n       |        ")
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, mh${3 * b} || '|' || mh${3 * b + 1} || '|' || mh${3 * b + 2} AS bk FROM sig")
+      .mkString("\n       |          UNION ALL ")
     s"""WITH $shingleCte,
-       |sig AS (SELECT doc_id, i, min(md5(s || '#' || i)) AS mh
-       |        FROM shing, range(12) t(i) GROUP BY doc_id, i),
-       |bands AS (SELECT doc_id, i // 3 AS band, string_agg(mh, '|' ORDER BY i) AS bk
-       |          FROM sig GROUP BY doc_id, i // 3),
+       |hv AS (SELECT doc_id, ${hexVal("m", 1, duck = true)} AS h1,
+       |               ${hexVal("m", 9, duck = true)} AS h2
+       |       FROM (SELECT doc_id, md5(s) AS m FROM shraw)),
+       |sig AS (SELECT doc_id,
+       |        $sigCols
+       |        FROM hv GROUP BY doc_id),
+       |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b
        |           ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
@@ -114,6 +150,7 @@ object TextOps {
        |JOIN shcnt ca ON ca.doc_id = doc_a
        |JOIN shcnt cb ON cb.doc_id = doc_b
        |WHERE inter / (ca.n + cb.n - inter) >= 0.5""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q13
   /** SimHash: 32-bit fingerprint over shingle features. Bit j comes from
