@@ -36,10 +36,15 @@ object CoreQueries {
     Tables.table(spark, sfDir, "lineitem")
       .filter(expr("l_shipdate <= CAST('1998-09-02' AS TIMESTAMP_NTZ)"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
+      // money sums go through DECIMAL (double accumulation order differs
+      // between engines at 1e9 magnitudes), with an EXPLICIT round() on
+      // the exact decimal sum — decimal RESCALE truncates in DuckDB but
+      // rounds half-up in Spark, while round() agrees; final cast to
+      // double keeps the compared type scale-free
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice").cast("decimal(18,6)")), 2).cast("double").as("sum_base_price"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -47,8 +52,8 @@ object CoreQueries {
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
       |       sum(l_quantity) AS sum_qty,
-      |       round(sum(l_extendedprice), 2) AS sum_base_price,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+      |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
       |       round(avg(l_quantity), 4) AS avg_qty,
       |       round(avg(l_extendedprice), 4) AS avg_price,
       |       count(*) AS count_order
@@ -336,14 +341,15 @@ object CoreQueries {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("o_orderpriority"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        // decimal sum: order-independent across engines (see q01 note)
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").as("revenue"),
         count(lit(1)).as("n_items"),
         countDistinct(col("o_orderkey")).as("n_orders"))
   }
 
   private val q10Sql =
     """SELECT c_mktsegment, o_orderpriority,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
       |       count(*) AS n_items,
       |       count(DISTINCT o_orderkey) AS n_orders
       |FROM lineitem
