@@ -17,7 +17,10 @@ class CoreQueriesSpec extends SparkSpec {
   }
 
   test("oracle SQL exists for every registered query (full coverage)") {
-    val missing = Registry.all.filter(_.oracle.isEmpty).map(_.name)
+    // Sketch-based operators have no DuckDB-expressible oracle (driver runs
+    // its rows-only check); their accuracy is pinned by ScaleOpsSpec instead.
+    val sketchOnly = Set("q24_p95_approx_sketch", "q25_approx_distinct")
+    val missing = Registry.all.filter(q => q.oracle.isEmpty && !sketchOnly(q.name)).map(_.name)
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.ScaleOps
+import graft.oracle.Tables
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSpec {
+
+  test("salted two-phase agg == plain groupBy (any salt count)") {
+    val logs = Tables.logs(spark, sf0001)
+    val plain = logs.groupBy(col("service"))
+      .agg(count(lit(1)).as("total_logs"), count(when(col("level") === "ERROR", 1)).as("errors"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    Seq(1, 7, 32).foreach { salts =>
+      val salted = ScaleOps.saltedStats(logs, salts)
+        .select("service", "total_logs", "errors")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(salted == plain, s"salts=$salts")
+    }
+  }
+
+  test("salted agg spreads a hot key over the salt space") {
+    val logs = Tables.logs(spark, sf0001)
+    val partials = logs.withColumn("_salt", pmod(hash(col("event_id")), lit(32)))
+      .groupBy(col("service"), col("_salt")).count()
+    // each of the 5 services spreads over many salt partitions
+    val spread = partials.groupBy("service").count().select(min("count")).head.getLong(0)
+    assert(spread > 16, s"hot key only spread over $spread salts")
+  }
+
+  test("approx p95 sketch tracks the exact aggregator within 5% (groups with mass)") {
+    import spark.implicits._
+    // per-service groups (~200 rows each at sf0.001): on tiny groups the
+    // discrete-floor rank and the sketch's nearest rank legitimately differ
+    // by a whole element, which is not a sketch-accuracy question
+    val logs = Tables.logs(spark, sf0001)
+    val approx = logs.groupBy(col("service"))
+      .agg(percentile_approx(col("latency_ms"), lit(0.95), lit(10000)).cast("double").as("a"))
+      .as[(String, Double)].collect().toMap
+    val exact = logs.groupBy(col("service"))
+      .agg(graft.agg.PercentileDisc.p95(col("latency_ms")).as("p"))
+      .as[(String, Double)].collect()
+    assert(exact.nonEmpty)
+    exact.foreach { case (s, p) =>
+      assert(math.abs(approx(s) - p) / p < 0.05, s"$s: approx ${approx(s)} vs exact $p")
+    }
+  }
+
+  test("approx distinct within configured 2% relative error (on this data)") {
+    import spark.implicits._
+    val rows = ScaleOps.q25(spark, sf0001)
+      .select(col("exact_users"), col("approx_users")).as[(Long, Long)].collect()
+    rows.foreach { case (e, a) =>
+      assert(math.abs(a - e).toDouble / e < 0.1, s"approx $a vs exact $e")
+    }
+  }
+}
