@@ -24,7 +24,7 @@ object Similarity {
   /** embeddings with vectors widened to double (float math differs between
     * engines; double is exact on both for these magnitudes). */
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.table(spark, sfDir, "embeddings")
+    Tables.fanned(Tables.table(spark, sfDir, "embeddings"))
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"), col("label"))
 
   private val embCte =

@@ -23,19 +23,39 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   // ---------------------------------------------------------------- shared
-  /** Word-3-gram shingle instances per document (not deduplicated — min-hash
-    * is multiset-invariant, so the signature path skips the distinct
-    * shuffle). */
-  def shinglesRaw(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.table(spark, sfDir, "documents")
+  /** Word-3-gram shingles per document as an ARRAY column — the whole
+    * shingling step (split → 3-gram → optional de-dup) is map-side
+    * (higher-order functions inside whole-stage codegen), so no shuffle is
+    * spent before the operator's own aggregation. At 100 TB this is the
+    * difference between 0 and 1 extra exchanges of the full shingle stream
+    * (the old `.distinct()` formulation shuffled every (doc_id, shingle)
+    * instance once just to de-dup what `array_distinct` de-dups in place). */
+  def docShingleArr(spark: SparkSession, sfDir: String, distinct: Boolean): DataFrame = {
+    // InferFiltersFromGenerate turns a downstream explode(sarr) into a
+    // `size(sarr) > 0 AND isnotnull(sarr)` filter that predicate pushdown
+    // then sinks below the fan-out exchange — re-evaluating the whole
+    // shingling expression twice per row on the scan's (single) partition
+    // (measured: a 4.2 s single-task stage at sf0.1). The inferred filter
+    // buys nothing here (shingle arrays of kept docs are never empty), so
+    // exclude the rule for sessions running these operators.
+    val rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    val existing = spark.conf.getOption("spark.sql.optimizer.excludedRules").filter(_.nonEmpty)
+    if (!existing.exists(_.contains(rule)))
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        (existing.toSeq :+ rule).mkString(","))
+    val arr =
+      "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"
+    Tables.fanned(Tables.table(spark, sfDir, "documents"))
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))")).as("s"))
+      .select(col("doc_id"),
+        expr(if (distinct) s"array_distinct($arr)" else arr).as("sarr"))
+  }
 
-  /** Distinct shingle sets (for counts / exact Jaccard). */
+  /** Exploded distinct shingle rows (inverted-index feed). */
   def shingles(spark: SparkSession, sfDir: String): DataFrame =
-    shinglesRaw(spark, sfDir).distinct()
+    docShingleArr(spark, sfDir, distinct = true)
+      .select(col("doc_id"), explode(col("sarr")).as("s"))
 
   private val shingleCte =
     """docsw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -92,35 +112,44 @@ object TextOps {
   private val MersenneP = 2147483647L
 
   def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val hv = shinglesRaw(spark, sfDir)
-      .withColumn("m", md5(col("s")))
-      .withColumn("h1", expr(hexVal("m", 1, duck = false)))
-      .withColumn("h2", expr(hexVal("m", 9, duck = false)))
-    val sigCols = (0 until 12).map(i =>
-      min(expr(s"(h1 + $i * h2) % $MersenneP")).as(s"mh$i"))
-    val sigs = hv.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // Signatures are computed entirely map-side: one md5 per shingle
+    // instance, the 12 Carter-Wegman mins taken with array_min over the
+    // in-row shingle array — the signature stage contributes ZERO shuffle
+    // (the old groupBy(doc_id).agg(min...) exchanged the full hashed
+    // shingle stream). Min-hash is multiset-invariant, so the non-distinct
+    // array is used.
+    val sigExprs = (0 until 12).map(i =>
+      expr(s"array_min(transform(hs, h -> (h.h1 + $i * h.h2) % $MersenneP))").as(s"mh$i"))
+    val sigs = docShingleArr(spark, sfDir, distinct = false)
+      .withColumn("ms", expr("transform(sarr, s -> md5(s))"))
+      .withColumn("hs", expr(
+        s"transform(ms, m -> struct(${hexVal("m", 1, duck = false)} AS h1, ${hexVal("m", 9, duck = false)} AS h2))"))
+      .select(col("doc_id") +: sigExprs: _*)
     val bandCols = (0 until 4).map(b =>
       s"$b, concat_ws('|', mh${3 * b}, mh${3 * b + 1}, mh${3 * b + 2})").mkString(", ")
     val bands = sigs.select(col("doc_id"),
       expr(s"stack(4, $bandCols)").as(Seq("band", "bk")))
-    val sh = shingles(spark, sfDir).cache()
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // Verify: join each candidate pair to the two doc shingle SETS and take
+    // the intersection in-row — two joins against the (doc_id, sarr) table
+    // replace the old double shingle-stream join + re-aggregation. The
+    // candidate side is small by LSH construction (that is the point of the
+    // band filter), so AQE broadcasts it.
+    val sets = docShingleArr(spark, sfDir, distinct = true)
     cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
-      .filter(col("inter") / (col("ca.n") + col("cb.n") - col("inter")) >= 0.5)
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("inter") / (col("ca.n") + col("cb.n") - col("inter")), 4).as("jaccard"))
+        size(array_intersect(col("sa.sarr"), col("sb.sarr"))).as("inter"),
+        size(col("sa.sarr")).as("na"), size(col("sb.sarr")).as("nb"))
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
   }
 
   private val q12Sql = {
@@ -169,13 +198,22 @@ object TextOps {
   }
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val withBits = shingles(spark, sfDir)
-      .withColumn("h8", substring(md5(col("s")), 1, 8))
-    val sums = (0 until 32).map(j => sum(expr(s"2 * ${bitExpr(j, "h8")} - 1")).as(s"b$j"))
-    val fp = (0 until 32).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
-      .reduce(_ + _)
-    val hashed = withBits.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
+    // Fingerprints are per-document functions of the shingle array, so the
+    // whole majority vote runs map-side (one md5 per shingle, one
+    // aggregate/zip_with pass accumulating all 32 bit-sums) — zero shuffle
+    // until the final cluster-size window on simhash. The old formulation
+    // exchanged every (doc_id, shingle-hash) row for a groupBy(doc_id).
+    val bitVec = (0 until 32).map(j => s"CAST(2 * ${bitExpr(j, "h")} - 1 AS BIGINT)")
+      .mkString("array(", ", ", ")")
+    val fpFromSums = (0 until 32)
+      .map(j => s"IF(element_at(sums, ${j + 1}) > 0, ${1L << j}L, 0L)")
+      .mkString("(", " + ", ")")
+    val hashed = docShingleArr(spark, sfDir, distinct = true)
+      .withColumn("sums", expr(
+        s"""aggregate(transform(sarr, s -> substr(md5(s), 1, 8)),
+           |  transform(sequence(0, 31), j -> 0L),
+           |  (acc, h) -> zip_with(acc, $bitVec, (x, y) -> x + y))""".stripMargin))
+      .select(col("doc_id"), expr(fpFromSums).as("simhash"))
     hashed.withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("simhash"))))
   }
 
@@ -197,16 +235,30 @@ object TextOps {
     * shingle-inverted-index join) — the exact baseline q12 approximates.
     * Emits all pairs with Jaccard ≥ 0.2. */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingles(spark, sfDir).cache()
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    sh.as("a").join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Inverted-index formulation, join-free: group shingle instances into
+    // posting lists, emit ordered doc pairs per list in-row, count pair
+    // multiplicity = intersection size. Exactly two shuffles total (by
+    // shingle, then by pair) versus the naive self-join's four (two join
+    // inputs + pair agg + count join); per-doc set sizes travel inside the
+    // posting rows so no count table is ever joined back. Scale note: pair
+    // fan-out per shingle is O(df²) — at 100 TB a df cap (drop shingles
+    // with df > K as non-discriminative) bounds it; the fixture's max df
+    // is 25 so no cap is applied here.
+    docShingleArr(spark, sfDir, distinct = true)
+      .select(col("doc_id"), size(col("sarr")).as("n"), explode(col("sarr")).as("s"))
+      .groupBy(col("s"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b ->
+          |    struct(a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb))))""".stripMargin)).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("inter"))
-      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
-      .filter(col("inter") / (col("ca.n") + col("cb.n") - col("inter")) >= 0.2)
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.2)
       .select(col("doc_a"), col("doc_b"), col("inter"),
-        round(col("inter") / (col("ca.n") + col("cb.n") - col("inter")), 4).as("jaccard"))
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
   }
 
   private val q14Sql =
@@ -304,12 +356,15 @@ object TextOps {
   /** Token counting per source: whitespace tokens + a BPE-ish estimate
     * (ceil(len/4) per word — the ~4-chars-per-token heuristic). */
   def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    // Per-doc token stats are array folds (no explode, no per-doc shuffle);
+    // the only exchange is the final low-cardinality groupBy(source), which
+    // map-side partial aggregation reduces to |sources| rows per partition.
+    // ceil(len/4.0) as integer math: (len + 3) div 4.
     Tables.table(spark, sfDir, "documents")
-      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(
-        count(lit(1)).as("n_ws_tokens"),
-        sum(ceil(length(col("w")) / 4.0).cast("long")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .select(col("source"),
+        size(col("ws")).cast("long").as("n_ws_tokens"),
+        expr("aggregate(ws, 0L, (acc, w) -> acc + (length(w) + 3) div 4)").as("n_bpe_tokens"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

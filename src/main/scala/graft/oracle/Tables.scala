@@ -22,6 +22,19 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** Fan a small scan out to the session's parallelism before
+    * expression-heavy map work. Parquet read parallelism is bounded by row
+    * groups and the fixtures are single-row-group files, so without this
+    * every pre-shuffle map phase runs on ONE core (verified: the q14
+    * shingling stage showed wall≈cpu≈4.2 s on local[32]). Gated on the
+    * actual split count, so against real multi-split inputs (the 100 TB
+    * case) it is a no-op and costs no exchange. Apply AFTER pushdown-
+    * relevant filters/projections — the exchange pins the scan below it. */
+  def fanned(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   private val propsSchema = new StructType().add("k", IntegerType)
 
   /** `events` mapped onto the reference's raw-log stream (FIXTURES.md §B):
