@@ -337,14 +337,23 @@ object CoreQueries {
     val li = Tables.table(spark, sfDir, "lineitem")
     val ord = Tables.table(spark, sfDir, "orders")
     val cust = Tables.table(spark, sfDir, "customer")
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    // Pre-aggregate the fact per join key BEFORE joining: the join then
+    // carries one row per order instead of one per lineitem (~4×), the
+    // countDistinct(o_orderkey) degenerates to a plain count (no Expand
+    // doubling rows through the aggregate), and EnsureRequirements reuses
+    // the aggregation's hashpartitioning(l_orderkey) for the join, so
+    // lineitem is exchanged exactly once. Dims stay broadcast.
+    val perOrder = li.groupBy(col("l_orderkey")).agg(
+      // decimal sum: order-independent across engines (see q01 note)
+      sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")).as("o_revenue"),
+      count(lit(1)).as("o_items"))
+    perOrder.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("o_orderpriority"))
       .agg(
-        // decimal sum: order-independent across engines (see q01 note)
-        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").as("revenue"),
-        count(lit(1)).as("n_items"),
-        countDistinct(col("o_orderkey")).as("n_orders"))
+        round(sum(col("o_revenue")), 2).cast("double").as("revenue"),
+        sum(col("o_items")).as("n_items"),
+        count(lit(1)).as("n_orders"))
   }
 
   private val q10Sql =

@@ -1,0 +1,79 @@
+package graft
+
+import graft.oracle.{CoreQueries, Registry}
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan shape assertions — the scale contract, pinned.
+  *
+  * These do not test results (the oracle does); they test that the plans
+  * stay the plans we designed for 100 TB: filters reach the parquet scan,
+  * scans are column-pruned, small dims broadcast, pre-aggregations hold,
+  * and no operator re-introduces a removed exchange. A regression here is
+  * invisible at fixture scale but catastrophic at 1000 executors.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("q01: shipdate predicate is pushed into the parquet scan") {
+    val p = plan(Registry.byName("q01_pricing_summary").run(spark, sf0001))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed to scan:\n$p")
+  }
+
+  test("q01: scan is column-pruned to referenced columns only") {
+    val p = plan(Registry.byName("q01_pricing_summary").run(spark, sf0001))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity") && !readSchema.contains("l_comment") &&
+      !readSchema.contains("l_shipmode"), s"scan not pruned: $readSchema")
+  }
+
+  test("q10: customer dim is broadcast, lineitem pre-aggregated below the join") {
+    val p = plan(CoreQueries.q10(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("Expand"), s"countDistinct Expand crept back in:\n$p")
+    // pre-agg on l_orderkey must sit below the orders join: exactly one
+    // exchange may carry lineitem data (the agg's), reused by the join
+    val liExchanges = countOccurrences(p, "hashpartitioning(l_orderkey")
+    assert(liExchanges >= 1, s"per-order pre-aggregation missing:\n$p")
+  }
+
+  test("q13 simhash: fingerprints are map-side — only the cluster window exchanges by hash") {
+    val p = plan(graft.ext.TextOps.dedupSimhash(spark, sf0001))
+    val hashExchanges = countOccurrences(p, "Exchange hashpartitioning")
+    assert(hashExchanges == 1, s"expected 1 hash exchange (cluster window), got $hashExchanges:\n$p")
+  }
+
+  test("q14 ngram-jaccard: exactly two hash exchanges (posting lists, pair agg) and no join") {
+    val p = plan(graft.ext.TextOps.ngramJaccard(spark, sf0001))
+    val hashExchanges = countOccurrences(p, "Exchange hashpartitioning")
+    assert(hashExchanges == 2, s"expected 2 hash exchanges, got $hashExchanges:\n$p")
+    assert(!p.contains("Join"), s"join-free formulation regressed:\n$p")
+  }
+
+  test("q23 salted agg: two-phase — salt exchange spreads, final merges") {
+    val p = plan(Registry.byName("q23_salted_agg").run(spark, sf0001))
+    assert(p.contains("hashpartitioning(service") && p.contains("_salt"),
+      s"salted phase missing:\n$p")
+  }
+
+  test("q12 minhash: signature computation is exchange-free up to the band self-join") {
+    val p = plan(graft.ext.TextOps.dedupMinhashLsh(spark, sf0001))
+    // no hashpartitioning(doc_id) anywhere: signatures never groupBy doc
+    assert(!p.contains("hashpartitioning(doc_id"),
+      s"signature stage re-introduced a per-doc shuffle:\n$p")
+  }
+
+  test("q07 via logs view: unused log columns are pruned out of the events scan") {
+    val p = plan(CoreQueries.q07(spark, sf0001))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // q07 references service/k/level only — ts and value must not be read
+    assert(readSchema.contains("props") && readSchema.contains("event_type"),
+      s"expected columns missing from scan: $readSchema")
+    assert(!readSchema.contains("value") && !readSchema.contains("\"ts\""),
+      s"scan reads columns q07 never uses: $readSchema")
+  }
+}
