@@ -1,8 +1,8 @@
 package graft.ext
 
+import graft.agg.TopK
 import graft.oracle.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` fixture (64-dim float vectors).
@@ -42,11 +42,15 @@ object Similarity {
     val sims = e.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .withColumn("sim", round(
         expr(dotExpr) / (sqrt(expr(normExpr("qv"))) * sqrt(expr(normExpr("v")))), 6))
+    // Bounded top-k aggregator, not a window: reduce runs map-side, so the
+    // exchange carries ≤ k rows per (query × partition) instead of every
+    // scored candidate (graft.agg.TopK scaladoc).
     sims
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("sim"))
+      .groupBy(col("query_id"))
+      .agg(TopK(5)(col("sim"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), col("t.score").as("sim"))
   }
 
   private val q19Sql =
@@ -74,11 +78,11 @@ object Similarity {
       .withColumn("sim", round(
         expr(dotExpr) / (sqrt(expr(normExpr("qv"))) * sqrt(expr(normExpr("v")))), 6))
     sims
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("label").as("cell"), col("vec_id").as("neighbor_id"),
-        col("rank"), col("sim"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(TopK(3)(col("sim"), col("vec_id")).as("top"))
+      .select(col("query_id"), col("label"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("label").as("cell"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), col("t.score").as("sim"))
   }
 
   private val q20Sql =
