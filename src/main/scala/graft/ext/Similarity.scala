@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.agg.TopK
+import graft.functions.CosineSim
 import graft.oracle.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -23,16 +24,21 @@ object Similarity {
 
   /** embeddings with vectors widened to double (float math differs between
     * engines; double is exact on both for these magnitudes). */
-  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+  private def emb(spark: SparkSession, sfDir: String): DataFrame = {
+    CosineSim.register(spark)
     Tables.fanned(Tables.table(spark, sfDir, "embeddings"))
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"), col("label"))
+  }
 
   private val embCte =
     "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)"
 
-  private val dotExpr = "aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)"
-  private def normExpr(c: String) =
-    s"aggregate(transform($c, x -> x * x), cast(0 AS double), (acc, x) -> acc + x)"
+  /** Interpreted HOF formulation of cosine — kept as the equivalence oracle
+    * for [[graft.functions.CosineSim]] (CosineSimSpec). */
+  val hofCosine: String =
+    "aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)" +
+      " / (sqrt(aggregate(transform(qv, x -> x * x), cast(0 AS double), (acc, x) -> acc + x))" +
+      " * sqrt(aggregate(transform(v, x -> x * x), cast(0 AS double), (acc, x) -> acc + x)))"
 
   // ---------------------------------------------------------------- q19
   /** Brute-force cosine top-5 neighbors for query vectors (vec_id < 20). */
@@ -40,8 +46,7 @@ object Similarity {
     val e = emb(spark, sfDir)
     val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("query_id"), col("v").as("qv"))
     val sims = e.join(broadcast(q), col("query_id") =!= col("vec_id"))
-      .withColumn("sim", round(
-        expr(dotExpr) / (sqrt(expr(normExpr("qv"))) * sqrt(expr(normExpr("v")))), 6))
+      .withColumn("sim", round(expr("cosine_sim(qv, v)"), 6))
     // Bounded top-k aggregator, not a window: reduce runs map-side, so the
     // exchange carries ≤ k rows per (query × partition) instead of every
     // scored candidate (graft.agg.TopK scaladoc).
@@ -75,8 +80,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label").as("qlabel"))
     val sims = e.join(broadcast(q),
         col("qlabel") === col("label") && col("query_id") =!= col("vec_id"))
-      .withColumn("sim", round(
-        expr(dotExpr) / (sqrt(expr(normExpr("qv"))) * sqrt(expr(normExpr("v")))), 6))
+      .withColumn("sim", round(expr("cosine_sim(qv, v)"), 6))
     sims
       .groupBy(col("query_id"), col("label"))
       .agg(TopK(3)(col("sim"), col("vec_id")).as("top"))
@@ -111,8 +115,7 @@ object Similarity {
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.v").as("qv"), col("b.v").as("v"))
-      .withColumn("sim", round(
-        expr(dotExpr) / (sqrt(expr(normExpr("qv"))) * sqrt(expr(normExpr("v")))), 6))
+      .withColumn("sim", round(expr("cosine_sim(qv, v)"), 6))
       .filter(col("sim") >= 0.25)
       .select(col("vec_a"), col("vec_b"), col("sim"))
   }

@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard), language-ID,
   * quality scoring, token counting, fingerprinting.
   *
-  * Scale posture: all shingle/minhash work is expression-level (codegen'd
-  * built-ins — split/transform/explode/md5), aggregations shuffle on
-  * high-cardinality keys (doc_id, shingle), and the LSH band join turns the
-  * O(n²) near-dup problem into a per-bucket join whose fan-in is governed by
-  * band width — the standard 100 TB dedup shape (band-bucket join + exact
-  * verify on candidates only).
+  * Scale posture: shingling, min-hash signatures, simhash fingerprints and
+  * token stats are per-document functions computed over in-row word/shingle
+  * ARRAYS with higher-order functions — fully map-side, zero pre-aggregation
+  * shuffle. The only exchanges are each operator's own high-cardinality
+  * aggregation (shingle posting lists, pair counts) or window. The LSH band
+  * join turns the O(n²) near-dup problem into a per-bucket join whose
+  * fan-in is governed by band width — the standard 100 TB dedup shape
+  * (band-bucket join + exact verify on candidates only), and q14 is the
+  * exact inverted-index formulation (posting-list pair generation, join-
+  * free). Plan shapes are pinned by PlanSpec.
   *
   * All hashes are md5/sha2 hex strings so Spark and the DuckDB oracle
   * compute bit-identical values; a lexicographic min over md5(shingle # i)
