@@ -80,9 +80,54 @@ object ScaleOps {
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         count(lit(1)).as("n_events"))
 
+  // ---------------------------------------------------------------- q26
+  /** Deterministic hash-threshold stratified sampling — the reproducible
+    * sampling primitive for training-data pipelines. Keep a row iff
+    * md5(key) mod 1000 < rate‰, with per-stratum rates. Properties that
+    * matter at 100 TB: map-side only (no shuffle, no RNG state), stable
+    * under task retries and re-runs, consistent across engines (the
+    * md5-nibble arithmetic matches DuckDB bit-for-bit), and the same key
+    * always samples the same way so downstream joins stay aligned.
+    * rand(seed)-based sampling has none of these (partition-order
+    * dependent). Verification aggregates per stratum (full sampled output
+    * is oracle-checked through the counts + id-sum). */
+  private def hex6(fn: String): String =
+    (0 until 6).map { k =>
+      val mult = 1L << (4 * (5 - k))
+      s"CAST($fn('0123456789abcdef', substr(h, ${1 + k}, 1)) - 1 AS BIGINT) * $mult"
+    }.mkString("(", " + ", ")")
+
+  def q26(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.table(spark, sfDir, "documents")
+      .withColumn("h", md5(concat(lit("smp|"), col("doc_id"))))
+      .withColumn("bucket", expr(s"${hex6("instr")} % 1000"))
+      .withColumn("rate",
+        when(col("source") === "src0", 100)     // 10% of src0
+          .when(col("source") === "src1", 500)  // 50% of src1
+          .otherwise(250))                      // 25% elsewhere
+      .filter(col("bucket") < col("rate"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("doc_id")).as("id_sum"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+
+  private val q26Sql =
+    s"""WITH h AS (SELECT doc_id, source, md5('smp|' || doc_id) AS h FROM documents),
+       |b AS (SELECT doc_id, source, ${hex6("strpos")} % 1000 AS bucket,
+       |             CASE WHEN source = 'src0' THEN 100
+       |                  WHEN source = 'src1' THEN 500
+       |                  ELSE 250 END AS rate
+       |      FROM h)
+       |SELECT source, count(*) AS n_sampled, sum(doc_id) AS id_sum,
+       |       min(doc_id) AS min_id, max(doc_id) AS max_id
+       |FROM b WHERE bucket < rate GROUP BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_salted_agg", q23, Some(q23Sql)),
     QueryDef("q24_p95_approx_sketch", q24, None),
-    QueryDef("q25_approx_distinct", q25, None)
+    QueryDef("q25_approx_distinct", q25, None),
+    QueryDef("q26_stratified_sample", q26, Some(q26Sql))
   )
 }

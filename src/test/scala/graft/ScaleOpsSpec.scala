@@ -46,6 +46,23 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample: deterministic across runs, rates within binomial noise") {
+    import spark.implicits._
+    val a = ScaleOps.q26(spark, sf0001).collect().map(_.toSeq).toSet
+    val b = ScaleOps.q26(spark, sf0001).collect().map(_.toSeq).toSet
+    assert(a == b, "hash-threshold sampling must be run-deterministic")
+    val totals = Tables.table(spark, sf0001, "documents")
+      .groupBy(col("source")).count().as[(String, Long)].collect().toMap
+    ScaleOps.q26(spark, sf0001).select(col("source"), col("n_sampled"))
+      .as[(String, Long)].collect().foreach { case (src, n) =>
+        val rate = if (src == "src0") 0.1 else if (src == "src1") 0.5 else 0.25
+        val total = totals(src).toDouble
+        val sd = math.sqrt(total * rate * (1 - rate))
+        assert(math.abs(n - total * rate) <= 4 * sd + 1,
+          s"$src: sampled $n of $total at nominal rate $rate")
+      }
+  }
+
   test("approx distinct within configured 2% relative error (on this data)") {
     import spark.implicits._
     val rows = ScaleOps.q25(spark, sf0001)
