@@ -47,8 +47,11 @@ object TextOps {
     if (!existing.exists(_.contains(rule)))
       spark.conf.set("spark.sql.optimizer.excludedRules",
         (existing.toSeq :+ rule).mkString(","))
-    val arr =
-      "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"
+    graft.functions.TextExprs.register(spark)
+    // native fused n-gram loop (graft.functions.WordNGrams) — bit-identical
+    // to the transform(sequence(...)) HOF chain it replaced, ~1 JVM call
+    // per document instead of ~3 interpreted lambda evals per shingle
+    val arr = "word_ngrams(ws, 3)"
     Tables.fanned(Tables.table(spark, sfDir, "documents"))
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
@@ -122,13 +125,12 @@ object TextOps {
     // (the old groupBy(doc_id).agg(min...) exchanged the full hashed
     // shingle stream). Min-hash is multiset-invariant, so the non-distinct
     // array is used.
-    val sigExprs = (0 until 12).map(i =>
-      expr(s"array_min(transform(hs, h -> (h.h1 + $i * h.h2) % $MersenneP))").as(s"mh$i"))
+    // native one-pass signatures (graft.functions.MinhashSignatures): one
+    // MD5 per shingle straight from digest bytes — no hex string, no
+    // interpreted nibble arithmetic, all 12 running mins in one loop
     val sigs = docShingleArr(spark, sfDir, distinct = false)
-      .withColumn("ms", expr("transform(sarr, s -> md5(s))"))
-      .withColumn("hs", expr(
-        s"transform(ms, m -> struct(${hexVal("m", 1, duck = false)} AS h1, ${hexVal("m", 9, duck = false)} AS h2))"))
-      .select(col("doc_id") +: sigExprs: _*)
+      .withColumn("sig", expr("minhash_signatures(sarr, 12)"))
+      .select(col("doc_id") +: (0 until 12).map(i => expr(s"sig[$i]").as(s"mh$i")): _*)
     val bandCols = (0 until 4).map(b =>
       s"$b, concat_ws('|', mh${3 * b}, mh${3 * b + 1}, mh${3 * b + 2})").mkString(", ")
     val bands = sigs.select(col("doc_id"),

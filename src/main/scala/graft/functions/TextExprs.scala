@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for the text-dedup hot path. Both compute in one
+  * fused JVM loop what the composable HOF formulations evaluate through
+  * per-element interpreted lambdas; `doGenCode` emits a single static call,
+  * so the surrounding projection stays inside whole-stage codegen. Outputs
+  * are bit-identical to the HOF forms they replace (pinned by
+  * TextExprsSpec), so DuckDB oracle hashes are unaffected.
+  */
+case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams requires (array<string>, n >= 1), got ${child.dataType.simpleString}, n=$n")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    WordNGrams.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordNGrams.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordNGrams {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Space-joined n-gram instances; identical to
+    * `transform(sequence(1, size(ws)-n+1), i -> concat_ws(' ', ws[i]...))`. */
+  def compute(words: ArrayData, n: Int): ArrayData = {
+    val len = words.numElements()
+    val m = math.max(0, len - n + 1)
+    val out = new Array[Any](m)
+    val gram = new Array[UTF8String](n)
+    var i = 0
+    while (i < m) {
+      var j = 0
+      while (j < n) { gram(j) = words.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(SPACE, gram: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** All k Carter-Wegman min-hashes of a shingle array in one pass:
+  * one MD5 per shingle, h1/h2 = first/second 4 digest bytes as unsigned
+  * big-endian (exactly the hex-nibble arithmetic of the SQL formulation,
+  * without materializing the hex string), hash_i = (h1 + i*h2) mod 2^31-1,
+  * running min per i. Returns array<bigint> of length k; NULL for an empty
+  * shingle array (matching array_min-over-empty semantics). */
+case class MinhashSignatures(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signatures requires (array<string>, k >= 1), got ${child.dataType.simpleString}, k=$k")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_signatures"
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashSignatures.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.MinhashSignatures.compute($c, $k);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinhashSignatures {
+  private val P = 2147483647L
+
+  def compute(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    if (n == 0) return null
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(shingles.getUTF8String(i).getBytes)
+      val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) | ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      var j = 0
+      while (j < k) {
+        val v = (h1 + j * h2) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+object TextExprs {
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  /** Register `word_ngrams(ws, n)` and `minhash_signatures(arr, k)` in the
+    * session function registry. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+      (args: Seq[Expression]) => WordNGrams(args.head, intLit(args(1), "n")))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_signatures"),
+      new ExpressionInfo(classOf[MinhashSignatures].getName, "minhash_signatures"),
+      (args: Seq[Expression]) => MinhashSignatures(args.head, intLit(args(1), "k")))
+  }
+}
