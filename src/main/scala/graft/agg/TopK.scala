@@ -58,3 +58,42 @@ object TopK {
     (score, id) => fn(score, id)
   }
 }
+
+/** String-payload sibling of [[TopK]]: top-k by (count desc, word asc) —
+  * the vocabulary-building shape. Same bounded map-side buffer. */
+class TopWords(k: Int) extends Aggregator[CountedWord, Array[CountedWord], Array[CountedWord]] {
+
+  private def lt(a: CountedWord, b: CountedWord): Boolean =
+    a.n > b.n || (a.n == b.n && a.w < b.w)
+
+  override def zero: Array[CountedWord] = Array.empty
+
+  override def reduce(buf: Array[CountedWord], x: CountedWord): Array[CountedWord] =
+    if (buf.length >= k && !lt(x, buf(buf.length - 1))) buf
+    else {
+      val pos = buf.indexWhere(e => lt(x, e)) match { case -1 => buf.length; case p => p }
+      val out = new Array[CountedWord](math.min(buf.length + 1, k))
+      Array.copy(buf, 0, out, 0, pos)
+      out(pos) = x
+      Array.copy(buf, pos, out, pos + 1, math.min(buf.length - pos, k - pos - 1))
+      out
+    }
+
+  override def merge(b1: Array[CountedWord], b2: Array[CountedWord]): Array[CountedWord] =
+    b2.foldLeft(b1)(reduce)
+
+  override def finish(b: Array[CountedWord]): Array[CountedWord] = b
+
+  override def bufferEncoder: Encoder[Array[CountedWord]] = Encoders.kryo[Array[CountedWord]]
+  override def outputEncoder: Encoder[Array[CountedWord]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[CountedWord]]()
+}
+
+case class CountedWord(n: Long, w: String)
+
+object TopWords {
+  def apply(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new TopWords(k), org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[CountedWord]())
+    (n, w) => fn(n, w)
+  }
+}

@@ -124,10 +124,37 @@ object ScaleOps {
        |       min(doc_id) AS min_id, max(doc_id) AS max_id
        |FROM b WHERE bucket < rate GROUP BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q27
+  /** Per-source vocabulary: top-10 words by (count desc, word asc). The
+    * word-count aggregation keys on high-cardinality (source, word); the
+    * per-source ranking uses the bounded [[graft.agg.TopWords]] aggregator
+    * — map-side partials keep the final exchange at ≤10 rows per
+    * source×partition, where a row_number window would shuffle the entire
+    * vocabulary to one reducer per source. */
+  def q27(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.table(spark, sfDir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(graft.agg.TopWords(10)(col("n"), col("w")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("source"), (col("pos") + 1).as("rank"),
+        col("t.w").as("word"), col("t.n").as("n"))
+
+  private val q27Sql =
+    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |c AS (SELECT source, w, count(*) AS n FROM w GROUP BY source, w),
+      |r AS (SELECT source, w, n,
+      |             row_number() OVER (PARTITION BY source ORDER BY n DESC, w) AS rank
+      |      FROM c)
+      |SELECT source, rank, w AS word, n FROM r WHERE rank <= 10""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_salted_agg", q23, Some(q23Sql)),
     QueryDef("q24_p95_approx_sketch", q24, None),
     QueryDef("q25_approx_distinct", q25, None),
-    QueryDef("q26_stratified_sample", q26, Some(q26Sql))
+    QueryDef("q26_stratified_sample", q26, Some(q26Sql)),
+    QueryDef("q27_vocab_topn", q27, Some(q27Sql))
   )
 }
