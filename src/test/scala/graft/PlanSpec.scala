@@ -60,6 +60,12 @@ class PlanSpec extends SparkSpec {
       s"salted phase missing:\n$p")
   }
 
+  test("q27 vocab: ranking is a bounded aggregate, not a window") {
+    val p = plan(Registry.byName("q27_vocab_topn").run(spark, sf0001))
+    assert(!p.contains("Window"), s"row_number window crept back in:\n$p")
+    assert(p.contains("topwords"), s"TopWords aggregate missing:\n$p")
+  }
+
   test("q12 minhash: signature computation is exchange-free up to the band self-join") {
     val p = plan(graft.ext.TextOps.dedupMinhashLsh(spark, sf0001))
     // no hashpartitioning(doc_id) anywhere: signatures never groupBy doc
