@@ -77,6 +77,30 @@ class ProcessorsSpec extends SparkSpec {
     }
   }
 
+  test("TWS escalator TTL expiry: idle beyond TTL resets the counter (incident_aggregator.py:27-33)") {
+    import spark.implicits._
+    withRocksDB {
+      val mk = (i: Int) => IncidentAlert(s"inc-t-$i", "ttl-svc", "ERROR_RATE_SPIKE", "HIGH",
+        None, None, T0 + i * 10L, T0 + i * 10L + 20, Some(0.05), Some(200L))
+      val stream = MemoryStream[IncidentAlert]
+      val sq = Processors.escalate(stream.toDS(), ttl = java.time.Duration.ofSeconds(2))
+        .writeStream.format("memory").queryName("tws_ttl").outputMode("update").start()
+      try {
+        stream.addData(mk(0), mk(1)) // count -> 2
+        awaitRows("tws_ttl", 2)
+        Thread.sleep(3500)           // exceed the 2 s TTL: state must expire
+        stream.addData(mk(2), mk(3), mk(4)) // fresh counter: tag fires on the 3rd of THESE
+        awaitRows("tws_ttl", 5)
+      } finally sq.stop()
+      import org.apache.spark.sql.functions.col
+      val esc = spark.table("tws_ttl").filter(col("severity") === "ESCALATED")
+        .select("incident_id").as[String].collect().toSeq
+      // without expiry the 3rd overall (inc-t-2) would be tagged; with
+      // expiry the counter restarted, so the tag lands on inc-t-4
+      assert(esc == Seq("inc-t-4"), s"got $esc")
+    }
+  }
+
   test("TWS and fMGWS breach detectors agree on a batch-replayed sequence") {
     import spark.implicits._
     // batch mode: transformWithState also runs on batch Datasets
