@@ -37,5 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_signatures"),
       new ExpressionInfo(classOf[graft.functions.MinhashSignatures].getName, "minhash_signatures"),
       (args: Seq[Expression]) => graft.functions.MinhashSignatures(args.head, intLit(args(1), "k"))))
+    ext.injectFunction((
+      FunctionIdentifier("ordered_pairs"),
+      new ExpressionInfo(classOf[graft.functions.OrderedPairs].getName, "ordered_pairs"),
+      (args: Seq[Expression]) => graft.functions.OrderedPairs(args.head)))
   }
 }

@@ -255,12 +255,12 @@ object TextOps {
       .groupBy(col("s"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
       .filter(size(col("ids")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), b ->
-          |    struct(a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb))))""".stripMargin)).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.na").as("na"), col("p.nb").as("nb"))
+      // native fused pair loop (graft.functions.OrderedPairs) — the HOF
+      // equivalent (flatten(transform(ids, (a,i) -> transform(slice(...)))))
+      // interprets three lambdas per pair
+      .select(explode(expr("ordered_pairs(ids)")).as("p"))
+      .groupBy(col("p.a_doc_id").as("doc_a"), col("p.b_doc_id").as("doc_b"),
+        col("p.a_n").as("na"), col("p.b_n").as("nb"))
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.2)
       .select(col("doc_a"), col("doc_b"), col("inter"),

@@ -118,14 +118,80 @@ object MinhashSignatures {
   }
 }
 
+/** All ordered 2-element combinations of a SORTED posting list (array of
+  * 2-field structs) as array<struct<a_f1, b_f1, a_f2, b_f2>> — the pair
+  * generation step of an inverted-index join-free intersection count. One
+  * fused loop; the HOF formulation (nested transform + slice + flatten)
+  * interprets three lambdas per produced pair and materializes the slice
+  * arrays. Output field names/types derive from the input struct. */
+case class OrderedPairs(child: Expression) extends UnaryExpression {
+
+  private lazy val elemStruct: StructType =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _) if s.length == 2 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"ordered_pairs requires array<struct<_,_>> (2 fields), got ${child.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = {
+    val f = elemStruct.fields
+    ArrayType(StructType(Seq(
+      StructField(s"a_${f(0).name}", f(0).dataType, nullable = false),
+      StructField(s"b_${f(0).name}", f(0).dataType, nullable = false),
+      StructField(s"a_${f(1).name}", f(1).dataType, nullable = false),
+      StructField(s"b_${f(1).name}", f(1).dataType, nullable = false))),
+      containsNull = false)
+  }
+
+  override def prettyName: String = "ordered_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    OrderedPairs.compute(input.asInstanceOf[ArrayData],
+      elemStruct.fields(0).dataType, elemStruct.fields(1).dataType)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t0 = ctx.addReferenceObj("dt0", elemStruct.fields(0).dataType, classOf[DataType].getName)
+    val t1 = ctx.addReferenceObj("dt1", elemStruct.fields(1).dataType, classOf[DataType].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.OrderedPairs.compute($c, $t0, $t1);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object OrderedPairs {
+  def compute(ids: ArrayData, t0: DataType, t1: DataType): ArrayData = {
+    val n = ids.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var w = 0
+    var i = 0
+    while (i < n) {
+      val a = ids.getStruct(i, 2)
+      val a0 = a.get(0, t0); val a1 = a.get(1, t1)
+      var j = i + 1
+      while (j < n) {
+        val b = ids.getStruct(j, 2)
+        out(w) = org.apache.spark.sql.catalyst.InternalRow(a0, b.get(0, t0), a1, b.get(1, t1))
+        w += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TextExprs {
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
 
-  /** Register `word_ngrams(ws, n)` and `minhash_signatures(arr, k)` in the
-    * session function registry. Idempotent. */
+  /** Register `word_ngrams(ws, n)`, `minhash_signatures(arr, k)` and
+    * `ordered_pairs(ids)` in the session function registry. Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("word_ngrams"),
@@ -135,5 +201,9 @@ object TextExprs {
       FunctionIdentifier("minhash_signatures"),
       new ExpressionInfo(classOf[MinhashSignatures].getName, "minhash_signatures"),
       (args: Seq[Expression]) => MinhashSignatures(args.head, intLit(args(1), "k")))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("ordered_pairs"),
+      new ExpressionInfo(classOf[OrderedPairs].getName, "ordered_pairs"),
+      (args: Seq[Expression]) => OrderedPairs(args.head))
   }
 }

@@ -39,6 +39,29 @@ class TextExprsSpec extends SparkSpec {
     assert(ident == 0)
   }
 
+  test("ordered_pairs == nested-transform HOF on fixture posting lists") {
+    TextExprs.register(spark)
+    val inv = graft.ext.TextOps.docShingleArr(spark, sf0001, distinct = true)
+      .select(col("doc_id"), size(col("sarr")).as("n"), explode(col("sarr")).as("s"))
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val hofPairs =
+      """flatten(transform(ids, (a, i) ->
+        |  transform(slice(ids, i + 2, size(ids)), b ->
+        |    struct(a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, a.n AS a_n, b.n AS b_n))))""".stripMargin
+    val bad = inv
+      .select(expr("ordered_pairs(ids)").as("a"), expr(hofPairs).as("b"))
+      .filter(not(col("a") === col("b")))
+      .count()
+    assert(bad == 0)
+    // empty-adjacent edge: 2-element list yields exactly one pair
+    import spark.implicits._
+    val two = Seq(Seq((1L, 5), (2L, 7))).toDF("ids")
+      .select(expr("ordered_pairs(ids)").as("p")).head.getSeq[org.apache.spark.sql.Row](0)
+    assert(two.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))) == Seq((1L, 2L, 5, 7)))
+  }
+
   test("minhash_signatures == md5-hex Carter-Wegman HOF chain on fixture shingles") {
     TextExprs.register(spark)
     val sarr = graft.ext.TextOps.docShingleArr(spark, sf0001, distinct = false)
