@@ -150,11 +150,57 @@ object ScaleOps {
       |      FROM c)
       |SELECT source, rank, w AS word, n FROM r WHERE rank <= 10""".stripMargin
 
+  // ---------------------------------------------------------------- q28
+  /** Per-service session windows (30-min inactivity gap) via Spark's native
+    * `session_window` — the window family the reference's README name-drops
+    * but never implements (SURVEY §2.4: tumbling/sliding only). Batch here;
+    * the same expression works under `withWatermark` in streaming. Session
+    * end = last event + gap (Spark semantics; oracle reproduces it with a
+    * gaps-and-islands rewrite). Scale: groupBy key is (service, session) —
+    * session assignment is a per-key sort-based merge, no cross-key data
+    * movement beyond the one hash exchange. */
+  def q28(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.logs(spark, sfDir)
+      .withColumn("event_time", timestamp_seconds(col("ts_s")))
+      .groupBy(col("service"), session_window(col("event_time"), "30 minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("level") === "ERROR", 1)).as("n_errors"))
+      .select(
+        col("service"),
+        unix_timestamp(col("sw.start")).as("session_start"),
+        unix_timestamp(col("sw.end")).as("session_end"),
+        (unix_timestamp(col("sw.end")) - unix_timestamp(col("sw.start"))).as("duration_s"),
+        col("n_events"), col("n_errors"))
+
+  private val q28Sql =
+    s"""WITH ${Tables.LOGS_CTE},
+       |seq AS (
+       |  SELECT service, ts_s, level,
+       |         -- strict >: Spark merges an event landing EXACTLY on the
+       |         -- window end into the session (verified empirically on
+       |         -- 4.1.2: events at 0/1800/3599 form ONE session ending
+       |         -- 5399), so only gaps strictly beyond the timeout split
+       |         CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY service ORDER BY ts_s) > 1800
+       |              THEN 1 ELSE 0 END AS new_sess
+       |  FROM logs),
+       |sess AS (
+       |  SELECT service, ts_s, level,
+       |         sum(new_sess) OVER (PARTITION BY service ORDER BY ts_s
+       |                             ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM seq)
+       |SELECT service, min(ts_s) AS session_start, max(ts_s) + 1800 AS session_end,
+       |       max(ts_s) + 1800 - min(ts_s) AS duration_s,
+       |       count(*) AS n_events,
+       |       count(CASE WHEN level = 'ERROR' THEN 1 END) AS n_errors
+       |FROM sess GROUP BY service, sid""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_salted_agg", q23, Some(q23Sql)),
     QueryDef("q24_p95_approx_sketch", q24, None),
     QueryDef("q25_approx_distinct", q25, None),
     QueryDef("q26_stratified_sample", q26, Some(q26Sql)),
-    QueryDef("q27_vocab_topn", q27, Some(q27Sql))
+    QueryDef("q27_vocab_topn", q27, Some(q27Sql)),
+    QueryDef("q28_session_window", q28, Some(q28Sql))
   )
 }
