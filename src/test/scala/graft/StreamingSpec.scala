@@ -56,6 +56,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(_.getString(1) == "auth-service"))
   }
 
+  test("session windows stream in append mode: sessions close when the watermark passes end+gap") {
+    import spark.implicits._
+    val stream = MemoryStream[RawLog]
+    val sessions = stream.toDF()
+      .withColumn("event_time", to_timestamp(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss"))
+      .withWatermark("event_time", "5 seconds")
+      .groupBy(col("service"), session_window(col("event_time"), "30 seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("service"), unix_timestamp(col("sw.start")).as("s"),
+        unix_timestamp(col("sw.end")).as("e"), col("n_events"))
+    val sq = sessions.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // burst 1: 3 events 10 s apart; burst 2 after a 60 s silence
+      stream.addData(rawLog(T0, "auth-service", "INFO", 10),
+        rawLog(T0 + 10, "auth-service", "INFO", 10),
+        rawLog(T0 + 20, "auth-service", "INFO", 10))
+      sq.processAllAvailable()
+      stream.addData(rawLog(T0 + 110, "auth-service", "INFO", 10))
+      sq.processAllAvailable()
+      // close the second session too
+      stream.addData(rawLog(T0 + 300, "auth-service", "INFO", 10))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val rows = spark.table("sess_stream").as[(String, Long, Long, Long)].collect().toSet
+    // burst 1 merged into one session [T0, T0+50), burst 2 a separate one
+    assert(rows.contains(("auth-service", T0, T0 + 50, 3L)), s"got $rows")
+    assert(rows.contains(("auth-service", T0 + 110, T0 + 140, 1L)), s"got $rows")
+  }
+
   test("breach detector: emits on 3rd consecutive breach, resets on healthy window, state spans batches") {
     import spark.implicits._
     val w = (i: Int, p95: Double) => P95Window("auth-service", T0 + i * 60L, T0 + (i + 1) * 60L, p95)
