@@ -406,7 +406,47 @@ object TextOps {
       |                       w -> substr(md5(w), 1, 1) in ('0', '8'))) + 1 AS n_chunks
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- q29
+  /** TF-IDF top-5 terms per document. tf from raw term counts, df from
+    * per-doc DISTINCT term sets (array_distinct map-side — no extra
+    * distinct shuffle), idf = ln(N/df) with N crossed in as a 1-row
+    * aggregate (no driver-side collect). Ranking uses the bounded
+    * [[graft.agg.TopTerms]] aggregator — ≤5 rows per doc×partition reach
+    * the exchange, vs the whole scored term list under a window. Scores
+    * rounded to 6 dp BEFORE ranking on both engines so tie-breaks (then
+    * term asc) are deterministic. */
+  def tfidfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dft = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(dft, "w").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n") / col("df")), 6))
+      .groupBy(col("doc_id"))
+      .agg(graft.agg.TopTerms(5)(col("tfidf"), col("w")).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("doc_id"), (col("pos") + 1).as("rank"),
+        col("t.term").as("term"), col("t.score").as("tfidf"))
+  }
+
+  private val q29Sql =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY doc_id, w),
+      |dw AS (SELECT DISTINCT doc_id, w FROM w),
+      |dft AS (SELECT w, count(*) AS df FROM dw GROUP BY w),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |s AS (SELECT doc_id, tf.w AS term, round(tf * ln(n.n / df), 6) AS tfidf
+      |      FROM tf JOIN dft ON tf.w = dft.w CROSS JOIN n),
+      |r AS (SELECT doc_id, term, tfidf,
+      |             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      |      FROM s)
+      |SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= 5""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q29_tfidf_topk", tfidfTopK, Some(q29Sql)),
     QueryDef("q11_dedup_exact", dedupExact, Some(q11Sql)),
     QueryDef("q12_dedup_minhash_lsh", dedupMinhashLsh, Some(q12Sql)),
     QueryDef("q13_dedup_simhash", dedupSimhash, Some(q13Sql)),
