@@ -28,9 +28,11 @@ object Multimodal {
     * stable pseudo-dimensions so tests/oracles are exact. */
   object StubCodec {
     def decode(bytes: Array[Byte]): (Int, Int, String) = {
+      // Long arithmetic: n * 104729 overflows Int beyond ~20 KB payloads,
+      // and the oracle-checked mediaMeta path computes in Long
       val n = bytes.length
-      val width = (n * 7919) % 1024
-      val height = (n * 104729) % 768
+      val width = (n.toLong * 7919 % 1024).toInt
+      val height = (n.toLong * 104729 % 768).toInt
       val format = (n % 3) match {
         case 0 => "jpeg"; case 1 => "png"; case 2 => "webp"
       }
@@ -95,7 +97,7 @@ object Multimodal {
       |                   WHEN byte_len % 3 = 1 THEN 'png'
       |                   ELSE 'webp' END AS format
       |      FROM m)
-      |SELECT source, format, count(*) AS n_media, sum(byte_len) AS total_bytes,
+      |SELECT source, format, count(*) AS n_media, CAST(sum(byte_len) AS BIGINT) AS total_bytes,
       |       round(avg(width), 4) AS avg_width, round(avg(height), 4) AS avg_height,
       |       min(content_hash) AS min_hash
       |FROM d GROUP BY source, format""".stripMargin

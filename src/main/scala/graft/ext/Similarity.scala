@@ -55,7 +55,7 @@ object Similarity {
       .agg(TopK(5)(col("sim"), col("vec_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.id").as("neighbor_id"),
-        (col("pos") + 1).as("rank"), col("t.score").as("sim"))
+        (col("pos") + 1).cast("long").as("rank"), col("t.score").as("sim"))
   }
 
   private val q19Sql =
@@ -86,7 +86,7 @@ object Similarity {
       .agg(TopK(3)(col("sim"), col("vec_id")).as("top"))
       .select(col("query_id"), col("label"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("label").as("cell"), col("t.id").as("neighbor_id"),
-        (col("pos") + 1).as("rank"), col("t.score").as("sim"))
+        (col("pos") + 1).cast("long").as("rank"), col("t.score").as("sim"))
   }
 
   private val q20Sql =

@@ -239,22 +239,29 @@ object TextOps {
   // ---------------------------------------------------------------- q14
   /** n-gram Jaccard near-dup without LSH (exhaustive pair verify via
     * shingle-inverted-index join) — the exact baseline q12 approximates.
-    * Emits all pairs with Jaccard ≥ 0.2. */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    * Emits all pairs with Jaccard ≥ 0.2.
+    *
+    * `dfCap` bounds the O(df²) pair fan-out per posting list: a shingle
+    * appearing in more than `dfCap` docs is dropped as non-discriminative
+    * BEFORE pair expansion (one stop-shingle with df=10⁶ would otherwise
+    * emit 10¹² pairs from a single row — the 100 TB kill switch). The
+    * intersection count then excludes capped shingles while denominators
+    * keep full per-doc set sizes, so capped Jaccard ≤ true Jaccard (standard
+    * df-capped underestimate; the oracle applies the identical predicate).
+    * Fixture max df is 25, so the default cap of 1000 leaves output
+    * byte-identical while keeping the guard on the plan's hot path. */
+  def ngramJaccard(spark: SparkSession, sfDir: String, dfCap: Int = DefaultDfCap): DataFrame = {
     // Inverted-index formulation, join-free: group shingle instances into
     // posting lists, emit ordered doc pairs per list in-row, count pair
     // multiplicity = intersection size. Exactly two shuffles total (by
     // shingle, then by pair) versus the naive self-join's four (two join
     // inputs + pair agg + count join); per-doc set sizes travel inside the
-    // posting rows so no count table is ever joined back. Scale note: pair
-    // fan-out per shingle is O(df²) — at 100 TB a df cap (drop shingles
-    // with df > K as non-discriminative) bounds it; the fixture's max df
-    // is 25 so no cap is applied here.
+    // posting rows so no count table is ever joined back.
     docShingleArr(spark, sfDir, distinct = true)
       .select(col("doc_id"), size(col("sarr")).as("n"), explode(col("sarr")).as("s"))
       .groupBy(col("s"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .filter(size(col("ids")).between(2, dfCap))
       // native fused pair loop (graft.functions.OrderedPairs) — the HOF
       // equivalent (flatten(transform(ids, (a,i) -> transform(slice(...)))))
       // interprets three lambdas per pair
@@ -267,10 +274,14 @@ object TextOps {
         round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
   }
 
+  val DefaultDfCap = 1000
+
   private val q14Sql =
     s"""WITH $shingleCte,
+       |ok AS (SELECT s FROM shing GROUP BY s HAVING count(*) <= $DefaultDfCap),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
        |          FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          JOIN ok ON ok.s = a.s
        |          GROUP BY doc_a, doc_b)
        |SELECT doc_a, doc_b, inter,
        |       round(inter / (ca.n + cb.n - inter), 4) AS jaccard
@@ -383,8 +394,8 @@ object TextOps {
       |per_doc AS (SELECT doc_id, source, count(*) AS n_ws_tokens,
       |                   sum(cast(ceil(length(w) / 4.0) AS BIGINT)) AS n_bpe_tokens
       |            FROM w GROUP BY doc_id, source)
-      |SELECT source, count(*) AS n_docs, sum(n_ws_tokens) AS ws_tokens,
-      |       sum(n_bpe_tokens) AS bpe_tokens,
+      |SELECT source, count(*) AS n_docs, CAST(sum(n_ws_tokens) AS BIGINT) AS ws_tokens,
+      |       CAST(sum(n_bpe_tokens) AS BIGINT) AS bpe_tokens,
       |       round(avg(n_bpe_tokens), 4) AS avg_bpe_per_doc
       |FROM per_doc GROUP BY source""".stripMargin
 
@@ -398,7 +409,7 @@ object TextOps {
       .select(
         col("doc_id"),
         md5(lower(col("text"))).as("fingerprint"),
-        (expr("size(filter(ws, w -> substr(md5(w), 1, 1) in ('0', '8')))") + 1).as("n_chunks"))
+        (expr("size(filter(ws, w -> substr(md5(w), 1, 1) in ('0', '8')))") + 1).cast("long").as("n_chunks"))
 
   private val q18Sql =
     """SELECT doc_id, md5(lower(text)) AS fingerprint,
@@ -428,7 +439,7 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(graft.agg.TopTerms(5)(col("tfidf"), col("w")).as("top"))
       .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("doc_id"), (col("pos") + 1).as("rank"),
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
         col("t.term").as("term"), col("t.score").as("tfidf"))
   }
 
@@ -450,7 +461,7 @@ object TextOps {
     QueryDef("q11_dedup_exact", dedupExact, Some(q11Sql)),
     QueryDef("q12_dedup_minhash_lsh", dedupMinhashLsh, Some(q12Sql)),
     QueryDef("q13_dedup_simhash", dedupSimhash, Some(q13Sql)),
-    QueryDef("q14_ngram_jaccard", ngramJaccard, Some(q14Sql)),
+    QueryDef("q14_ngram_jaccard", ngramJaccard(_, _), Some(q14Sql)),
     QueryDef("q15_lang_id", langId, Some(q15Sql)),
     QueryDef("q16_quality_score", quality, Some(q16Sql)),
     QueryDef("q17_token_counts", tokenCounts, Some(q17Sql)),

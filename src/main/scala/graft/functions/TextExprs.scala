@@ -42,20 +42,27 @@ object WordNGrams {
   private val SPACE = UTF8String.fromString(" ")
 
   /** Space-joined n-gram instances; identical to
-    * `transform(sequence(1, size(ws)-n+1), i -> concat_ws(' ', ws[i]...))`. */
+    * `transform(sequence(1, size(ws)-n+1), i -> concat_ws(' ', ws[i]...))`.
+    * A window containing a NULL word emits no gram (the input type accepts
+    * containsNull=true from arbitrary SQL callers; a silent NPE per task is
+    * the alternative). */
   def compute(words: ArrayData, n: Int): ArrayData = {
     val len = words.numElements()
     val m = math.max(0, len - n + 1)
-    val out = new Array[Any](m)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](m)
     val gram = new Array[UTF8String](n)
     var i = 0
     while (i < m) {
       var j = 0
-      while (j < n) { gram(j) = words.getUTF8String(i + j); j += 1 }
-      out(i) = UTF8String.concatWs(SPACE, gram: _*)
+      var ok = true
+      while (j < n && ok) {
+        if (words.isNullAt(i + j)) ok = false
+        else { gram(j) = words.getUTF8String(i + j); j += 1 }
+      }
+      if (ok) out += UTF8String.concatWs(SPACE, gram: _*)
       i += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(out.toArray)
   }
 }
 
@@ -100,8 +107,12 @@ object MinhashSignatures {
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val md = java.security.MessageDigest.getInstance("MD5")
+    var contributed = 0
     var i = 0
     while (i < n) {
+      if (shingles.isNullAt(i)) { i += 1 }
+      else {
+      contributed += 1
       md.reset()
       val d = md.digest(shingles.getUTF8String(i).getBytes)
       val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
@@ -113,8 +124,10 @@ object MinhashSignatures {
         j += 1
       }
       i += 1
+      }
     }
-    new GenericArrayData(mins)
+    // all-null input degenerates to the empty-array case
+    if (contributed == 0) null else new GenericArrayData(mins)
   }
 }
 
@@ -137,11 +150,14 @@ case class OrderedPairs(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = {
     val f = elemStruct.fields
+    // propagate input field nullability: a caller may pass structs with
+    // nullable fields; declaring false would write nulls through a
+    // non-nullable schema (undefined under codegen)
     ArrayType(StructType(Seq(
-      StructField(s"a_${f(0).name}", f(0).dataType, nullable = false),
-      StructField(s"b_${f(0).name}", f(0).dataType, nullable = false),
-      StructField(s"a_${f(1).name}", f(1).dataType, nullable = false),
-      StructField(s"b_${f(1).name}", f(1).dataType, nullable = false))),
+      StructField(s"a_${f(0).name}", f(0).dataType, f(0).nullable),
+      StructField(s"b_${f(0).name}", f(0).dataType, f(0).nullable),
+      StructField(s"a_${f(1).name}", f(1).dataType, f(1).nullable),
+      StructField(s"b_${f(1).name}", f(1).dataType, f(1).nullable))),
       containsNull = false)
   }
 
@@ -165,22 +181,25 @@ case class OrderedPairs(child: Expression) extends UnaryExpression {
 object OrderedPairs {
   def compute(ids: ArrayData, t0: DataType, t1: DataType): ArrayData = {
     val n = ids.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
-    var w = 0
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n * (n - 1) / 2)
     var i = 0
     while (i < n) {
+      if (ids.isNullAt(i)) { i += 1 }
+      else {
       val a = ids.getStruct(i, 2)
       val a0 = a.get(0, t0); val a1 = a.get(1, t1)
       var j = i + 1
       while (j < n) {
-        val b = ids.getStruct(j, 2)
-        out(w) = org.apache.spark.sql.catalyst.InternalRow(a0, b.get(0, t0), a1, b.get(1, t1))
-        w += 1
+        if (!ids.isNullAt(j)) {
+          val b = ids.getStruct(j, 2)
+          out += org.apache.spark.sql.catalyst.InternalRow(a0, b.get(0, t0), a1, b.get(1, t1))
+        }
         j += 1
       }
       i += 1
+      }
     }
-    new GenericArrayData(out)
+    new GenericArrayData(out.toArray)
   }
 }
 

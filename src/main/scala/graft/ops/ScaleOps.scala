@@ -57,21 +57,49 @@ object ScaleOps {
   /** Approximate p95 — the declared 100 TB path for A2 (SURVEY §7.5): a
     * mergeable quantile sketch (`percentile_approx`, O(accuracy) memory per
     * group) instead of the exact aggregator's O(window) buffer. A SEPARATE
-    * operator, never silently substituted for the exact one; no DuckDB
-    * oracle (sketch internals are engine-specific) — accuracy is pinned by
-    * ScaleOpsSpec against the exact aggregator instead. */
+    * operator, never silently substituted for the exact one.
+    *
+    * Sketch values are engine-specific, so the oracle checks the CONTRACT:
+    * Spark emits the exact p95 plus `within_bound` = sketch value inside the
+    * ±max(1, ⌈n/5000⌉)-rank band of exact order statistics (see
+    * [[graft.agg.PercentileBand]]; deterministic given percentile_approx's
+    * n/accuracy rank-error guarantee, valid at any group size/SF). The
+    * oracle computes the exact p95 independently and literal TRUE; a sketch
+    * drifting out of its rank bound flips the boolean and fails the hash —
+    * accuracy is driver-checked, not just spec-pinned. */
   def q24(spark: SparkSession, sfDir: String): DataFrame =
     Tables.logs(spark, sfDir)
       .groupBy(col("service"), expr("ts_s div 86400 * 86400").as("window_start"))
       .agg(
         count(lit(1)).as("n_events"),
+        graft.agg.PercentileDisc.p95(col("latency_ms")).as("p95_exact"),
+        graft.agg.PercentileDisc.p95Band(col("latency_ms")).as("band"),
         percentile_approx(col("latency_ms"), lit(0.95), lit(10000)).as("p95_approx"))
+      .select(
+        col("service"), col("window_start"), col("n_events"), col("p95_exact"),
+        col("p95_approx").between(col("band._1"), col("band._2")).as("within_bound"))
+
+  private val q24Sql =
+    s"""WITH ${Tables.LOGS_CTE},
+       |ranked AS (
+       |  SELECT service, ts_s // 86400 * 86400 AS window_start, latency_ms,
+       |         row_number() OVER (PARTITION BY service, ts_s // 86400 * 86400
+       |                            ORDER BY latency_ms) AS rn,
+       |         count(*) OVER (PARTITION BY service, ts_s // 86400 * 86400) AS cnt
+       |  FROM logs)
+       |SELECT service, window_start, cnt AS n_events, latency_ms AS p95_exact,
+       |       TRUE AS within_bound
+       |FROM ranked
+       |WHERE rn = CAST(floor(0.95 * (cnt - 1)) AS BIGINT) + 1""".stripMargin
 
   // ---------------------------------------------------------------- q25
   /** Approximate distinct (HLL++) next to the exact count — the standard
     * trade at scale (HLL is mergeable and O(1) per group; exact distinct
-    * shuffles every key). No oracle (HLL is engine-specific); relative
-    * error pinned by ScaleOpsSpec. */
+    * shuffles every key). Same oracle contract as q24: exact value +
+    * `within_bound` vs the oracle's exact count + literal TRUE. HLL error is
+    * probabilistic (2% relative standard deviation configured), so the gate
+    * uses 10% = 5σ — observed error at fixture SFs is <2%; a bound that a
+    * healthy sketch could trip at random would make the oracle flaky. */
   def q25(spark: SparkSession, sfDir: String): DataFrame =
     Tables.table(spark, sfDir, "events")
       .groupBy(col("event_type"))
@@ -79,6 +107,16 @@ object ScaleOps {
         countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         count(lit(1)).as("n_events"))
+      .select(
+        col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(col("exact_users") * 0.10, lit(5.0))).as("within_bound"))
+
+  private val q25Sql =
+    """SELECT event_type, count(*) AS n_events,
+      |       count(DISTINCT user_id) AS exact_users,
+      |       TRUE AS within_bound
+      |FROM events GROUP BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- q26
   /** Deterministic hash-threshold stratified sampling — the reproducible
@@ -120,7 +158,7 @@ object ScaleOps {
        |                  WHEN source = 'src1' THEN 500
        |                  ELSE 250 END AS rate
        |      FROM h)
-       |SELECT source, count(*) AS n_sampled, sum(doc_id) AS id_sum,
+       |SELECT source, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_sum,
        |       min(doc_id) AS min_id, max(doc_id) AS max_id
        |FROM b WHERE bucket < rate GROUP BY source""".stripMargin
 
@@ -139,7 +177,7 @@ object ScaleOps {
       .groupBy(col("source"))
       .agg(graft.agg.TopWords(10)(col("n"), col("w")).as("top"))
       .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("source"), (col("pos") + 1).as("rank"),
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
         col("t.w").as("word"), col("t.n").as("n"))
 
   private val q27Sql =
@@ -197,8 +235,8 @@ object ScaleOps {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_salted_agg", q23, Some(q23Sql)),
-    QueryDef("q24_p95_approx_sketch", q24, None),
-    QueryDef("q25_approx_distinct", q25, None),
+    QueryDef("q24_p95_approx_sketch", q24, Some(q24Sql)),
+    QueryDef("q25_approx_distinct", q25, Some(q25Sql)),
     QueryDef("q26_stratified_sample", q26, Some(q26Sql)),
     QueryDef("q27_vocab_topn", q27, Some(q27Sql)),
     QueryDef("q28_session_window", q28, Some(q28Sql))

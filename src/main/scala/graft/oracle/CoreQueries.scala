@@ -280,7 +280,7 @@ object CoreQueries {
 
   private val q07Sql =
     s"""WITH ${Tables.LOGS_CTE}
-       |SELECT service, count(*) AS n, count(k) AS n_k, sum(k) AS sum_k,
+       |SELECT service, count(*) AS n, count(k) AS n_k, CAST(sum(k) AS BIGINT) AS sum_k,
        |       round(avg(k), 4) AS avg_k,
        |       count(CASE WHEN level = 'ERROR' THEN 1 END) AS n_err
        |FROM logs GROUP BY service""".stripMargin

@@ -38,7 +38,7 @@ object ReplayDemo {
     val rawStream = MemoryStream[RawLog]
     val alertsQ = ErrorRateDetector.detect(ErrorRateDetector.withEventTime(rawStream.toDF()))
       .writeStream.format("memory").queryName("alerts").outputMode("append").start()
-    logs.grouped(math.max(1, logs.length / (seconds / 60))).foreach { chunk =>
+    logs.grouped(math.max(1, logs.length / math.max(1, seconds / 60))).foreach { chunk =>
       rawStream.addData(chunk)
       alertsQ.processAllAvailable()
     }

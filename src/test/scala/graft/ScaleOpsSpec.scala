@@ -63,12 +63,19 @@ class ScaleOpsSpec extends SparkSpec {
       }
   }
 
-  test("approx distinct within configured 2% relative error (on this data)") {
+  test("approx distinct within bound: q25 contract column is true for every group") {
     import spark.implicits._
     val rows = ScaleOps.q25(spark, sf0001)
-      .select(col("exact_users"), col("approx_users")).as[(Long, Long)].collect()
-    rows.foreach { case (e, a) =>
-      assert(math.abs(a - e).toDouble / e < 0.1, s"approx $a vs exact $e")
-    }
+      .select(col("exact_users"), col("within_bound")).as[(Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (e, ok) => assert(ok, s"HLL out of 5% bound at exact=$e") }
+  }
+
+  test("approx p95 within bound: q24 contract column is true for every window") {
+    import spark.implicits._
+    val rows = ScaleOps.q24(spark, sf0001)
+      .select(col("p95_exact"), col("within_bound")).as[(Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, ok) => assert(ok, s"sketch out of bound at exact=$p") }
   }
 }

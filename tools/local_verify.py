@@ -57,6 +57,16 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: oracle error {e}"); fails.append(name); continue
     if sorted(scols) != sorted(ocols):
         print(f"FAIL {name}: cols spark={sorted(scols)} oracle={sorted(ocols)}"); fails.append(name); continue
+    # Mirror the driver's type-sensitive value hash: compare Arrow types per
+    # column (DuckDB widens sum(int) to HUGEINT=decimal128 while Spark parquet
+    # reads back int64 — caught here, invisible to str() canon below).
+    sarrow = con.execute(f"select * from read_parquet('{pq}/*.parquet')").arrow().schema
+    oarrow = con.execute(sql).arrow().schema
+    stypes = {f.name: str(f.type) for f in sarrow}
+    otypes = {f.name: str(f.type) for f in oarrow}
+    tdiff = {c: (stypes[c], otypes[c]) for c in stypes if stypes[c] != otypes.get(c, stypes[c])}
+    if tdiff:
+        print(f"FAIL {name}: arrow type drift {tdiff}"); fails.append(name); continue
     cs, co = canon_rows(scols, srows), canon_rows(ocols, orows)
     if cs != co:
         diff = next((i for i, (a, b) in enumerate(zip(cs, co)) if a != b), min(len(cs), len(co)))
