@@ -8,6 +8,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Runnable wiring of the full 4-stage topology (the reference's three jobs
   * + metrics notebooks) over deterministic generated logs, with each stage
   * boundary exercised the way the reference uses Kafka topics: stage 1
@@ -31,16 +33,29 @@ object ReplayDemo {
     spark.sparkContext.setLogLevel("WARN")
 
     val base = 1767680040L // minute-aligned virtual clock
-    val logs = LogGenerator.logs(spark, base, seconds).as[RawLog].collect()
-    println(s"[demo] generated ${logs.length} logs over $seconds s (4 services)")
+    val logsDf = LogGenerator.logs(spark, base, seconds).as[RawLog].cache()
+    val nLogs = logsDf.count()
+    println(s"[demo] generated $nLogs logs over $seconds s (4 services)")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_demo").toString
 
-    // --- stage 1: error-rate spike detector, streamed minute by minute
+    // --- stage 1 + stage 2a off one replayed stream: error-rate spike
+    // detector to a memory sink; 1-min exact-p95 windows (append mode,
+    // watermark-closed) to a parquet "topic" directory — the reference's
+    // Kafka boundary between its window job and its keyed breach job
     val rawStream = MemoryStream[RawLog]
     val alertsQ = ErrorRateDetector.detect(ErrorRateDetector.withEventTime(rawStream.toDF()))
       .writeStream.format("memory").queryName("alerts").outputMode("append").start()
-    logs.grouped(math.max(1, logs.length / math.max(1, seconds / 60))).foreach { chunk =>
+    val p95Q = LatencySloMonitor.p95Windows(ErrorRateDetector.withEventTime(rawStream.toDF()))
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/p95").option("checkpointLocation", s"$tmp/cp_p95")
+      .outputMode("append").start()
+    // chunked replay off a partition-at-a-time local iterator — no full
+    // driver materialization of the generated set
+    val chunkSize = math.max(1, (nLogs / math.max(1, seconds / 60)).toInt)
+    logsDf.toLocalIterator().asScala.grouped(chunkSize).foreach { chunk =>
       rawStream.addData(chunk)
       alertsQ.processAllAvailable()
+      p95Q.processAllAvailable()
     }
     // flush: one late heartbeat advances the watermark past the last window
     rawStream.addData(RawLog(
@@ -48,16 +63,23 @@ object ReplayDemo {
         .withZone(java.time.ZoneOffset.UTC)
         .format(java.time.Instant.ofEpochSecond(base + seconds + 120)),
       "auth-service", "node-1", "INFO", "req-flush", "flush", 10))
-    alertsQ.processAllAvailable()
-    alertsQ.stop()
+    alertsQ.processAllAvailable(); p95Q.processAllAvailable()
+    alertsQ.stop(); p95Q.stop()
     val spikeAlerts = spark.table("alerts")
     println(s"[demo] stage1 spike alerts: ${spikeAlerts.count()}")
     spikeAlerts.groupBy("service").count().show(truncate = false)
 
-    // --- stage 2: latency SLO monitor (window p95 -> consecutive breaches)
-    val batchLogs = ErrorRateDetector.withEventTime(logs.toSeq.toDF())
-    val breachAlerts = LatencySloMonitor.monitor(batchLogs)
-    println(s"[demo] stage2 SLO breach alerts: ${breachAlerts.count()}")
+    // --- stage 2b: second streaming query tails the p95 boundary into the
+    // consecutive-breach state machine (two connected streaming queries,
+    // like the reference's topic-chained jobs)
+    val p95Schema = org.apache.spark.sql.Encoders.product[P95Window].schema
+    val breachQ = graft.stateful.BreachDetector.detect(
+        spark.readStream.schema(p95Schema).parquet(s"$tmp/p95").as[P95Window])
+      .writeStream.format("memory").queryName("breaches")
+      .option("checkpointLocation", s"$tmp/cp_breach").outputMode("update").start()
+    breachQ.processAllAvailable(); breachQ.stop()
+    val breachAlerts = spark.table("breaches").as[IncidentAlert]
+    println(s"[demo] stage2 SLO breach alerts (streamed through boundary): ${breachAlerts.count()}")
 
     // --- stage 3: escalation over the union stream (the shared alerts topic)
     val allAlerts = spikeAlerts.as[IncidentAlert].unionByName(breachAlerts)

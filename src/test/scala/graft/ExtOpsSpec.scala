@@ -14,6 +14,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(exact.subsetOf(lsh), s"missed pairs: ${exact -- lsh}")
   }
 
+  test("q14 df cap prunes a planted hot shingle before pair expansion") {
+    import spark.implicits._
+    // 12 identical docs (every shingle df=12) + one pair of identical docs
+    // (shingle df=2): with dfCap=10 the hot posting lists are dropped before
+    // ordered_pairs fan-out, leaving only the low-df pair; the default cap
+    // keeps everything
+    val hot = (0L until 12L).map(i => (i, "alpha beta gamma delta epsilon", "en", "src0", 29L))
+    val pair = Seq((100L, "zeta eta theta iota kappa", "en", "src0", 25L),
+                   (101L, "zeta eta theta iota kappa", "en", "src0", 25L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dfcap").toString
+    (hot ++ pair).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val capped = TextOps.ngramJaccard(spark, dir, dfCap = 10)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)), s"expected only the low-df pair, got $capped")
+
+    val full = TextOps.ngramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(full.size == 12 * 11 / 2 + 1, s"uncapped should emit all 67 pairs, got ${full.size}")
+  }
+
   test("simhash: near-dup pairs are close in hamming distance") {
     import spark.implicits._
     val fp = TextOps.dedupSimhash(spark, sf0001)

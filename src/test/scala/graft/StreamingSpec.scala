@@ -56,6 +56,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(_.getString(1) == "auth-service"))
   }
 
+  test("two-stage SLO: streaming p95 windows feed the breach detector through a file boundary == batch monitor") {
+    import spark.implicits._
+    // the reference chains window->p95 into a second keyed stage via a Kafka
+    // topic (latency_slo_monitor.py:139-146); here the topic boundary is a
+    // parquet directory: stage A appends watermark-closed p95 windows to it,
+    // stage B tails it as a file-source stream into the stateful detector
+    val logs = LogGenerator.logs(spark, T0, 600).as[RawLog].collect()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_slo2").toString
+
+    // stage A: raw logs -> 1-min exact-p95 windows, append mode
+    val rawStream = MemoryStream[RawLog]
+    val qa = LatencySloMonitor.p95Windows(ErrorRateDetector.withEventTime(rawStream.toDF()))
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/p95").option("checkpointLocation", s"$tmp/cpA")
+      .outputMode("append").start()
+    try {
+      logs.grouped(500).foreach { chunk => rawStream.addData(chunk.toSeq); qa.processAllAvailable() }
+      // heartbeat advances the (global) watermark past every real window end
+      rawStream.addData(rawLog(T0 + 600 + 120, "auth-service", "INFO", 10))
+      qa.processAllAvailable()
+    } finally qa.stop()
+
+    // stage B: tail the boundary directory, run the consecutive-breach
+    // state machine as a second streaming query
+    val p95Schema = org.apache.spark.sql.Encoders.product[P95Window].schema
+    val qb = BreachDetector.detect(
+        spark.readStream.schema(p95Schema).parquet(s"$tmp/p95").as[P95Window])
+      .writeStream.format("memory").queryName("slo2_breaches")
+      .option("checkpointLocation", s"$tmp/cpB").outputMode("update").start()
+    try qb.processAllAvailable() finally qb.stop()
+
+    val streamed = spark.table("slo2_breaches")
+      .select("service", "window_start", "window_end", "p95_latency", "severity")
+      .collect().toSet
+    // batch composition over the same logs (without the heartbeat, whose
+    // window never closes in streaming and so never crosses the boundary)
+    val batch = LatencySloMonitor.monitor(ErrorRateDetector.withEventTime(logs.toSeq.toDF()))
+      .select("service", "window_start", "window_end", "p95_latency", "severity")
+      .collect().toSet
+    assert(streamed.nonEmpty, "no breach alerts crossed the two-query boundary")
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("session windows stream in append mode: sessions close when the watermark passes end+gap") {
     import spark.implicits._
     val stream = MemoryStream[RawLog]
