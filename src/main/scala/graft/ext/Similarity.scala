@@ -102,21 +102,41 @@ object Similarity {
        |SELECT query_id, cell, neighbor_id, rank, sim FROM r WHERE rank <= 3""".stripMargin
 
   // ---------------------------------------------------------------- q21
-  /** Embedding near-dup via random-hyperplane sign LSH: bucket key = sign
-    * bits of the first 12 dims; pairs within a bucket with cosine ≥ 0.25.
-    * (Fixture vectors are random — no planted >0.95 pairs — so the
-    * threshold is set where the fixture has signal; the operator is the
-    * bucketed-pair shape itself.) */
-  def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val b = emb(spark, sfDir)
-      .withColumn("bucket", expr(
-        "concat_ws('', transform(slice(v, 1, 12), x -> CASE WHEN x >= cast(0 AS double) THEN '1' ELSE '0' END))"))
-    b.as("a").join(b.as("b"),
+  /** Embedding near-dup via random-hyperplane sign LSH: band i's bucket key
+    * = sign bits of dims [i·bits, i·bits+bits); pairs colliding in ANY band
+    * are cosine-verified against `minSim`.
+    *
+    * Collision math (why these are the scale knobs): for a pair at angle θ,
+    * P(one band collides) = (1 − θ/π)^bits, so recall over `bands`
+    * independent bands is 1 − (1 − (1−θ/π)^bits)^bands. Candidate volume per
+    * band is Σ_buckets n_b², ~n²/2^bits for balanced signs — `bits` bounds
+    * the per-bucket pair fan-out (the n²/4096 weakness of a fixed 12-bit
+    * key at 10⁹ vectors: raise bits with n), `bands` buys recall back at
+    * linear cost. Fixture default (bits=12, bands=1) matches the oracle;
+    * multi-band dedups candidates before the verify so a pair is scored
+    * once. Requires bits·bands ≤ vector dim (64 here). */
+  def embedNearDup(spark: SparkSession, sfDir: String,
+                   bits: Int = 12, bands: Int = 1, minSim: Double = 0.25): DataFrame = {
+    val signs = (band: Int) =>
+      s"concat_ws('', transform(slice(v, ${band * bits} + 1, $bits), " +
+        "x -> CASE WHEN x >= cast(0 AS double) THEN '1' ELSE '0' END))"
+    val b0 = emb(spark, sfDir)
+    val b =
+      if (bands == 1) b0.withColumn("bucket", expr(signs(0)))
+      else b0
+        .withColumn("band", explode(array((0 until bands).map(lit): _*)))
+        .withColumn("bucket", concat_ws(":", col("band"), expr(
+          s"concat_ws('', transform(slice(v, band * $bits + 1, $bits), " +
+            "x -> CASE WHEN x >= cast(0 AS double) THEN '1' ELSE '0' END))")))
+    val cands = b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.v").as("qv"), col("b.v").as("v"))
+    // multi-band: the same pair can collide in several bands — score once
+    val deduped = if (bands == 1) cands else cands.dropDuplicates("vec_a", "vec_b")
+    deduped
       .withColumn("sim", round(expr("cosine_sim(qv, v)"), 6))
-      .filter(col("sim") >= 0.25)
+      .filter(col("sim") >= minSim)
       .select(col("vec_a"), col("vec_b"), col("sim"))
   }
 
@@ -135,6 +155,6 @@ object Similarity {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q19_cosine_topk", cosineTopK, Some(q19Sql)),
     QueryDef("q20_ann_ivf", annIvf, Some(q20Sql)),
-    QueryDef("q21_embed_neardup_lsh", embedNearDup, Some(q21Sql))
+    QueryDef("q21_embed_neardup_lsh", embedNearDup(_, _), Some(q21Sql))
   )
 }

@@ -17,14 +17,23 @@ object Topics {
 }
 
 object Sources {
+  /** Exact option set handed to the kafka source — split out so the
+    * connector-independent part of the contract (option names/values the
+    * reference consumer uses, error_rate_detector.py:121-129) is testable
+    * in an environment without `spark-sql-kafka-0-10` on the classpath. */
+  def kafkaSourceOptions(brokers: String, topic: String,
+                         startingOffsets: String = "latest"): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets)
+
   /** Kafka value-only stream (S3) — reference consumer shape
     * (error_rate_detector.py:121-129). */
   def kafka(spark: SparkSession, brokers: String, topic: String,
             startingOffsets: String = "latest"): DataFrame =
     spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
+      .options(kafkaSourceOptions(brokers, topic, startingOffsets))
       .load()
 
   /** File-based JSON stream with an explicit schema (no inference — SURVEY
@@ -35,14 +44,21 @@ object Sources {
 }
 
 object Sinks {
+  /** Sink-side option set, connector-independent (see
+    * [[Sources.kafkaSourceOptions]]). */
+  def kafkaSinkOptions(brokers: String, topic: String,
+                       checkpoint: String): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "topic" -> topic,
+      "checkpointLocation" -> checkpoint)
+
   /** Kafka JSON sink (S2/S4): expects `key`/`value` columns (use
     * [[Codec.encode]]); acks=all is the Kafka default for the Spark sink. */
   def kafka(df: DataFrame, brokers: String, topic: String,
             checkpoint: String): DataStreamWriter[Row] =
     df.writeStream.format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpoint)
+      .options(kafkaSinkOptions(brokers, topic, checkpoint))
 
   def parquet(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
     df.writeStream.format("parquet")

@@ -14,6 +14,21 @@ class ExtOpsSpec extends SparkSpec {
     assert(exact.subsetOf(lsh), s"missed pairs: ${exact -- lsh}")
   }
 
+  test("q21 multi-band LSH: coarser bits widen recall over the single-band default, pairs scored once") {
+    import spark.implicits._
+    // bucket equality on 12 sign bits implies equality on the 6-bit prefix,
+    // so (bits=6, bands=2) candidates are a superset of (bits=12, bands=1)
+    // and the verified output must contain every default-config pair
+    val narrow = Similarity.embedNearDup(spark, sf0001)
+      .select(col("vec_a"), col("vec_b")).as[(Long, Long)].collect().toSet
+    val wideRows = Similarity.embedNearDup(spark, sf0001, bits = 6, bands = 2)
+      .select(col("vec_a"), col("vec_b")).as[(Long, Long)].collect()
+    val wide = wideRows.toSet
+    assert(wideRows.length == wide.size, "multi-band emitted a duplicate pair")
+    assert(narrow.subsetOf(wide), s"recall lost at coarser bits: ${narrow -- wide}")
+    assert(wide.size > narrow.size, "coarser bits should admit extra verified pairs on random vectors")
+  }
+
   test("q14 df cap prunes a planted hot shingle before pair expansion") {
     import spark.implicits._
     // 12 identical docs (every shingle df=12) + one pair of identical docs

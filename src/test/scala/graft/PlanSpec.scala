@@ -18,6 +18,20 @@ class PlanSpec extends SparkSpec {
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 
+  test("q06/q08: the alerts union reads events at most twice (once per branch)") {
+    // spikes (sliding error-rate) and breaches (tumbling p95 + run-length)
+    // aggregate on different window grains, so they cannot share one
+    // exchange without first clustering on `service` alone — 4 keys, which
+    // would serialize both branches at scale. Two column-pruned parallel
+    // scans are the cheaper side of that trade; this pins the plan at
+    // exactly one scan per branch so a refactor can't silently multiply it.
+    for ((n, df) <- Seq("q06" -> CoreQueries.q06(spark, sf0001),
+                        "q08" -> CoreQueries.q08(spark, sf0001))) {
+      val scans = countOccurrences(plan(df), "Scan parquet")
+      assert(scans <= 2, s"$n: expected <=2 events scans, got $scans")
+    }
+  }
+
   test("q01: shipdate predicate is pushed into the parquet scan") {
     val p = plan(Registry.byName("q01_pricing_summary").run(spark, sf0001))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),

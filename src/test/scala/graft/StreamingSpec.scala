@@ -56,6 +56,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(_.getString(1) == "auth-service"))
   }
 
+  test("heartbeat injection closes windows for a stream that has gone idle (W4 idleness mitigation)") {
+    import spark.implicits._
+    import graft.streaming.Heartbeat
+    // error-heavy burst, then total silence: without new rows the watermark
+    // freezes and the spike windows never flush in append mode
+    val burst = (0 until 30).map(i => rawLog(T0 + i % 20, "auth-service", if (i % 2 == 0) "ERROR" else "INFO", 100))
+    val logsStream = MemoryStream[RawLog]
+    val hbStream = MemoryStream[RawLog]
+    val input = Heartbeat.inject(
+      ErrorRateDetector.withEventTime(logsStream.toDF()),
+      ErrorRateDetector.withEventTime(hbStream.toDF()))
+    val sq = Heartbeat.strip(ErrorRateDetector.detect(input, minVolume = 10))
+      .writeStream.format("memory").queryName("hb_alerts").outputMode("append").start()
+    try {
+      logsStream.addData(burst)
+      sq.processAllAvailable()
+      // sliding windows: the burst itself closes the early windows, but the
+      // trailing ones (ending past max_event_time - 5s) stay open while the
+      // real stream is silent
+      val flushedEarly = spark.table("hb_alerts").count()
+      // the real stream stays idle; only the synthetic heartbeat ticks
+      // (two ticks: the first advances the watermark at its batch end, the
+      // second's batch emits the newly-closed windows — in production the
+      // rate source ticks continuously so this is the steady state)
+      hbStream.addData(rawLog(T0 + 120, Heartbeat.Service, "INFO", 0))
+      sq.processAllAvailable()
+      hbStream.addData(rawLog(T0 + 180, Heartbeat.Service, "INFO", 0))
+      sq.processAllAvailable()
+      assert(spark.table("hb_alerts").count() > flushedEarly,
+        "idle stream's trailing windows never closed despite heartbeat")
+    } finally sq.stop()
+    val alerts = spark.table("hb_alerts").select("service").as[String].collect()
+    assert(alerts.toSet == Set("auth-service"), s"heartbeat rows leaked into output: ${alerts.toSet}")
+  }
+
+  test("heartbeat rate-source stream matches the raw-log event-time schema") {
+    import spark.implicits._
+    // compare (name, type); lit()-built heartbeat columns are non-nullable,
+    // which unionByName reconciles
+    val expected = ErrorRateDetector.withEventTime(Seq.empty[RawLog].toDF()).schema
+      .map(f => (f.name, f.dataType))
+    assert(graft.streaming.Heartbeat.stream(spark).schema.map(f => (f.name, f.dataType)) == expected)
+  }
+
   test("two-stage SLO: streaming p95 windows feed the breach detector through a file boundary == batch monitor") {
     import spark.implicits._
     // the reference chains window->p95 into a second keyed stage via a Kafka
