@@ -77,4 +77,30 @@ class TextExprsSpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("null elements from arbitrary SQL callers are skipped, not NPEs") {
+    import spark.implicits._
+    TextExprs.register(spark)
+    // word_ngrams: a gram window containing NULL emits nothing
+    val grams = Seq(Seq[String]("a", "b", null, "c", "d")).toDF("ws")
+      .select(expr("word_ngrams(ws, 2)").as("g")).head.getSeq[String](0)
+    assert(grams == Seq("a b", "c d"))
+    // minhash: null shingles don't contribute; all-null == empty == NULL out
+    val sig = Seq(Seq[String]("x", null, "y")).toDF("sarr")
+      .select(expr("minhash_signatures(sarr, 4)").as("s"))
+    val clean = Seq(Seq[String]("x", "y")).toDF("sarr")
+      .select(expr("minhash_signatures(sarr, 4)").as("s"))
+    assert(sig.head.getSeq[Long](0) == clean.head.getSeq[Long](0))
+    assert(Seq(Seq[String](null, null)).toDF("sarr")
+      .select(expr("minhash_signatures(sarr, 4)").as("s")).head.isNullAt(0))
+    // ordered_pairs: null posting entries are skipped; null struct FIELDS
+    // pass through under the propagated-nullable output schema
+    val pairs = spark.sql(
+      """SELECT ordered_pairs(array(named_struct('id', 1L, 'n', 5),
+        |                           CAST(NULL AS struct<id: bigint, n: int>),
+        |                           named_struct('id', CAST(NULL AS bigint), 'n', 7))) AS p""".stripMargin)
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.isNullAt(1))
+  }
 }
