@@ -102,7 +102,60 @@ object Multimodal {
       |       min(content_hash) AS min_hash
       |FROM d GROUP BY source, format""".stripMargin
 
+  // ---------------------------------------------------------------- q30
+  final case class FrameSample(doc_id: Long, frame_idx: Long, frame_len: Long, frame_hash: String)
+
+  /** Frame sampling — the video-style access pattern: take `nFrames` evenly
+    * strided slices of each media payload and fingerprint them. Runs
+    * partition-batched like [[decodeAll]] (a real video codec seeks within
+    * one open handle per partition; per-row open/close is the anti-shape).
+    * Frame i covers bytes [i·stride, i·stride + stride) with
+    * stride = max(1, len/nFrames); a short tail frame is clipped, frames
+    * starting past the payload are not emitted. The stub "decode" is the
+    * slice + MD5 itself — deterministic, so the whole batch shape is
+    * oracle-checkable (q30), unlike the opaque-codec q22 path. */
+  def frameSample(records: Dataset[MediaRecord], nFrames: Int = 4): Dataset[FrameSample] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // per-partition setup: one digest instance (a real codec opens here)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val len = r.media.length
+        val stride = math.max(1, len / nFrames)
+        (0 until nFrames).iterator
+          .takeWhile(i => i.toLong * stride < len)
+          .map { i =>
+            val start = i * stride
+            val fl = math.min(stride, len - start)
+            md.reset()
+            val hash = md.digest(java.util.Arrays.copyOfRange(r.media, start, start + fl))
+              .map("%02x".format(_)).mkString
+            FrameSample(r.doc_id, i.toLong, fl.toLong, hash)
+          }
+      }
+    }
+  }
+
+  def q30(spark: SparkSession, sfDir: String): DataFrame =
+    frameSample(mediaRecords(spark, sfDir)).toDF()
+
+  // fixture text is pure ASCII at every SF (verified octet_length(encode(x))
+  // == length(x)), so character substr is byte slicing and DuckDB's
+  // md5(varchar) hashes the same bytes the Scala side digests
+  private val q30Sql =
+    """WITH f AS (SELECT doc_id, text, length(text) AS len,
+      |                  greatest(1, length(text) // 4) AS stride
+      |           FROM documents),
+      |i AS (SELECT doc_id, text, len, stride, gs.i AS frame_idx
+      |      FROM f CROSS JOIN (SELECT unnest(range(0, 4)) AS i) gs
+      |      WHERE gs.i * stride < len)
+      |SELECT doc_id, frame_idx,
+      |       least(stride, len - frame_idx * stride) AS frame_len,
+      |       md5(substr(text, CAST(frame_idx * stride + 1 AS BIGINT), stride)) AS frame_hash
+      |FROM i""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q22_multimodal_meta", mediaMeta, Some(q22Sql))
+    QueryDef("q22_multimodal_meta", mediaMeta, Some(q22Sql)),
+    QueryDef("q30_frame_sample", q30, Some(q30Sql))
   )
 }

@@ -111,6 +111,19 @@ class ExtOpsSpec extends SparkSpec {
     assert(diff == 0, "stub codec and expression path disagree")
   }
 
+  test("frame sampling: short payloads emit one frame per byte, never past the end") {
+    import spark.implicits._
+    val tiny = Seq(
+      Multimodal.MediaRecord(1L, Array[Byte](10, 20), "src0"),      // len 2 < nFrames
+      Multimodal.MediaRecord(2L, Array[Byte](1, 2, 3, 4, 5), "src0")) // stride 1, 4 frames
+      .toDS()
+    val frames = Multimodal.frameSample(tiny, nFrames = 4).collect()
+      .groupBy(_.doc_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    assert(frames(1L).map(f => (f.frame_idx, f.frame_len)).toSeq == Seq((0L, 1L), (1L, 1L)))
+    assert(frames(2L).map(f => (f.frame_idx, f.frame_len)).toSeq ==
+      Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
   test("quality score stays in [0, 1] and token counts are positive") {
     val q = TextOps.quality(spark, sf0001)
     assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)

@@ -56,6 +56,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(_.getString(1) == "auth-service"))
   }
 
+  test("streaming dedup: in-window duplicates dropped across batches, key re-admitted after watermark eviction") {
+    import spark.implicits._
+    val stream = MemoryStream[(String, java.sql.Timestamp)]
+    val docs = stream.toDF().toDF("content_hash", "event_time")
+    val sq = graft.ops.StreamingDedup.dedup(docs, Seq("content_hash"), delay = "10 seconds")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    def ts(e: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(e))
+    try {
+      stream.addData(("h1", ts(T0)), ("h1", ts(T0 + 1)))   // same-batch dup
+      sq.processAllAvailable()
+      stream.addData(("h1", ts(T0 + 5)))                    // cross-batch dup, in window
+      sq.processAllAvailable()
+      stream.addData(("h2", ts(T0 + 100)))                  // advances watermark to T0+90
+      sq.processAllAvailable()
+      stream.addData(("h1", ts(T0 + 95)))                   // h1 state evicted -> re-admitted
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val out = spark.table("dedup_stream").as[(String, java.sql.Timestamp)].collect()
+      .map { case (h, t) => (h, t.toInstant.getEpochSecond - T0) }.sorted.toList
+    assert(out == List(("h1", 0L), ("h1", 95L), ("h2", 100L)),
+      s"expected one h1 per watermark era + h2, got $out")
+  }
+
   test("heartbeat injection closes windows for a stream that has gone idle (W4 idleness mitigation)") {
     import spark.implicits._
     import graft.streaming.Heartbeat
