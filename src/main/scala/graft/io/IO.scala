@@ -41,6 +41,20 @@ object Sources {
   def jsonDir(spark: SparkSession, path: String,
               schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).json(path)
+
+  /** Batch file readers (S6), schema always explicit: at 100 TB schema
+    * inference is a full extra pass over the data AND a correctness hazard
+    * (a column that happens to look numeric in the sampled files flips type
+    * between runs). PERMISSIVE mode keeps malformed rows as nulls — same
+    * drop-don't-sentinel decision as the stream codec (SURVEY §1.5). */
+  def json(spark: SparkSession, path: String,
+           schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def csv(spark: SparkSession, path: String,
+          schema: org.apache.spark.sql.types.StructType,
+          header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
 }
 
 object Sinks {

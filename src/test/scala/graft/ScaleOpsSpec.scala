@@ -78,4 +78,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { case (p, ok) => assert(ok, s"sketch out of bound at exact=$p") }
   }
+
+  test("AQE splits a skewed join partition at runtime (the planner-side peer of q23's manual salting)") {
+    import spark.implicits._
+    val restore = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force sort-merge
+    // shrink the thresholds so fixture-sized skew triggers the rewrite
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    try {
+      val pad = "x" * 100
+      // one hot key carrying ~50x the bytes of every other key
+      val left = ((1 to 50000).map(i => (0L, s"$pad$i")) ++
+        (1 to 1000).flatMap(i => (1L to 4L).map(k => (k, s"$pad$i")))).toDF("k", "payload")
+      val right = (0L to 4L).flatMap(k => (1 to 50).map(i => (k, i))).toDF("k", "v")
+      val joined = left.join(right, "k")
+      // execute THIS queryExecution (count() would plan a separate query and
+      // leave this one un-run with isFinalPlan=false)
+      joined.queryExecution.toRdd.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not mark the join skewed:\n$plan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
