@@ -43,4 +43,28 @@ class PercentileDiscSpec extends SparkSpec {
       .agg(PercentileDisc.p95(col("v"))).head.getDouble(0)
     assert(got == brute(xs, 0.95))
   }
+
+  test("rank band always contains percentile_approx(accuracy=10000) — q24's deterministic contract") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, percentile_approx}
+    // adversarial distributions: heavy ties, huge gaps between adjacent
+    // order statistics, tiny groups — the cases where a value-relative
+    // tolerance fails but the rank band must still hold
+    val rng = new scala.util.Random(42)
+    val cases = Seq(
+      (1 to 7).map(_.toDouble),
+      Seq.fill(500)(1.0) ++ Seq.fill(30)(1e9),
+      (1 to 2000).map(_ => math.pow(10, rng.nextInt(9)).toDouble),
+      Seq.fill(3)(0.0) ++ Seq(1e12)
+    )
+    cases.zipWithIndex.foreach { case (xs, i) =>
+      val row = spark.sparkContext.parallelize(xs, 5).toDF("v")
+        .agg(
+          PercentileDisc.p95Band(col("v")).as("band"),
+          percentile_approx(col("v"), lit(0.95), lit(10000)).as("approx"))
+        .select(col("band._1"), col("band._2"), col("approx").cast("double")).head
+      val (lo, hi, ap) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+      assert(lo <= ap && ap <= hi, s"case $i: approx $ap outside band [$lo, $hi]")
+    }
+  }
 }
