@@ -79,6 +79,31 @@ class ScaleOpsSpec extends SparkSpec {
     rows.foreach { case (p, ok) => assert(ok, s"sketch out of bound at exact=$p") }
   }
 
+  test("asOfJoin: latest prior right row attached, ties match, no-prior is null-padded") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"), (3L, 10L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 100L, 10.0), (1L, 150L, 20.0), (1L, 150L, 20.0), (2L, 60L, 30.0))
+      .toDF("k", "t", "v")
+    val out = graft.ops.AsOfJoin.asOfJoin(left, right, "k", "t", Seq("t", "v"))
+      .select(col("tag"), col("asof_t"), col("asof_v")).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+    assert(out == Set(
+      ("a", 100L, 10.0),  // tie: right at t==left.t matches (>= semantics)
+      ("b", 150L, 20.0),  // latest prior of several
+      ("c", -1L, -1.0),   // right exists only later -> null
+      ("d", -1L, -1.0)))  // key has no right rows at all
+  }
+
+  test("asOfJoin plans one exchange on the key and no join node") {
+    val plan = graft.ops.AsOfJoin.q31(spark, sf0001).queryExecution.executedPlan.toString
+    val exchanges = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"as-of should not plan a join operator:\n$plan")
+  }
+
   test("AQE splits a skewed join partition at runtime (the planner-side peer of q23's manual salting)") {
     import spark.implicits._
     val restore = Seq(
