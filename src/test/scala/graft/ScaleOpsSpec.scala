@@ -104,6 +104,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"as-of should not plan a join operator:\n$plan")
   }
 
+  test("rangeJoin: boundary semantics exact, bucket-spanning intervals found, no duplicate pairs") {
+    import spark.implicits._
+    val points = Seq((1L, 100L), (2L, 110L), (3L, 99L), (4L, 1000L), (5L, 105L))
+      .toDF("pid", "t")
+    val intervals = Seq((10L, 100L, 110L), (11L, 95L, 2000L)).toDF("iid", "lo", "hi")
+    // granule (7) deliberately smaller than both widths: interval 11 spans
+    // ~270 buckets and must still pair each point exactly once
+    val out = graft.ops.RangeJoin.rangeJoin(points, intervals, "t", "lo", "hi", granule = 7L)
+      .select(col("pid"), col("iid")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == out.distinct.length, "replicated interval produced duplicate pairs")
+    assert(out.toSet == Set(
+      (1L, 10L), (1L, 11L),  // t == lo is IN
+      (5L, 10L), (5L, 11L),
+      (2L, 11L),             // t == hi is OUT for interval 10
+      (3L, 11L), (4L, 11L))) // spanning interval catches everything in range
+  }
+
+  test("rangeJoin plans an equi-join on the bucket, not a nested-loop/cartesian") {
+    val plan = graft.ops.RangeJoin.q32(spark, sf0001).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to O(P*I):\n$plan")
+  }
+
   test("AQE splits a skewed join partition at runtime (the planner-side peer of q23's manual salting)") {
     import spark.implicits._
     val restore = Seq(
