@@ -104,6 +104,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"as-of should not plan a join operator:\n$plan")
   }
 
+  test("sequence packing: tokens conserved, bins contiguous per lane, overflow bounded by one doc") {
+    import spark.implicits._
+    import graft.ops.SequencePack
+    val docs = graft.oracle.Tables.table(spark, sf0001, "documents")
+    val bins = SequencePack.pack(docs, SequencePack.Budget, SequencePack.Shards).cache()
+    val tokTotal = docs.select(size(split(col("text"), " ")).cast("long")).as[Long].collect().sum
+    val maxDoc = docs.select(size(split(col("text"), " ")).cast("long")).as[Long].collect().max
+    assert(bins.agg(sum("bin_tokens")).head.getLong(0) == tokTotal, "tokens not conserved")
+    // cumulative-fill guarantee: a bin exceeds the budget only by the one
+    // straddling document
+    val worst = bins.agg(max("bin_tokens")).head.getLong(0)
+    assert(worst < SequencePack.Budget + maxDoc, s"bin of $worst tokens exceeds budget+1doc")
+    // bins within each (source, shard) lane are contiguous from 0
+    val lanes = bins.groupBy("source", "shard")
+      .agg(min("bin").as("lo"), max("bin").as("hi"), count(lit(1)).as("n"))
+      .filter(col("lo") =!= 0 || col("n") =!= col("hi") + 1)
+    assert(lanes.isEmpty, "bin ids have gaps within a lane")
+    bins.unpersist()
+  }
+
   test("rangeJoin: boundary semantics exact, bucket-spanning intervals found, no duplicate pairs") {
     import spark.implicits._
     val points = Seq((1L, 100L), (2L, 110L), (3L, 99L), (4L, 1000L), (5L, 105L))
