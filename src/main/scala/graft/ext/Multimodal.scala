@@ -154,8 +154,77 @@ object Multimodal {
       |       md5(substr(text, CAST(frame_idx * stride + 1 AS BIGINT), stride)) AS frame_hash
       |FROM i""".stripMargin
 
+  // ---------------------------------------------------------------- resize
+  /** Aspect-preserving bound into a `maxW`×`maxH` box, integer arithmetic
+    * only (millipixel scale factor) so every engine/replica computes the
+    * identical target — never upscales. The real-codec version runs inside
+    * the [[decodeAll]] partition loop; the geometry is the testable part. */
+  def resizeDims(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    require(maxW > 0 && maxH > 0, "target box must be positive")
+    if (w <= 0 || h <= 0) (0, 0)
+    else {
+      val scale = math.min(1000L, math.min(maxW * 1000L / w, maxH * 1000L / h))
+      (math.max(1, w * scale / 1000).toInt, math.max(1, h * scale / 1000).toInt)
+    }
+  }
+
+  final case class ResizedMedia(
+      doc_id: Long, width: Int, height: Int, out_w: Int, out_h: Int)
+
+  /** Partition-batched resize over decoded media (the batch shape a real
+    * image library runs in; geometry via [[resizeDims]]). */
+  def resizeAll(decoded: Dataset[DecodedMedia], maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions { it =>
+      it.map { d =>
+        val (ow, oh) = resizeDims(d.width, d.height, maxW, maxH)
+        ResizedMedia(d.doc_id, d.width, d.height, ow, oh)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- q34
+  /** Cheap per-media feature extraction (the text-bytes stand-in for pixel
+    * statistics): char-class counts via global regexp deletion — pure
+    * codegen'd expressions, which IS the right Spark shape for cheap
+    * features (the mapPartitions shape is for codec-bound work: decodeAll,
+    * frameSample, resizeAll). Aggregated per source for the oracle. */
+  def q34(spark: SparkSession, sfDir: String): DataFrame = {
+    val len = length(col("text")).cast("long")
+    def without(re: String) = length(regexp_replace(col("text"), re, "")).cast("long")
+    Tables.table(spark, sfDir, "documents")
+      .select(
+        col("doc_id"), col("source"), len.as("n_chars"),
+        (len - without("[aeiou]")).as("vowels"),
+        (len - without("[0-9]")).as("digits"),
+        (len - without(" ")).as("spaces"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        sum(col("vowels")).as("vowels"),
+        sum(col("digits")).as("digits"),
+        round(avg(col("vowels") / col("n_chars")), 6).as("vowel_ratio"),
+        round(avg(col("spaces") / col("n_chars")), 6).as("space_ratio"))
+  }
+
+  private val q34Sql =
+    """WITH f AS (SELECT doc_id, source, length(text) AS n_chars,
+      |                  length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS vowels,
+      |                  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+      |                  length(text) - length(regexp_replace(text, ' ', '', 'g')) AS spaces
+      |           FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars,
+      |       CAST(sum(vowels) AS BIGINT) AS vowels,
+      |       CAST(sum(digits) AS BIGINT) AS digits,
+      |       round(avg(vowels / CAST(n_chars AS DOUBLE)), 6) AS vowel_ratio,
+      |       round(avg(spaces / CAST(n_chars AS DOUBLE)), 6) AS space_ratio
+      |FROM f GROUP BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q22_multimodal_meta", mediaMeta, Some(q22Sql)),
-    QueryDef("q30_frame_sample", q30, Some(q30Sql))
+    QueryDef("q30_frame_sample", q30, Some(q30Sql)),
+    QueryDef("q34_media_features", q34, Some(q34Sql))
   )
 }

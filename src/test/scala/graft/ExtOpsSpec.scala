@@ -124,6 +124,24 @@ class ExtOpsSpec extends SparkSpec {
       Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  test("resize geometry: aspect preserved, never upscales, degenerate dims safe") {
+    import graft.ext.Multimodal.resizeDims
+    assert(resizeDims(2000, 1000, 512, 512) == (512, 256)) // bound by width
+    assert(resizeDims(1000, 2000, 512, 512) == (256, 512)) // bound by height
+    assert(resizeDims(100, 50, 512, 512) == (100, 50))     // never upscale
+    assert(resizeDims(0, 50, 512, 512) == (0, 0))          // degenerate input
+    // extreme aspect: integer millipixel scale floors (5/1000) -> 500 wide, 1px tall
+    assert(resizeDims(100000, 1, 512, 512) == (500, 1))
+    // partition-batched path agrees with the pure geometry
+    import spark.implicits._
+    val decoded = Multimodal.decodeAll(Multimodal.mediaRecords(spark, sf0001))
+    val bad = Multimodal.resizeAll(decoded, 300, 200).collect().count { r =>
+      resizeDims(r.width, r.height, 300, 200) != ((r.out_w, r.out_h)) ||
+        r.out_w > 300 || r.out_h > 200
+    }
+    assert(bad == 0)
+  }
+
   test("quality score stays in [0, 1] and token counts are positive") {
     val q = TextOps.quality(spark, sf0001)
     assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
