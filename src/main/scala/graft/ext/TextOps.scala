@@ -338,10 +338,12 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------- q16
-  /** Quality scoring: type-token ratio, stopword ratio, word stats → score. */
-  def quality(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.table(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+  /** Per-doc quality columns over any frame carrying (doc_id, text) —
+    * shared by q16 and the composed corpus pipeline (q35) so the formula
+    * cannot drift between them. */
+  def scoredDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
       .withColumn("n_words", size(col("ws")).cast("long"))
       .withColumn("ttr", round(size(array_distinct(col("ws"))) / col("n_words"), 4))
       .withColumn("stop_ratio", round(
@@ -354,6 +356,10 @@ object TextOps {
       .withColumn("quality_score", floor(
         (lit(0.4) * col("ttr") + lit(0.3) * least(col("n_words") / 100.0, lit(1.0)) +
          lit(0.3) * (lit(1.0) - col("stop_ratio"))) * 10000) / 10000)
+
+  /** Quality scoring: type-token ratio, stopword ratio, word stats → score. */
+  def quality(spark: SparkSession, sfDir: String): DataFrame =
+    scoredDocs(Tables.table(spark, sfDir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("n_words"), col("ttr"), col("stop_ratio"),
         col("avg_word_len"), col("quality_score"))
 

@@ -104,6 +104,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"as-of should not plan a join operator:\n$plan")
   }
 
+  test("corpus pipeline: composition agrees with the standalone operators it composes") {
+    import spark.implicits._
+    import graft.ops.CorpusPipeline
+    val surv = CorpusPipeline.survivors(
+      graft.oracle.Tables.table(spark, sf0001, "documents")).cache()
+    // dedup component == q11's winners
+    val q11Winners = graft.ext.TextOps.dedupExact(spark, sf0001)
+      .filter(col("is_dup") === 0).select("doc_id").as[Long].collect().toSet
+    val survIds = surv.select("doc_id").as[Long].collect().toSet
+    assert(survIds.subsetOf(q11Winners), "pipeline kept a doc q11 calls a duplicate")
+    // quality component == q16's scores, gate applied
+    val q16Scores = graft.ext.TextOps.quality(spark, sf0001)
+      .select(col("doc_id"), col("quality_score")).as[(Long, Double)].collect().toMap
+    surv.select(col("doc_id"), col("quality_score")).as[(Long, Double)].collect().foreach {
+      case (id, q) =>
+        assert(q == q16Scores(id), s"doc $id: pipeline score $q != q16 ${q16Scores(id)}")
+        assert(q >= CorpusPipeline.QualityFloor)
+    }
+    // language gate
+    assert(surv.select("lang").distinct().as[String].collect().toSet
+      .subsetOf(CorpusPipeline.Langs.toSet))
+    surv.unpersist()
+  }
+
   test("sequence packing: tokens conserved, bins contiguous per lane, overflow bounded by one doc") {
     import spark.implicits._
     import graft.ops.SequencePack
