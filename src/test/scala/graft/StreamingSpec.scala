@@ -79,6 +79,33 @@ class StreamingSpec extends SparkSpec {
       s"expected one h1 per watermark era + h2, got $out")
   }
 
+  test("streaming corpus ingestion: dedup + quality gate run as one continuous query") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(e: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(e))
+    val hiQ = (1 to 60).map(i => s"word$i").mkString(" ")   // distinct words -> high ttr
+    val loQ = Seq.fill(60)("the").mkString(" ")             // stopword soup -> low score
+    val docs = stream.toDF().toDF("doc_id", "text", "event_time")
+      .withColumn("h", sha2(col("text"), 256))
+    val gated = graft.ext.TextOps.scoredDocs(
+        graft.ops.StreamingDedup.dedup(docs, Seq("h"), delay = "10 seconds"))
+      .filter(col("quality_score") >= graft.ops.CorpusPipeline.QualityFloor)
+      .select("doc_id")
+    val sq = gated.writeStream.format("memory").queryName("corpus_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, hiQ, ts(T0)), (2L, loQ, ts(T0 + 1)))
+      sq.processAllAvailable()
+      stream.addData((3L, hiQ, ts(T0 + 2)))  // exact dup of doc 1, in window
+      sq.processAllAvailable()
+      stream.addData((4L, hiQ + " extra", ts(T0 + 3)))  // novel high-quality
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val out = spark.table("corpus_stream").as[Long].collect().toSet
+    assert(out == Set(1L, 4L),
+      s"expected dedup to drop 3 and the gate to drop 2, got $out")
+  }
+
   test("heartbeat injection closes windows for a stream that has gone idle (W4 idleness mitigation)") {
     import spark.implicits._
     import graft.streaming.Heartbeat
