@@ -27,15 +27,19 @@ object CorpusPipeline {
   val Langs: Seq[String] = Seq("en", "de", "fr")
 
   /** Surviving per-doc frame: dedup winners, quality ≥ floor, lang ∈ Langs,
-    * with (doc_id, source, lang, n_words, quality_score). */
+    * with (doc_id, source, lang, n_words, quality_score). Dedup is q11's
+    * min-id-per-content-hash rule expressed as a window over the hash —
+    * ONE corpus scan and ONE shuffle (by the high-cardinality hash, so
+    * fully parallel), where the groupBy+self-join formulation scans the
+    * corpus twice and shuffles a second time on doc_id. */
   def survivors(docs: DataFrame,
                 qualityFloor: Double = QualityFloor,
                 langs: Seq[String] = Langs): DataFrame = {
-    val hashed = docs.withColumn("h", sha2(col("text"), 256))
-    // q11's rule: the minimum doc_id of each content-hash group survives
-    val winners = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    graft.ext.TextOps.scoredDocs(hashed.join(winners, "doc_id"))
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val kept = docs.withColumn("h", sha2(col("text"), 256))
+      .withColumn("_keep", min(col("doc_id")).over(byHash))
+      .filter(col("doc_id") === col("_keep"))
+    graft.ext.TextOps.scoredDocs(kept)
       .filter(col("quality_score") >= qualityFloor &&
         col("lang").isInCollection(langs))
       .select(col("doc_id"), col("source"), col("lang"),

@@ -18,6 +18,12 @@ class PlanSpec extends SparkSpec {
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 
+  test("q35: the composed pipeline reads documents exactly once") {
+    val p = plan(graft.ops.CorpusPipeline.q35(spark, sf0001))
+    assert(countOccurrences(p, "Scan parquet") == 1,
+      s"pipeline should scan the corpus once:\n$p")
+  }
+
   test("q06/q08: the alerts union reads events at most twice (once per branch)") {
     // spikes (sliding error-rate) and breaches (tumbling p95 + run-length)
     // aggregate on different window grains, so they cannot share one
