@@ -79,6 +79,45 @@ class ScaleOpsSpec extends SparkSpec {
     rows.foreach { case (p, ok) => assert(ok, s"sketch out of bound at exact=$p") }
   }
 
+  test("asOfJoin == brute-force reference on seeded random data (300x300, 20 keys)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val left = (1 to 300).map(i => (i.toLong, rng.nextInt(20).toLong, rng.nextInt(1000).toLong))
+    // unique (k, t) on the right so the expected answer is deterministic
+    val right = (1 to 300).map(_ => ((rng.nextInt(20).toLong, rng.nextInt(1000).toLong), rng.nextInt(10000)))
+      .toMap.toSeq.map { case ((k, t), v) => (k, t, v) }
+    val got = graft.ops.AsOfJoin.asOfJoin(
+        left.toDF("id", "k", "t"), right.toDF("k", "t", "v"), "k", "t", Seq("v"))
+      .select(col("id"), col("asof_v")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    left.foreach { case (id, k, t) =>
+      val expect = right.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(got(id) == expect, s"left $id (k=$k t=$t): got ${got(id)} want $expect")
+    }
+  }
+
+  test("rangeJoin == brute-force reference on seeded random intervals (variable widths > granule)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val points = (1 to 250).map(i => (i.toLong, rng.nextInt(2000).toLong))
+    val intervals = (1 to 120).map { i =>
+      val lo = rng.nextInt(2000).toLong; (i.toLong, lo, lo + 1 + rng.nextInt(100))
+    }
+    val got = graft.ops.RangeJoin.rangeJoin(
+        points.toDF("pid", "t"), intervals.toDF("iid", "lo", "hi"),
+        "t", "lo", "hi", granule = 16L)
+      .select(col("pid"), col("iid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (for {
+      (pid, t) <- points
+      (iid, lo, hi) <- intervals
+      if t >= lo && t < hi
+    } yield (pid, iid)).toSet
+    assert(got == expect,
+      s"missing=${expect -- got take 5} extra=${got -- expect take 5}")
+  }
+
   test("asOfJoin: latest prior right row attached, ties match, no-prior is null-padded") {
     import spark.implicits._
     val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"), (3L, 10L, "d"))
