@@ -41,6 +41,9 @@ object AsOfJoin {
       .withColumn("_side", lit(1))
     val r = right
       .select((col(key) +: col(timeCol) +: carry.map(c => col(c))).distinct: _*)
+      // a null-time right row would sort nulls-first and be carried into
+      // every left row as a bogus "prior" — an unknown time matches nothing
+      .filter(col(timeCol).isNotNull)
       .withColumn("_asof", struct(carry.map(col): _*))
       .withColumn("_side", lit(0))
     val lCols = l.columns

@@ -32,9 +32,14 @@ object RangeJoin {
                 granule: Long): DataFrame = {
     require(granule > 0, "granule must be positive")
     // hi is exclusive: an interval ending exactly on a bucket boundary does
-    // not reach into that bucket — replicate over lo/g .. (hi-1)/g
-    val ip = intervals.withColumn("_g",
-      explode(expr(s"sequence($loCol div $granule, ($hiCol - 1) div $granule)")))
+    // not reach into that bucket — replicate over lo/g .. (hi-1)/g. Empty
+    // intervals (hi <= lo) are dropped up front: they can never contain a
+    // point, and Spark's sequence(a, b) with b < a would DESCEND, scattering
+    // useless replicas across unrelated buckets
+    val ip = intervals
+      .filter(col(hiCol) > col(loCol))
+      .withColumn("_g",
+        explode(expr(s"sequence($loCol div $granule, ($hiCol - 1) div $granule)")))
     val pp = points.withColumn("_g", expr(s"$pointCol div $granule"))
     pp.join(ip, "_g")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))

@@ -122,7 +122,8 @@ class ScaleOpsSpec extends SparkSpec {
     import spark.implicits._
     val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"), (3L, 10L, "d"))
       .toDF("k", "t", "tag")
-    val right = Seq((1L, 100L, 10.0), (1L, 150L, 20.0), (1L, 150L, 20.0), (2L, 60L, 30.0))
+    val right = Seq((1L, Some(100L), 10.0), (1L, Some(150L), 20.0), (1L, Some(150L), 20.0),
+      (2L, Some(60L), 30.0), (1L, None, 99.0)) // null-time right row must be ignored
       .toDF("k", "t", "v")
     val out = graft.ops.AsOfJoin.asOfJoin(left, right, "k", "t", Seq("t", "v"))
       .select(col("tag"), col("asof_t"), col("asof_v")).collect()
@@ -191,7 +192,9 @@ class ScaleOpsSpec extends SparkSpec {
     import spark.implicits._
     val points = Seq((1L, 100L), (2L, 110L), (3L, 99L), (4L, 1000L), (5L, 105L))
       .toDF("pid", "t")
-    val intervals = Seq((10L, 100L, 110L), (11L, 95L, 2000L)).toDF("iid", "lo", "hi")
+    val intervals = Seq((10L, 100L, 110L), (11L, 95L, 2000L),
+      (12L, 500L, 500L), (13L, 700L, 600L)) // empty/inverted intervals match nothing
+      .toDF("iid", "lo", "hi")
     // granule (7) deliberately smaller than both widths: interval 11 spans
     // ~270 buckets and must still pair each point exactly once
     val out = graft.ops.RangeJoin.rangeJoin(points, intervals, "t", "lo", "hi", granule = 7L)
