@@ -152,9 +152,47 @@ object Similarity {
        |      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
        |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.25""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  /** Symmetric int8 quantization of the embedding store — the 4× memory /
+    * bandwidth lever for a billion-vector corpus (float32 → int8 with a
+    * per-vector scale; ANN recall loss is bounded by the quantization step
+    * scale/127). Pure map-side expression work. Rounding is floor(x + 0.5)
+    * — written explicitly on BOTH engines because round() half-handling
+    * differs between them. The oracle contract carries an index-weighted
+    * checksum of the quantized codes (order-sensitive: a permuted code
+    * vector fails) plus `within_bound` = max dequantization error within
+    * the theoretical step bound — the oracle recomputes checksum exactly
+    * and asserts TRUE. */
+  def q36(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir)
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("q", expr("transform(v, x -> cast(floor(x * 127 / scale + 0.5) AS BIGINT))"))
+      .withColumn("max_err", expr(
+        "aggregate(zip_with(q, v, (qi, x) -> abs(cast(qi AS DOUBLE) * scale / 127 - x)), " +
+          "cast(0 AS double), (m, e) -> greatest(m, e))"))
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale_r"),
+        expr("aggregate(zip_with(q, sequence(1, size(q)), (a, i) -> a * cast(i AS BIGINT)), " +
+          "0L, (acc, x) -> acc + x)").as("checksum"),
+        // rounding error is <= scale/254 by construction; 250 leaves fp slack
+        (col("max_err") * 250.0 <= col("scale")).as("within_bound"))
+
+  private val q36Sql =
+    s"""WITH $embCte,
+       |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM emb),
+       |z AS (SELECT vec_id, scale,
+       |             list_transform(v, (x, i) -> CAST(floor(x * 127 / scale + 0.5) AS BIGINT) * i) AS prods
+       |      FROM sc)
+       |SELECT vec_id, round(scale, 6) AS scale_r,
+       |       CAST(list_sum(prods) AS BIGINT) AS checksum,
+       |       TRUE AS within_bound
+       |FROM z""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q19_cosine_topk", cosineTopK, Some(q19Sql)),
     QueryDef("q20_ann_ivf", annIvf, Some(q20Sql)),
-    QueryDef("q21_embed_neardup_lsh", embedNearDup(_, _), Some(q21Sql))
+    QueryDef("q21_embed_neardup_lsh", embedNearDup(_, _), Some(q21Sql)),
+    QueryDef("q36_embed_quantize", q36, Some(q36Sql))
   )
 }
