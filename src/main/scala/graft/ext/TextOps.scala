@@ -276,6 +276,10 @@ object TextOps {
 
   val DefaultDfCap = 1000
 
+  /** q14's full oracle SQL, exposed so q38's cluster oracle can reuse the
+    * identical pair definition as a derived-table subquery. */
+  def q14SqlText: String = q14Sql
+
   private val q14Sql =
     s"""WITH $shingleCte,
        |ok AS (SELECT s FROM shing GROUP BY s HAVING count(*) <= $DefaultDfCap),

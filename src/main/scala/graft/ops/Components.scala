@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.oracle.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate PAIR list — the step every
+  * dedup pipeline needs after q12/q14/q21: pairs say "a≈b", but keeping one
+  * canonical doc per GROUP requires the transitive closure (a≈b, b≈c ⇒
+  * {a,b,c} is one cluster, even though (a,c) was never emitted).
+  *
+  * Spark-first iterative min-label propagation: every vertex starts
+  * labeled with itself; each round takes the min label over itself and its
+  * neighbors; fixpoint = components labeled by their minimum member.
+  * Rounds needed = component diameter — near-dup clusters are shallow
+  * (duplicates of a common ancestor), so a handful of rounds converges;
+  * the loop exits early via a changed-row count and is capped by
+  * `maxIter`. Each round is one equi-join + one min-aggregation, both on
+  * the vertex key — the standard distributed-CC building block (the
+  * alternating-star variant halves diameter for worst-case graphs; not
+  * needed for dedup-shaped clusters and kept out for plan simplicity).
+  *
+  * The oracle computes the same closure with a recursive CTE (cycle-safe:
+  * recursive UNION dedups), so q38 pins the whole pairs→clusters chain.
+  */
+object Components {
+
+  /** (vertex, cluster_id) for every vertex appearing in `pairs`, where
+    * cluster_id = the component's minimum vertex id. */
+  def connectedComponents(pairs: DataFrame, a: String, b: String,
+                          maxIter: Int = 15): DataFrame = {
+    val bi = pairs.select(col(a).as("x"), col(b).as("y"))
+      .union(pairs.select(col(b).as("x"), col(a).as("y")))
+      .distinct()
+    var labels = bi.select(col("x").as("v")).distinct()
+      .withColumn("lbl", col("v")).cache()
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val viaNeighbor = bi.join(labels.select(col("v").as("y"), col("lbl")), "y")
+        .select(col("x").as("v"), col("lbl"))
+      val updated = labels.select(col("v"), col("lbl")).union(viaNeighbor)
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl")).cache()
+      val changed = updated.join(labels.withColumnRenamed("lbl", "prev"), "v")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("v"), col("lbl").as("cluster_id"))
+  }
+
+  // ---------------------------------------------------------------- q38
+  /** Clusters over q14's n-gram-Jaccard near-dup pairs: every clustered
+    * doc with its canonical (minimum) id and cluster size. */
+  def q38(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = graft.ext.TextOps.ngramJaccard(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = connectedComponents(pairs, "doc_a", "doc_b")
+    cc.join(cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size")), "cluster_id")
+      .select(col("v").as("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
+  private val q38Sql =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b FROM (${graft.ext.TextOps.q14SqlText}) q14),
+       |bi AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+       |       UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT x, x FROM bi
+       |  UNION
+       |  SELECT r.src, bi.y FROM reach r JOIN bi ON r.dst = bi.x),
+       |lbl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id)
+       |SELECT doc_id, lbl.cluster_id, cluster_size
+       |FROM lbl JOIN sz ON lbl.cluster_id = sz.cluster_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q38_dedup_clusters", q38, Some(q38Sql))
+  )
+}

@@ -79,6 +79,28 @@ class ScaleOpsSpec extends SparkSpec {
     rows.foreach { case (p, ok) => assert(ok, s"sketch out of bound at exact=$p") }
   }
 
+  test("connected components: transitivity, cycles, and random graphs vs union-find reference") {
+    import spark.implicits._
+    // hand case: chain 1-2-3 + cycle 10-11-12-10 + isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L))
+    val got = graft.ops.Components.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    // seeded random graph vs a union-find reference
+    val rng = new scala.util.Random(13)
+    val edges = (1 to 120).map(_ => (rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+      .filter { case (x, y) => x != y }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (x, y) => parent(find(x)) = find(y) }
+    val verts = edges.flatMap { case (x, y) => Seq(x, y) }.distinct
+    val expect = verts.groupBy(find).flatMap { case (_, vs) => vs.map(_ -> vs.min) }.toMap
+    val got2 = graft.ops.Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == expect, s"diff=${got2.toSet -- expect.toSet}")
+  }
+
   test("asOfJoin == brute-force reference on seeded random data (300x300, 20 keys)") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
