@@ -29,25 +29,42 @@ object Components {
     * cluster_id = the component's minimum vertex id. */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
                           maxIter: Int = 15): DataFrame = {
+    // The edge list is re-joined every round: without a cache each
+    // iteration re-runs the whole upstream pair derivation (for q38 that is
+    // q14's shingle -> inverted-index -> verify chain, the most expensive
+    // subtree in the query). Materialize it once; it is the (small) output
+    // of near-dup detection, not the corpus.
     val bi = pairs.select(col(a).as("x"), col(b).as("y"))
       .union(pairs.select(col(b).as("x"), col(a).as("y")))
       .distinct()
-    var labels = bi.select(col("x").as("v")).distinct()
-      .withColumn("lbl", col("v")).cache()
-    var i = 0
+      .cache()
+    // Round 1 fused into initialization: label(v) = min(v, neighbors(v)) is
+    // one aggregation over the edge list — a full propagation round for the
+    // price of the vertex-derivation scan the old self-label seed paid
+    // anyway.
+    var labels = bi.groupBy(col("x").as("v"))
+      .agg(min(col("y")).as("m"))
+      .select(col("v"), least(col("v"), col("m")).as("lbl"))
+      .cache()
+    var i = 1
     var converged = false
     while (!converged && i < maxIter) {
-      val viaNeighbor = bi.join(labels.select(col("v").as("y"), col("lbl")), "y")
-        .select(col("x").as("v"), col("lbl"))
-      val updated = labels.select(col("v"), col("lbl")).union(viaNeighbor)
-        .groupBy(col("v")).agg(min(col("lbl")).as("lbl")).cache()
-      val changed = updated.join(labels.withColumnRenamed("lbl", "prev"), "v")
-        .filter(col("lbl") =!= col("prev")).count()
+      // One job per round: the previous label rides along as `prev`, so the
+      // convergence count needs no second join against the prior frame.
+      // Inner join is total: every labeled v appears as bi.x with >= 1
+      // neighbor by construction.
+      val nbrMin = bi.join(labels.select(col("v").as("y"), col("lbl").as("nl")), "y")
+        .groupBy(col("x").as("v")).agg(min(col("nl")).as("nl"))
+      val stepped = labels.join(nbrMin, "v")
+        .select(col("v"), least(col("lbl"), col("nl")).as("lbl"), col("lbl").as("prev"))
+        .cache()
+      val changed = stepped.filter(col("lbl") =!= col("prev")).count()
       labels.unpersist()
-      labels = updated
+      labels = stepped.select(col("v"), col("lbl"))
       converged = changed == 0
       i += 1
     }
+    bi.unpersist()
     labels.select(col("v"), col("lbl").as("cluster_id"))
   }
 
