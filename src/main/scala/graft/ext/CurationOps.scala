@@ -1,0 +1,293 @@
+package graft.ext
+
+import graft.oracle.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs on
+  * top of the dedup/quality/sampling family in [[TextOps]]/[[graft.ops.ScaleOps]]:
+  * benchmark decontamination, Gopher-style repetition filtering, bloom-filter
+  * incremental dedup, and temperature-weighted mixture resampling.
+  *
+  * Scale posture mirrors the rest of the library: per-document statistics are
+  * array folds inside whole-stage codegen (zero pre-aggregation shuffle); the
+  * only broadcast sides are small BY CONSTRUCTION (an eval set's shingle
+  * vocabulary, a bloom bitmap, a per-source rate table); sampling decisions
+  * are deterministic hash thresholds (retry/replay-stable, engine-portable),
+  * never `rand()`.
+  */
+object CurationOps {
+
+  // ---------------------------------------------------------------- q39
+  /** Benchmark decontamination — flag training documents whose word-3-gram
+    * shingles overlap an evaluation set's shingle vocabulary (the standard
+    * n-gram-overlap decontamination rule used before LLM training runs).
+    *
+    * The "benchmark" here is the deterministic pseudo-eval slice
+    * `doc_id % 20 == 7` (~5% of the corpus at every SF); a real pipeline
+    * passes its own eval table. A training doc is contaminated when at least
+    * half of its distinct shingles appear in the benchmark vocabulary
+    * (integer predicate `2·overlap ≥ n`, no FP boundary).
+    *
+    * Scale shape: the eval set is tiny relative to the training corpus by
+    * construction, so its distinct-shingle vocabulary is BROADCAST and the
+    * overlap count is a map-side broadcast semi-join — the 100 TB corpus is
+    * scanned once, never shuffled by shingle; the only hash exchange is the
+    * per-document overlap count. */
+  def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = TextOps.docShingleArr(spark, sfDir, distinct = true)
+    val bench = sh.filter(col("doc_id") % 20 === 7)
+      .select(explode(col("sarr")).as("s")).distinct()
+    sh.filter(col("doc_id") % 20 =!= 7)
+      .select(col("doc_id"), size(col("sarr")).cast("long").as("n_shingles"),
+        explode(col("sarr")).as("s"))
+      .join(broadcast(bench), "s")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") * 2 >= col("n_shingles"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        round(col("n_overlap") / col("n_shingles"), 4).as("overlap_ratio"))
+  }
+
+  private val q39Sql =
+    s"""WITH ${TextOps.shingleCte},
+       |bench AS (SELECT DISTINCT s FROM shing WHERE doc_id % 20 = 7),
+       |tr AS (SELECT sh.doc_id, c.n AS n_shingles, count(*) AS n_overlap
+       |       FROM shing sh
+       |       JOIN shcnt c ON c.doc_id = sh.doc_id
+       |       JOIN bench b ON b.s = sh.s
+       |       WHERE sh.doc_id % 20 != 7
+       |       GROUP BY 1, 2)
+       |SELECT doc_id, n_shingles, n_overlap,
+       |       round(n_overlap / n_shingles, 4) AS overlap_ratio
+       |FROM tr WHERE 2 * n_overlap >= n_shingles""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  /** Gopher-style repetition statistics per document: most-frequent-word
+    * fraction, most-frequent-2-gram fraction, duplicate-word ratio, and a
+    * `flagged` bit when any exceeds its threshold (15% / 8% / 68% — tuned so
+    * the synthetic fixture flags ~20%). The thresholds compare in INTEGER
+    * arithmetic (`100·top > k·n`) so both engines agree at exact boundaries.
+    *
+    * The per-doc mode (most frequent element) is computed MAP-SIDE with a
+    * sorted-array run scan — `array_sort` then one `aggregate` fold tracking
+    * (prev, run, best) — instead of the explode → groupBy(doc, word) → max
+    * formulation, which would shuffle every word instance twice. Ties break
+    * to the lexicographically smallest element on both engines (first
+    * max-run in sorted order ≡ min(word) among max-count). The whole
+    * operator is shuffle-free. */
+  private def modeExpr(arr: String): String = {
+    val r = "IF(w <=> a.prev, a.run + 1L, 1L)"
+    s"""aggregate($arr,
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+       |               'bw', CAST(NULL AS STRING), 'bn', 0L),
+       |  (a, w) -> named_struct('prev', w, 'run', $r,
+       |               'bw', IF($r > a.bn, w, a.bw),
+       |               'bn', IF($r > a.bn, $r, a.bn)),
+       |  a -> named_struct('w', a.bw, 'n', a.bn))""".stripMargin
+  }
+
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.TextExprs.register(spark)
+    Tables.fanned(Tables.table(spark, sfDir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws")))
+      .withColumn("tw", expr(modeExpr("array_sort(ws)")))
+      .withColumn("tg", expr(modeExpr("array_sort(word_ngrams(ws, 2))")))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        col("tw.w").as("top_word"),
+        col("tw.n").as("top_word_n"),
+        col("tg.n").as("top_2gram_n"),
+        size(col("ws")).cast("long").minus(size(array_distinct(col("ws")))).as("n_dup_words"),
+        (size(col("ws")) - lit(1)).cast("long").as("n_2grams"))
+      .select(
+        col("doc_id"), col("n_words"), col("top_word"), col("top_word_n"),
+        col("top_2gram_n"),
+        round(col("top_word_n") / col("n_words"), 4).as("top_word_frac"),
+        round(col("top_2gram_n") / col("n_2grams"), 4).as("top_2gram_frac"),
+        round(col("n_dup_words") / col("n_words"), 4).as("dup_word_ratio"),
+        ((col("top_word_n") * 100 > col("n_words") * 15) ||
+         (col("top_2gram_n") * 100 > col("n_2grams") * 8) ||
+         (col("n_dup_words") * 100 > col("n_words") * 68)).cast("int").as("flagged"))
+  }
+
+  private val q40Sql =
+    """WITH docsw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |w AS (SELECT doc_id, unnest(ws) AS w FROM docsw),
+      |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+      |tw AS (SELECT doc_id, w, c FROM (
+      |         SELECT doc_id, w, c,
+      |                row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, w) AS rn
+      |         FROM wc) WHERE rn = 1),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |             i -> ws[i] || ' ' || ws[i + 1])) AS g
+      |      FROM docsw WHERE len(ws) >= 2),
+      |gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+      |tg AS (SELECT doc_id, max(c) AS c FROM gc GROUP BY doc_id),
+      |d AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+      |             (len(ws) - len(list_distinct(ws)))::BIGINT AS n_dup_words,
+      |             (len(ws) - 1)::BIGINT AS n_2grams
+      |      FROM docsw)
+      |SELECT d.doc_id, n_words, tw.w AS top_word,
+      |       CAST(tw.c AS BIGINT) AS top_word_n, CAST(tg.c AS BIGINT) AS top_2gram_n,
+      |       round(tw.c / n_words, 4) AS top_word_frac,
+      |       round(tg.c / n_2grams, 4) AS top_2gram_frac,
+      |       round(n_dup_words / n_words, 4) AS dup_word_ratio,
+      |       CASE WHEN tw.c * 100 > n_words * 15 OR tg.c * 100 > n_2grams * 8
+      |                 OR n_dup_words * 100 > n_words * 68 THEN 1 ELSE 0 END AS flagged
+      |FROM d JOIN tw ON tw.doc_id = d.doc_id JOIN tg ON tg.doc_id = d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  /** Bloom-filter incremental dedup — the shape for "does this incoming
+    * batch contain documents already in the corpus" without joining the
+    * batch against the full corpus: build an m-bit bloom filter over corpus
+    * keys (here the md5 of each doc's first-3-word prefix, which has real
+    * collisions in the fixture), broadcast the bitmap, test membership
+    * map-side, and run the exact verification join ONLY for bloom hits —
+    * non-hits are guaranteed-new (no false negatives), which at scale is
+    * the overwhelming majority of the batch and never touches a join.
+    *
+    * The filter is a deterministic Carter-Wegman construction (k=4 probe
+    * positions `(h1 + i·h2) mod m` from the two md5 halves) rather than
+    * Spark's built-in `bloom_filter_agg`/`might_contain` so the DuckDB
+    * oracle reproduces the bitmap bit-for-bit and the false-positive set is
+    * hash-checked exactly, not just contract-checked. The bitmap travels as
+    * a sorted position array (≤ m ints); a production variant would pack it
+    * into a binary bitset expression, but the plan shape — tiny broadcast
+    * build side, map-side probe, join input pre-filtered to hits — is the
+    * 100 TB one. `m` defaults to 16 Ki bits (~5 bits/key at sf0.1, FP ≈ 16%
+    * — deliberately lossy so false positives are exercised; size m at
+    * ~10 bits/key for a production 1% FP rate). */
+  def bloomDedup(spark: SparkSession, sfDir: String, mBits: Int = 16384): DataFrame = {
+    val keyed = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        md5(array_join(slice(split(col("text"), " "), 1, 3), " ")).as("h"))
+      .withColumn("h1", expr(TextOps.hexVal("h", 1, duck = false)))
+      .withColumn("h2", expr(TextOps.hexVal("h", 9, duck = false)))
+    val corpus = keyed.filter(col("doc_id") % 5 =!= 0)
+    val incoming = keyed.filter(col("doc_id") % 5 === 0)
+    def positions(c: DataFrame): Seq[Column] =
+      (0 until 4).map(i => pmod(col("h1") + lit(i.toLong) * col("h2"), lit(mBits.toLong)))
+    val bitmap = corpus
+      .select(explode(array(positions(corpus): _*)).as("pos"))
+      .agg(sort_array(collect_set(col("pos"))).as("bits"))
+    val corpusKeys = corpus.select(col("h").as("ck")).distinct()
+    val probed = incoming.crossJoin(broadcast(bitmap))
+      .withColumn("bloom_hit",
+        positions(incoming).map(p => array_contains(col("bits"), p)).reduce(_ && _))
+      .select(col("doc_id"), col("h"), col("bloom_hit"))
+    val verified = probed.filter(col("bloom_hit"))
+      .join(broadcast(corpusKeys), col("h") === col("ck"), "left")
+      .select(col("doc_id"), col("bloom_hit"), col("ck").isNotNull.as("exact_dup"))
+    val misses = probed.filter(!col("bloom_hit"))
+      .select(col("doc_id"), col("bloom_hit"), lit(false).as("exact_dup"))
+    verified.unionByName(misses)
+      .select(col("doc_id"), col("bloom_hit").cast("int").as("bloom_hit"),
+        col("exact_dup").cast("int").as("exact_dup"),
+        (col("bloom_hit") && !col("exact_dup")).cast("int").as("false_positive"))
+  }
+
+  private val q41Sql = {
+    val h1 = TextOps.hexVal("h", 1, duck = true)
+    val h2 = TextOps.hexVal("h", 9, duck = true)
+    val probes = (0 until 4)
+      .map(i => s"(h1 + $i * h2) % 16384 IN (SELECT pos FROM bits)")
+      .mkString(" AND ")
+    s"""WITH keyed AS (
+       |  SELECT doc_id, md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS h
+       |  FROM documents),
+       |hv AS (SELECT doc_id, h, $h1 AS h1, $h2 AS h2 FROM keyed),
+       |bits AS (SELECT DISTINCT (h1 + i * h2) % 16384 AS pos
+       |         FROM hv CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t
+       |         WHERE doc_id % 5 != 0),
+       |probed AS (
+       |  SELECT doc_id, h, CASE WHEN $probes THEN 1 ELSE 0 END AS bloom_hit
+       |  FROM hv WHERE doc_id % 5 = 0),
+       |flagged AS (
+       |  SELECT doc_id, bloom_hit,
+       |         CASE WHEN bloom_hit = 1 AND h IN (SELECT h FROM hv WHERE doc_id % 5 != 0)
+       |              THEN 1 ELSE 0 END AS exact_dup
+       |  FROM probed)
+       |SELECT doc_id, bloom_hit, exact_dup,
+       |       CASE WHEN bloom_hit = 1 AND exact_dup = 0 THEN 1 ELSE 0 END AS false_positive
+       |FROM flagged""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q42
+  /** Temperature-weighted mixture resampling — downsample each source to hit
+    * a global token budget (half the corpus) with flattened mixture weights
+    * w_s = ⌊√tokens_s⌋ (temperature α = ½: smaller sources keep a HIGHER
+    * fraction, the standard multilingual/multi-source rebalancing rule).
+    * Per-source keep rate (per-mil) = ⌊1000·budget·w_s / (Σw · tokens_s)⌋,
+    * capped at 1000; membership is the same deterministic md5-threshold
+    * sampling as q26 (retry-stable, engine-exact, join-alignment-safe).
+    *
+    * All rate arithmetic is INTEGER (⌊√·⌋ of a bigint is exact in IEEE
+    * double well past 2^52, then pure int64 multiply/divide), so Spark and
+    * DuckDB agree bit-for-bit — no float summation-order hazard crosses the
+    * engines. Scale shape: per-source token totals are a tiny aggregate
+    * (|sources| rows) broadcast back onto the corpus; the sampling decision
+    * itself is map-side; the output aggregate is the only full shuffle, and
+    * it is keyed by source with map-side partials. */
+  def mixtureResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    val perSource = docs.groupBy(col("source"))
+      .agg(sum(col("tok")).as("src_tok"))
+      .withColumn("w", floor(sqrt(col("src_tok"))).cast("long"))
+    val totals = perSource.agg(
+      sum(col("src_tok")).as("corpus_tok"), sum(col("w")).as("sum_w"))
+    val rates = perSource.crossJoin(broadcast(totals))
+      .withColumn("rate_pm", least(lit(1000L),
+        expr("(1000L * (corpus_tok div 2L) * w) div (sum_w * src_tok)")))
+      .select(col("source"), col("src_tok"), col("rate_pm"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("hh", md5(concat(lit("mix|"), col("doc_id"))))
+      .withColumn("bucket", expr(
+        (0 until 6).map { k =>
+          val mult = 1L << (4 * (5 - k))
+          s"CAST(instr('0123456789abcdef', substr(hh, ${1 + k}, 1)) - 1 AS BIGINT) * $mult"
+        }.mkString("(", " + ", ") % 1000")))
+      .filter(col("bucket") < col("rate_pm"))
+      .groupBy(col("source"), col("src_tok"), col("rate_pm"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("tok")).as("kept_tokens"),
+        sum(col("doc_id")).as("id_sum"))
+  }
+
+  private val q42Sql = {
+    val hex6 = (0 until 6).map { k =>
+      val mult = 1L << (4 * (5 - k))
+      s"CAST(strpos('0123456789abcdef', substr(hh, ${1 + k}, 1)) - 1 AS BIGINT) * $mult"
+    }.mkString("(", " + ", ")")
+    s"""WITH docs AS (SELECT doc_id, source,
+       |                     len(string_split(text, ' '))::BIGINT AS tok
+       |              FROM documents),
+       |per AS (SELECT source, CAST(sum(tok) AS BIGINT) AS src_tok FROM docs GROUP BY source),
+       |perw AS (SELECT source, src_tok, CAST(floor(sqrt(src_tok)) AS BIGINT) AS w FROM per),
+       |tot AS (SELECT CAST(sum(src_tok) AS BIGINT) AS corpus_tok,
+       |               CAST(sum(w) AS BIGINT) AS sum_w FROM perw),
+       |rates AS (SELECT source, src_tok,
+       |                 least(1000, (1000 * (corpus_tok // 2) * w) // (sum_w * src_tok)) AS rate_pm
+       |          FROM perw CROSS JOIN tot),
+       |keyed AS (SELECT d.doc_id, d.source, d.tok, r.src_tok, r.rate_pm,
+       |                 md5('mix|' || d.doc_id) AS hh
+       |          FROM docs d JOIN rates r ON r.source = d.source)
+       |SELECT source, src_tok, CAST(rate_pm AS BIGINT) AS rate_pm,
+       |       count(*) AS n_kept,
+       |       CAST(sum(tok) AS BIGINT) AS kept_tokens,
+       |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM keyed WHERE $hex6 % 1000 < rate_pm
+       |GROUP BY source, src_tok, rate_pm""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q39_decontamination", decontamination, Some(q39Sql)),
+    QueryDef("q40_repetition_stats", repetitionStats, Some(q40Sql)),
+    QueryDef("q41_bloom_dedup", bloomDedup(_, _), Some(q41Sql)),
+    QueryDef("q42_mixture_resample", mixtureResample, Some(q42Sql))
+  )
+}

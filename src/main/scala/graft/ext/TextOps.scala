@@ -64,7 +64,7 @@ object TextOps {
     docShingleArr(spark, sfDir, distinct = true)
       .select(col("doc_id"), explode(col("sarr")).as("s"))
 
-  private val shingleCte =
+  private[graft] val shingleCte =
     """docsw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |shraw AS (
       |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
@@ -75,7 +75,7 @@ object TextOps {
 
   /** First/second 8 hex chars of an md5 column as a BIGINT, via pure
     * nibble arithmetic (identical in Spark and DuckDB — no hex casts). */
-  private def hexVal(m: String, off: Int, duck: Boolean): String = {
+  private[graft] def hexVal(m: String, off: Int, duck: Boolean): String = {
     val fn = if (duck) "strpos" else "instr"
     (0 until 8).map { k =>
       val mult = 1L << (4 * (7 - k))

@@ -1,0 +1,116 @@
+package graft
+
+import graft.ext.CurationOps
+import org.apache.spark.sql.functions._
+
+class CurationOpsSpec extends SparkSpec {
+
+  private def tmpDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_curation").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q39: a training doc copying a benchmark doc is flagged; the benchmark doc is not emitted") {
+    import spark.implicits._
+    // doc 7 (doc_id % 20 == 7) is the benchmark slice; doc 1 copies it
+    // verbatim (ratio 1.0), doc 2 shares nothing
+    val dir = tmpDocs(Seq(
+      (7L, "alpha beta gamma delta epsilon zeta eta", "en", "src0", 41L),
+      (1L, "alpha beta gamma delta epsilon zeta eta", "en", "src0", 41L),
+      (2L, "one two three four five six seven", "en", "src0", 33L)))
+    val out = CurationOps.decontamination(spark, dir)
+      .select(col("doc_id"), col("overlap_ratio")).as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 1.0), s"expected only the verbatim copy flagged, got $out")
+  }
+
+  test("q39: fixture output satisfies the threshold and excludes the benchmark slice") {
+    import spark.implicits._
+    val rows = CurationOps.decontamination(spark, sf0001)
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap")).as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "fixture should contain contaminated docs")
+    rows.foreach { case (id, n, o) =>
+      assert(id % 20 != 7, s"benchmark doc $id leaked into the training output")
+      assert(2 * o >= n && o <= n, s"doc $id violates the threshold: o=$o n=$n")
+    }
+  }
+
+  test("q40: mode via sorted-run scan matches a brute-force count, ties break to the smallest word") {
+    import spark.implicits._
+    val dir = tmpDocs(Seq(
+      (0L, "b b a a c", "en", "src0", 9L),            // tie a/b at 2 -> 'a'
+      (1L, "x y x y x y x z", "en", "src0", 15L)))    // 'x' 4 of 8; 'x y' 3 of 7 2-grams
+    val out = CurationOps.repetitionStats(spark, dir)
+      .select(col("doc_id"), col("top_word"), col("top_word_n"), col("top_2gram_n"), col("flagged"))
+      .as[(Long, String, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._2 == "a" && out(0L)._3 == 2L, s"tie should break to 'a': ${out(0L)}")
+    assert(out(1L)._2 == "x" && out(1L)._3 == 4L && out(1L)._4 == 3L, s"${out(1L)}")
+    assert(out(1L)._5 == 1, "50% top-word doc must be flagged")
+
+    // brute-force the fixture: per-doc max word count from a plain groupBy
+    val docs = graft.oracle.Tables.table(spark, sf0001, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").count()
+      .groupBy("doc_id").agg(max("count").as("mc"))
+      .as[(Long, Long)].collect().toMap
+    val got = CurationOps.repetitionStats(spark, sf0001)
+      .select(col("doc_id"), col("top_word_n")).as[(Long, Long)].collect().toMap
+    assert(got == docs, "sorted-run mode diverges from groupBy mode on the fixture")
+  }
+
+  test("q41: no false negatives — every exact duplicate is a bloom hit; flags are consistent") {
+    import spark.implicits._
+    val rows = CurationOps.bloomDedup(spark, sf0001)
+      .select(col("doc_id"), col("bloom_hit"), col("exact_dup"), col("false_positive"))
+      .as[(Long, Int, Int, Int)].collect()
+    assert(rows.nonEmpty && rows.exists(_._3 == 1), "fixture should contain exact dups")
+    rows.foreach { case (id, bh, ed, fp) =>
+      assert(id % 5 == 0, s"corpus doc $id leaked into the incoming batch")
+      assert(ed <= bh, s"FALSE NEGATIVE at doc $id: exact_dup=$ed bloom_hit=$bh")
+      assert(fp == (if (bh == 1 && ed == 0) 1 else 0), s"fp flag inconsistent at $id")
+    }
+  }
+
+  test("q41: a tiny filter saturates into all-hits but still never false-negatives") {
+    import spark.implicits._
+    // 8 bits, 4 probes, 20 corpus keys: bitmap saturates, FP rate ~1 —
+    // degenerate but SAFE (the no-FN invariant is structural)
+    val rows = CurationOps.bloomDedup(spark, sf0001, mBits = 8)
+      .select(col("bloom_hit"), col("exact_dup")).as[(Int, Int)].collect()
+    rows.foreach { case (bh, ed) => assert(ed <= bh) }
+  }
+
+  test("q42: rates are valid per-mil, flatten monotonically, and land near the token budget") {
+    import spark.implicits._
+    val out = CurationOps.mixtureResample(spark, sf0001)
+      .select(col("source"), col("src_tok"), col("rate_pm"), col("n_kept"), col("kept_tokens"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.length > 1)
+    out.foreach { case (s, _, r, k, _) =>
+      assert(r >= 0 && r <= 1000, s"$s rate out of range: $r")
+      assert(k > 0, s"$s sampled to zero")
+    }
+    // temperature alpha=0.5 flattens: the keep rate follows w/tok with
+    // w = floor(sqrt(tok)) — floor is monotone, so whenever wa/toka >=
+    // wb/tokb (exact integer cross-multiply) the rates must be ordered too.
+    // (Strict 1/sqrt(tok) monotonicity does NOT hold: floor(sqrt) jumps at
+    // square boundaries, e.g. 1441->37 vs 1466->38 in the fixture.)
+    def w(t: Long) = math.floor(math.sqrt(t.toDouble)).toLong
+    for { (sa, ta, ra, _, _) <- out; (sb, tb, rb, _, _) <- out if w(ta) * tb >= w(tb) * ta }
+      assert(ra >= rb, s"rate ordering violated: $sa($ta t, $ra pm) vs $sb($tb t, $rb pm)")
+    // the hash threshold is uniform, so kept tokens approximate the budget
+    val docs = graft.oracle.Tables.table(spark, sf0001, "documents")
+    val corpusTok = docs.select(sum(size(split(col("text"), " ")))).as[Long].head()
+    val kept = out.map(_._5).sum
+    assert(math.abs(kept - corpusTok / 2.0) / corpusTok < 0.10,
+      s"kept $kept vs budget ${corpusTok / 2}")
+  }
+
+  test("q42: deterministic under re-execution (hash-threshold, not rand)") {
+    val a = CurationOps.mixtureResample(spark, sf0001).orderBy("source").collect().toSeq
+    val b = CurationOps.mixtureResample(spark, sf0001).orderBy("source").collect().toSeq
+    assert(a == b)
+  }
+}

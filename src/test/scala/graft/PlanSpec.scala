@@ -93,6 +93,35 @@ class PlanSpec extends SparkSpec {
       s"signature stage re-introduced a per-doc shuffle:\n$p")
   }
 
+  test("q39 decontamination: eval vocabulary is broadcast — the corpus is never shuffled by shingle") {
+    val p = plan(graft.ext.CurationOps.decontamination(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"bench vocabulary not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join crept in:\n$p")
+    // at most one shingle-keyed exchange: the BENCH side's distinct (tiny by
+    // construction); the training shingle stream itself must never exchange
+    assert(countOccurrences(p, "hashpartitioning(s#") <= 1,
+      s"training shingles shuffled by shingle key:\n$p")
+  }
+
+  test("q40 repetition stats: fully map-side — zero hash exchanges") {
+    val p = plan(graft.ext.CurationOps.repetitionStats(spark, sf0001))
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 0,
+      s"per-doc repetition stats should not shuffle:\n$p")
+  }
+
+  test("q41 bloom dedup: bitmap and key set broadcast, no shuffle join") {
+    val p = plan(graft.ext.CurationOps.bloomDedup(spark, sf0001))
+    assert(!p.contains("SortMergeJoin"), s"bloom probe should not shuffle-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"broadcast probe missing:\n$p")
+  }
+
+  test("q42 mixture resample: rate table broadcast back onto the corpus") {
+    val p = plan(graft.ext.CurationOps.mixtureResample(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"rates not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled to join 20 rate rows:\n$p")
+  }
+
   test("q07 via logs view: unused log columns are pruned out of the events scan") {
     val p = plan(CoreQueries.q07(spark, sf0001))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
