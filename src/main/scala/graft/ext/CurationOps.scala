@@ -284,10 +284,116 @@ object CurationOps {
        |GROUP BY source, src_tok, rate_pm""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q43
+  /** Unigram LM surprisal scoring — the CCNet-style quality filter: score
+    * each document by its average per-word surprisal (bits) under the
+    * corpus's own unigram distribution, and flag documents whose average
+    * exceeds 5.0 bits/word (distributionally unusual text: OOV-heavy, wrong
+    * register, noise). A real pipeline scores against a fixed reference LM;
+    * the self-trained unigram model is the engine-shape demonstration.
+    *
+    * Float-determinism: per-word surprisal log₂(N/c) is rounded to integer
+    * MILLIBITS before the per-doc sum, so the aggregation is exact int64
+    * arithmetic with no summation-order hazard across engines (a raw double
+    * sum over shuffled rows is partition-order-dependent). The flag compares
+    * in integers too: `sum_mb > 5000·n_words`.
+    *
+    * Scale shape: word frequencies are one hash aggregation by word; the
+    * surprisal join re-uses that exchange's partitioning (words co-
+    * partitioned); the corpus total is a 1-row broadcast; the per-doc
+    * rollup is the only other exchange. Nothing ever collects. */
+  def surprisalScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = Tables.fanned(Tables.table(spark, sfDir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w")))
+    val freq = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = words.agg(count(lit(1)).as("n"))
+    words.join(freq, "w").crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        expr("CAST(round(ln(n / c) / ln(2) * 1000) AS BIGINT)").as("mb"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("mb")).as("sum_millibits"))
+      // floor-truncation, not round: sum_millibits/(n_words·1000) routinely
+      // terminates at the 5th decimal (e.g. 314256/64000 = 4.91025 exactly),
+      // where Spark's BigDecimal HALF_UP and DuckDB's double round disagree
+      // (same boundary q16 hit); floor on the identical double is
+      // bit-deterministic
+      .select(col("doc_id"), col("n_words"), col("sum_millibits"),
+        (floor(col("sum_millibits") / (col("n_words") * 1000.0) * 10000) / 10000).as("bits_per_word"),
+        (col("sum_millibits") > col("n_words") * 5000L).cast("int").as("flagged"))
+  }
+
+  private val q43Sql =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |freq AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+      |tot AS (SELECT count(*) AS n FROM w),
+      |s AS (SELECT doc_id, CAST(round(ln(n / c) / ln(2) * 1000) AS BIGINT) AS mb
+      |      FROM w JOIN freq USING (w) CROSS JOIN tot),
+      |d AS (SELECT doc_id, count(*) AS n_words, CAST(sum(mb) AS BIGINT) AS sum_millibits
+      |      FROM s GROUP BY doc_id)
+      |SELECT doc_id, n_words, sum_millibits,
+      |       floor(sum_millibits / (n_words * 1000.0) * 10000) / 10000 AS bits_per_word,
+      |       CASE WHEN sum_millibits > n_words * 5000 THEN 1 ELSE 0 END AS flagged
+      |FROM d""".stripMargin
+
+  // ---------------------------------------------------------------- q44
+  /** Per-source KL divergence from the corpus word distribution — the
+    * domain-shift / mixture-health dashboard: KL(p_source ‖ p_corpus) =
+    * Σ_w p_s(w)·log₂(p_s(w)/p(w)), one row per source. A source whose
+    * divergence spikes is distributionally unlike the rest of the mixture
+    * (scraper drift, format change, contamination).
+    *
+    * Each term is rounded to integer MICROBITS before summation (same
+    * order-hazard reasoning as q43); the log's ratio is formed from integer
+    * products `(c_sw·N)/(n_s·c_w)` so no intermediate float division
+    * differs between engines.
+    *
+    * Scale shape: three hash aggregations — (source, word) counts, word
+    * counts, final per-source sum — plus broadcast per-source totals and
+    * the 1-row corpus total. The word-frequency join is co-partitioned on
+    * the word key. |sources| bounds every broadcast side. */
+  def sourceDivergence(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = Tables.fanned(Tables.table(spark, sfDir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w")))
+    val bySourceWord = words.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+    val byWord = words.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val bySource = bySourceWord.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+    val total = byWord.agg(sum(col("c_w")).as("n"))
+    bySourceWord
+      .join(byWord, "w")
+      .join(broadcast(bySource), "source")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("n_s"),
+        expr("CAST(round(c_sw / n_s * (ln((c_sw * n) / (n_s * c_w)) / ln(2)) * 1000000) AS BIGINT)")
+          .as("ub"))
+      .groupBy(col("source"), col("n_s").as("n_words"))
+      .agg(count(lit(1)).as("vocab_used"), sum(col("ub")).as("kl_microbits"))
+      // floor, not round: microbits ending in …50 put the quotient exactly
+      // on the 4-dp half boundary (1-in-100 rows) — same hazard as q43
+      .select(col("source"), col("n_words"), col("vocab_used"), col("kl_microbits"),
+        (floor(col("kl_microbits") / 100.0) / 10000.0).as("kl_bits"))
+  }
+
+  private val q44Sql =
+    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |sw AS (SELECT source, w, count(*) AS c_sw FROM w GROUP BY source, w),
+      |cw AS (SELECT w, count(*) AS c_w FROM w GROUP BY w),
+      |ns AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY source),
+      |tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n FROM cw),
+      |terms AS (
+      |  SELECT sw.source, ns.n_s,
+      |         CAST(round(c_sw / n_s * (ln((c_sw * n) / (n_s * c_w)) / ln(2)) * 1000000) AS BIGINT) AS ub
+      |  FROM sw JOIN cw USING (w) JOIN ns ON ns.source = sw.source CROSS JOIN tot)
+      |SELECT source, n_s AS n_words, count(*) AS vocab_used,
+      |       CAST(sum(ub) AS BIGINT) AS kl_microbits,
+      |       floor(sum(ub) / 100.0) / 10000.0 AS kl_bits
+      |FROM terms GROUP BY source, n_s""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q39_decontamination", decontamination, Some(q39Sql)),
     QueryDef("q40_repetition_stats", repetitionStats, Some(q40Sql)),
     QueryDef("q41_bloom_dedup", bloomDedup(_, _), Some(q41Sql)),
-    QueryDef("q42_mixture_resample", mixtureResample, Some(q42Sql))
+    QueryDef("q42_mixture_resample", mixtureResample, Some(q42Sql)),
+    QueryDef("q43_surprisal_score", surprisalScore, Some(q43Sql)),
+    QueryDef("q44_source_divergence", sourceDivergence, Some(q44Sql))
   )
 }

@@ -108,6 +108,49 @@ class CurationOpsSpec extends SparkSpec {
       s"kept $kept vs budget ${corpusTok / 2}")
   }
 
+  test("q43: planted corpus matches hand-computed surprisal millibits exactly") {
+    import spark.implicits._
+    // corpus: 7 occurrences of 'x', 1 of 'y' (N=8): surprisal(x)=log2(8/7),
+    // surprisal(y)=log2(8)=3.0 exactly
+    val dir = tmpDocs(Seq(
+      (0L, "x x x x", "en", "src0", 7L),
+      (1L, "x x x y", "en", "src0", 7L)))
+    val mbX = math.round(math.log(8.0 / 7) / math.log(2) * 1000) // 193
+    val got = CurationOps.surprisalScore(spark, dir)
+      .select(col("doc_id"), col("sum_millibits")).as[(Long, Long)].collect().toMap
+    assert(got(0L) == 4 * mbX, s"doc 0: ${got(0L)} vs ${4 * mbX}")
+    assert(got(1L) == 3 * mbX + 3000, s"doc 1: ${got(1L)} vs ${3 * mbX + 3000}")
+  }
+
+  test("q43: fixture flags are consistent with the integer threshold") {
+    import spark.implicits._
+    val rows = CurationOps.surprisalScore(spark, sf0001)
+      .select(col("n_words"), col("sum_millibits"), col("flagged")).as[(Long, Long, Int)].collect()
+    assert(rows.length == 500)
+    rows.foreach { case (nw, smb, f) =>
+      assert(f == (if (smb > nw * 5000L) 1 else 0), s"flag drift at nw=$nw smb=$smb")
+    }
+    assert(rows.exists(_._3 == 1) && rows.exists(_._3 == 0), "threshold should split the fixture")
+  }
+
+  test("q44: identical source distributions have exactly zero KL; fixture KL is near-nonnegative") {
+    import spark.implicits._
+    // two sources with the SAME text -> p_s == p_corpus -> every term ln(1)=0
+    val dir = tmpDocs(Seq(
+      (0L, "a b c a", "en", "src0", 7L),
+      (1L, "a b c a", "en", "src1", 7L)))
+    val zero = CurationOps.sourceDivergence(spark, dir)
+      .select(col("source"), col("kl_microbits")).as[(String, Long)].collect().toMap
+    assert(zero == Map("src0" -> 0L, "src1" -> 0L), s"expected exact zero KL, got $zero")
+
+    // per-term microbit rounding is +-0.5, so a true-zero-or-positive KL can
+    // only dip half a microbit per vocab term below zero
+    val rows = CurationOps.sourceDivergence(spark, sf0001)
+      .select(col("vocab_used"), col("kl_microbits")).as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, kl) => assert(kl * 2 >= -v, s"KL below rounding floor: $kl (vocab $v)") }
+  }
+
   test("q42: deterministic under re-execution (hash-threshold, not rand)") {
     val a = CurationOps.mixtureResample(spark, sf0001).orderBy("source").collect().toSeq
     val b = CurationOps.mixtureResample(spark, sf0001).orderBy("source").collect().toSeq
