@@ -303,15 +303,23 @@ object CurationOps {
     * partitioned); the corpus total is a 1-row broadcast; the per-doc
     * rollup is the only other exchange. Nothing ever collects. */
   def surprisalScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val words = Tables.fanned(Tables.table(spark, sfDir, "documents")
+    // One pass over raw word instances: the per-doc tf table is the first
+    // aggregation, and corpus frequencies/totals are derived FROM tf — the
+    // 100 TB word stream is exploded and exchanged exactly once (the tf
+    // exchange appears in both join branches and is deduplicated by
+    // ReuseExchange); every later stage touches only the compressed
+    // (doc, word) table. Per-doc sums weight the per-WORD millibits by tf
+    // (exact integer multiply — identical to summing per instance).
+    val tf = Tables.fanned(Tables.table(spark, sfDir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w")))
-    val freq = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val total = words.agg(count(lit(1)).as("n"))
-    words.join(freq, "w").crossJoin(broadcast(total))
-      .select(col("doc_id"),
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy(col("w")).agg(sum(col("tf")).as("c"))
+    val total = freq.agg(sum(col("c")).as("n"))
+    tf.join(freq, "w").crossJoin(broadcast(total))
+      .select(col("doc_id"), col("tf"),
         expr("CAST(round(ln(n / c) / ln(2) * 1000) AS BIGINT)").as("mb"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), sum(col("mb")).as("sum_millibits"))
+      .agg(sum(col("tf")).as("n_words"), sum(col("tf") * col("mb")).as("sum_millibits"))
       // floor-truncation, not round: sum_millibits/(n_words·1000) routinely
       // terminates at the 5th decimal (e.g. 314256/64000 = 4.91025 exactly),
       // where Spark's BigDecimal HALF_UP and DuckDB's double round disagree
@@ -352,10 +360,14 @@ object CurationOps {
     * the 1-row corpus total. The word-frequency join is co-partitioned on
     * the word key. |sources| bounds every broadcast side. */
   def sourceDivergence(spark: SparkSession, sfDir: String): DataFrame = {
-    val words = Tables.fanned(Tables.table(spark, sfDir, "documents")
+    // Same single-pass shape as q43: the raw word stream is exchanged once
+    // into (source, word) counts; word totals, source totals and the corpus
+    // total all derive from that compressed table (≤ |vocab|·|sources|
+    // rows), never from a second explode.
+    val bySourceWord = Tables.fanned(Tables.table(spark, sfDir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("w")))
-    val bySourceWord = words.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
-    val byWord = words.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+    val byWord = bySourceWord.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
     val bySource = bySourceWord.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
     val total = byWord.agg(sum(col("c_w")).as("n"))
     bySourceWord

@@ -189,10 +189,47 @@ object Similarity {
        |       TRUE AS within_bound
        |FROM z""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** Matryoshka truncation energy — for each vector, the fraction of its L2
+    * norm captured by the first 16 / 32 dimensions, and a `trunc32` flag
+    * (rounded frac ≥ 0.72) marking vectors safe to serve from a 32-dim
+    * prefix. This is the dimension-selection audit for Matryoshka-style
+    * embeddings, where serving at a prefix dim cuts ANN memory/bandwidth
+    * 2–4× — the decision input is exactly this energy profile. Pure
+    * map-side expression work (one scan, zero shuffles). The flag compares
+    * the ROUNDED fraction so both engines branch on an identical value. */
+  def matryoshkaEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+    def sq(e: String) =
+      s"aggregate(transform($e, x -> x * x), cast(0 AS double), (acc, x) -> acc + x)"
+    emb(spark, sfDir)
+      .withColumn("d64", expr(sq("v")))
+      .withColumn("d16", expr(sq("slice(v, 1, 16)")))
+      .withColumn("d32", expr(sq("slice(v, 1, 32)")))
+      .select(
+        col("vec_id"),
+        round(sqrt(col("d64")), 6).as("norm_r"),
+        round(sqrt(col("d16")) / sqrt(col("d64")), 6).as("frac16"),
+        round(sqrt(col("d32")) / sqrt(col("d64")), 6).as("frac32"),
+        (round(sqrt(col("d32")) / sqrt(col("d64")), 6) >= 0.72).cast("int").as("trunc32"))
+  }
+
+  private val q45Sql =
+    s"""WITH $embCte,
+       |d AS (SELECT vec_id, list_dot_product(v, v) AS d64,
+       |             list_dot_product(v[1:16], v[1:16]) AS d16,
+       |             list_dot_product(v[1:32], v[1:32]) AS d32
+       |      FROM emb)
+       |SELECT vec_id, round(sqrt(d64), 6) AS norm_r,
+       |       round(sqrt(d16) / sqrt(d64), 6) AS frac16,
+       |       round(sqrt(d32) / sqrt(d64), 6) AS frac32,
+       |       CASE WHEN round(sqrt(d32) / sqrt(d64), 6) >= 0.72 THEN 1 ELSE 0 END AS trunc32
+       |FROM d""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q19_cosine_topk", cosineTopK, Some(q19Sql)),
     QueryDef("q20_ann_ivf", annIvf, Some(q20Sql)),
     QueryDef("q21_embed_neardup_lsh", embedNearDup(_, _), Some(q21Sql)),
-    QueryDef("q36_embed_quantize", q36, Some(q36Sql))
+    QueryDef("q36_embed_quantize", q36, Some(q36Sql)),
+    QueryDef("q45_matryoshka_energy", matryoshkaEnergy, Some(q45Sql))
   )
 }

@@ -92,6 +92,27 @@ class ExtOpsSpec extends SparkSpec {
       graft.oracle.Tables.table(s, sf0001, "embeddings").select(col("vec_id"), col("label"))
   }
 
+  test("q45 matryoshka energy: fractions nested and bounded, exact vs Scala recompute") {
+    import spark.implicits._
+    val got = Similarity.matryoshkaEnergy(spark, sf0001)
+      .select(col("vec_id"), col("frac16"), col("frac32"), col("trunc32"))
+      .as[(Long, Double, Double, Int)].collect()
+    assert(got.length > 0)
+    got.foreach { case (id, f16, f32, t) =>
+      assert(f16 > 0 && f16 <= f32 && f32 <= 1.0, s"vec $id: frac nesting broken ($f16, $f32)")
+      assert(t == (if (f32 >= 0.72) 1 else 0), s"vec $id: flag drift")
+    }
+    // brute-force recompute from the raw vectors (same fold order)
+    val raw = graft.oracle.Tables.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect().toMap
+    got.foreach { case (id, f16, _, _) =>
+      val v = raw(id).map(_.toDouble)
+      val ref = math.sqrt(v.take(16).map(x => x * x).sum) / math.sqrt(v.map(x => x * x).sum)
+      // 6-dp rounding-mode differences are the oracle's concern; this pins the formula
+      assert(math.abs(f16 - ref) < 2e-6, s"vec $id: $f16 vs $ref")
+    }
+  }
+
   test("multimodal: mapPartitions decode path == expression metadata path") {
     import spark.implicits._
     val decoded = Multimodal.decodeAll(Multimodal.mediaRecords(spark, sf0001))

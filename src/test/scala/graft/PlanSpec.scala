@@ -122,6 +122,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled to join 20 rate rows:\n$p")
   }
 
+  test("q43/q44: raw word stream is exploded+exchanged once, downstream reuses the exchange") {
+    // the tf/(source,word) exchange appears in every derived branch with an
+    // identical canonical form; AQE materializes it once and reuses the
+    // shuffle stage — visible only in the FINAL adaptive plan
+    for ((n, df) <- Seq("q43" -> graft.ext.CurationOps.surprisalScore(spark, sf0001),
+                        "q44" -> graft.ext.CurationOps.sourceDivergence(spark, sf0001))) {
+      df.collect() // materialize THIS plan so AQE finalizes stage reuse
+      val p = plan(df)
+      assert(p.contains("ReusedQueryStage") || p.contains("ReusedExchange"),
+        s"$n: frequency tables should reuse the first aggregation's shuffle stage:\n$p")
+    }
+  }
+
+  test("q45 matryoshka energy: map-side only — zero hash exchanges") {
+    val p = plan(graft.ext.Similarity.matryoshkaEnergy(spark, sf0001))
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 0,
+      s"per-vector energy should not shuffle:\n$p")
+  }
+
   test("q07 via logs view: unused log columns are pruned out of the events scan") {
     val p = plan(CoreQueries.q07(spark, sf0001))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
