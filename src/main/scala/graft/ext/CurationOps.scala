@@ -151,13 +151,16 @@ object CurationOps {
     * The filter is a deterministic Carter-Wegman construction (k=4 probe
     * positions `(h1 + i·h2) mod m` from the two md5 halves) rather than
     * Spark's built-in `bloom_filter_agg`/`might_contain` so the DuckDB
-    * oracle reproduces the bitmap bit-for-bit and the false-positive set is
-    * hash-checked exactly, not just contract-checked. The bitmap travels as
-    * a sorted position array (≤ m ints); a production variant would pack it
-    * into a binary bitset expression, but the plan shape — tiny broadcast
-    * build side, map-side probe, join input pre-filtered to hits — is the
-    * 100 TB one. `m` defaults to 16 Ki bits (~5 bits/key at sf0.1, FP ≈ 16%
-    * — deliberately lossy so false positives are exercised; size m at
+    * oracle reproduces the membership decision bit-for-bit and the
+    * false-positive set is hash-checked exactly, not just contract-checked
+    * (the oracle tests `pos ∈ occupied-position set` — semantically
+    * identical to the bit test). The bitmap is PACKED: m/64 int64 words
+    * built with a `bit_or` aggregate and densified through a map →
+    * `sequence` transform, so each probe is one O(1) shift-and-mask over a
+    * 2 KiB broadcast array (an `array_contains` over the raw position set
+    * would be a linear scan per probe — ~10¹³ comparisons at 10⁹ incoming
+    * docs). `m` defaults to 16 Ki bits (~5 bits/key at sf0.1, FP ≈ 16% —
+    * deliberately lossy so false positives are exercised; size m at
     * ~10 bits/key for a production 1% FP rate). */
   def bloomDedup(spark: SparkSession, sfDir: String, mBits: Int = 16384): DataFrame = {
     val keyed = Tables.table(spark, sfDir, "documents")
@@ -169,13 +172,27 @@ object CurationOps {
     val incoming = keyed.filter(col("doc_id") % 5 === 0)
     def positions(c: DataFrame): Seq[Column] =
       (0 until 4).map(i => pmod(col("h1") + lit(i.toLong) * col("h2"), lit(mBits.toLong)))
+    val nWords = (mBits + 63) / 64
+    // pack: per-word bit_or of the probe bits, densified to array<long>
+    // (absent words -> 0L) so probes can index directly
     val bitmap = corpus
       .select(explode(array(positions(corpus): _*)).as("pos"))
-      .agg(sort_array(collect_set(col("pos"))).as("bits"))
+      .groupBy(expr("CAST(pos div 64 AS INT)").as("wi"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("wbits"))
+      .agg(map_from_entries(collect_list(struct(col("wi"), col("wbits")))).as("wm"))
+      .select(expr(
+        s"transform(sequence(0, ${nWords - 1}), i -> coalesce(element_at(wm, i), 0L))")
+        .as("bits"))
     val corpusKeys = corpus.select(col("h").as("ck")).distinct()
+    // O(1) probe: word = bits[pos div 64], test bit (pos % 64) — arithmetic
+    // shiftright keeps bit k intact for any k including the sign bit
+    def bitTest(i: Int): Column = {
+      val p = s"pmod(h1 + $i * h2, ${mBits}L)"
+      expr(s"(shiftright(element_at(bits, CAST($p div 64 AS INT) + 1), " +
+        s"CAST($p % 64 AS INT)) & 1) = 1")
+    }
     val probed = incoming.crossJoin(broadcast(bitmap))
-      .withColumn("bloom_hit",
-        positions(incoming).map(p => array_contains(col("bits"), p)).reduce(_ && _))
+      .withColumn("bloom_hit", (0 until 4).map(bitTest).reduce(_ && _))
       .select(col("doc_id"), col("h"), col("bloom_hit"))
     val verified = probed.filter(col("bloom_hit"))
       .join(broadcast(corpusKeys), col("h") === col("ck"), "left")
