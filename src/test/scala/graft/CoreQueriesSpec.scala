@@ -7,6 +7,22 @@ import org.apache.spark.sql.functions._
   * (Full DuckDB hash-compare runs via tools/local_verify.py at sf0.01.) */
 class CoreQueriesSpec extends SparkSpec {
 
+  test("q46/q47: local-supplier revenue positive; promo share a valid sub-fraction") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val q46 = graft.oracle.OlapQueries.q46(spark, sf0001)
+      .select(col("revenue"), col("n_items")).as[(Double, Long)].collect()
+    assert(q46.nonEmpty && q46.forall { case (r, n) => r > 0 && n > 0 })
+    val q47 = graft.oracle.OlapQueries.q47(spark, sf0001)
+      .select(col("total_revenue"), col("promo_revenue"), col("promo_share"))
+      .as[(Double, Double, Double)].collect()
+    assert(q47.nonEmpty)
+    q47.foreach { case (t, p, s) =>
+      assert(p >= 0 && p <= t, s"promo $p outside [0, $t]")
+      assert(s >= 0 && s <= 1 && math.abs(s - p / t) < 1e-3, s"share $s vs ${p / t}")
+    }
+  }
+
   test("every registered query runs and schema-checks at sf0.001") {
     Registry.all.foreach { q =>
       val df = q.run(spark, sf0001)

@@ -141,6 +141,21 @@ class PlanSpec extends SparkSpec {
       s"per-vector energy should not shuffle:\n$p")
   }
 
+  test("q46 snowflake: all dims broadcast, at most the fact join shuffles") {
+    val p = plan(graft.oracle.OlapQueries.q46(spark, sf0001))
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 4,
+      s"snowflake dims should broadcast:\n$p")
+    assert(countOccurrences(p, "SortMergeJoin") <= 1,
+      s"more than the lineitem-orders join shuffles:\n$p")
+  }
+
+  test("q47 promo share: part broadcast — single hash exchange (the brand rollup)") {
+    val p = plan(graft.oracle.OlapQueries.q47(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1,
+      s"expected only the brand aggregation to exchange:\n$p")
+  }
+
   test("q07 via logs view: unused log columns are pruned out of the events scan") {
     val p = plan(CoreQueries.q07(spark, sf0001))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
