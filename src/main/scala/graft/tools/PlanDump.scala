@@ -52,7 +52,11 @@ object PlanDump {
     "q44_source_divergence" ->
       "Single pass to (source, word) counts; word/source/corpus totals all derive from that compressed table - no second explode of the raw stream.",
     "q45_matryoshka_energy" ->
-      "Pure map-side per-vector energy profile: three in-row square-sum folds, zero exchanges."
+      "Pure map-side per-vector energy profile: three in-row square-sum folds, zero exchanges.",
+    "q46_snowflake_revenue" ->
+      "Snowflake rollup: the fact joins orders once by key; customer/supplier/nation-region all broadcast; the local-supplier predicate filters on two broadcast columns before the rollup.",
+    "q47_promo_share" ->
+      "Part dim broadcast against the lineitem scan - zero shuffle before the single per-brand aggregation exchange; decimal sums, floor-truncated share."
   )
 
   def main(args: Array[String]): Unit = {
