@@ -162,28 +162,36 @@ object CurationOps {
     * docs). `m` defaults to 16 Ki bits (~5 bits/key at sf0.1, FP ≈ 16% —
     * deliberately lossy so false positives are exercised; size m at
     * ~10 bits/key for a production 1% FP rate). */
-  def bloomDedup(spark: SparkSession, sfDir: String, mBits: Int = 16384): DataFrame = {
-    val keyed = Tables.table(spark, sfDir, "documents")
-      .select(col("doc_id"),
+  /** (doc_id, h, h1, h2) — md5 of the first-3-word prefix split into the
+    * two Carter-Wegman hash halves. The key column any bloom stage probes. */
+  def prefixKeyed(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         md5(array_join(slice(split(col("text"), " "), 1, 3), " ")).as("h"))
       .withColumn("h1", expr(TextOps.hexVal("h", 1, duck = false)))
       .withColumn("h2", expr(TextOps.hexVal("h", 9, duck = false)))
-    val corpus = keyed.filter(col("doc_id") % 5 =!= 0)
-    val incoming = keyed.filter(col("doc_id") % 5 === 0)
-    def positions(c: DataFrame): Seq[Column] =
-      (0 until 4).map(i => pmod(col("h1") + lit(i.toLong) * col("h2"), lit(mBits.toLong)))
+
+  /** Packed bloom bitset over a keyed frame: ONE row with an array<long> of
+    * ⌈m/64⌉ words (bit_or aggregate, densified via map → sequence). */
+  def bloomBitmap(keyed: DataFrame, mBits: Int): DataFrame = {
     val nWords = (mBits + 63) / 64
-    // pack: per-word bit_or of the probe bits, densified to array<long>
-    // (absent words -> 0L) so probes can index directly
-    val bitmap = corpus
-      .select(explode(array(positions(corpus): _*)).as("pos"))
+    val positions = (0 until 4)
+      .map(i => pmod(col("h1") + lit(i.toLong) * col("h2"), lit(mBits.toLong)))
+    keyed
+      .select(explode(array(positions: _*)).as("pos"))
       .groupBy(expr("CAST(pos div 64 AS INT)").as("wi"))
       .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("wbits"))
       .agg(map_from_entries(collect_list(struct(col("wi"), col("wbits")))).as("wm"))
       .select(expr(
         s"transform(sequence(0, ${nWords - 1}), i -> coalesce(element_at(wm, i), 0L))")
         .as("bits"))
-    val corpusKeys = corpus.select(col("h").as("ck")).distinct()
+  }
+
+  /** Probe a keyed frame against a broadcast bitmap → adds `bloom_hit`.
+    * Works identically on a STREAMING keyed frame (stream-static broadcast
+    * join + map-side bit tests) — the standard "skip already-ingested docs"
+    * gate on an ingestion stream; non-hits are guaranteed-new and can skip
+    * the exact dedup path entirely. */
+  def bloomProbe(keyed: DataFrame, bitmap: DataFrame, mBits: Int): DataFrame = {
     // O(1) probe: word = bits[pos div 64], test bit (pos % 64) — arithmetic
     // shiftright keeps bit k intact for any k including the sign bit
     def bitTest(i: Int): Column = {
@@ -191,8 +199,18 @@ object CurationOps {
       expr(s"(shiftright(element_at(bits, CAST($p div 64 AS INT) + 1), " +
         s"CAST($p % 64 AS INT)) & 1) = 1")
     }
-    val probed = incoming.crossJoin(broadcast(bitmap))
+    keyed.crossJoin(broadcast(bitmap))
       .withColumn("bloom_hit", (0 until 4).map(bitTest).reduce(_ && _))
+      .drop("bits")
+  }
+
+  def bloomDedup(spark: SparkSession, sfDir: String, mBits: Int = 16384): DataFrame = {
+    val keyed = prefixKeyed(Tables.table(spark, sfDir, "documents"))
+    val corpus = keyed.filter(col("doc_id") % 5 =!= 0)
+    val incoming = keyed.filter(col("doc_id") % 5 === 0)
+    val bitmap = bloomBitmap(corpus, mBits)
+    val corpusKeys = corpus.select(col("h").as("ck")).distinct()
+    val probed = bloomProbe(incoming, bitmap, mBits)
       .select(col("doc_id"), col("h"), col("bloom_hit"))
     val verified = probed.filter(col("bloom_hit"))
       .join(broadcast(corpusKeys), col("h") === col("ck"), "left")

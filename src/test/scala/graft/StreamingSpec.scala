@@ -353,6 +353,34 @@ class StreamingSpec extends SparkSpec {
     assert(parsed.isNullAt(parsed.fieldIndex("error_rate")))
   }
 
+  test("bloom gate on a stream: static bitmap probes map-side, no false negatives") {
+    import graft.ext.CurationOps
+    import spark.implicits._
+    // static corpus -> packed bitmap; a stream of incoming docs is gated by
+    // a stream-static broadcast probe (the standard skip-already-ingested
+    // pre-filter on an ingestion stream)
+    val corpusDocs = Seq((10L, "alpha beta gamma delta"), (11L, "one two three four"))
+      .toDF("doc_id", "text")
+    val m = 4096
+    val bitmap = CurationOps.bloomBitmap(CurationOps.prefixKeyed(corpusDocs), m)
+    val stream = MemoryStream[(Long, String)]
+    val gated = CurationOps.bloomProbe(
+      CurationOps.prefixKeyed(stream.toDF().toDF("doc_id", "text")), bitmap, m)
+    val sq = gated.writeStream.format("memory").queryName("bloom_gate")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (20L, "alpha beta gamma NEW TAIL"),   // same 3-word prefix as doc 10 -> must hit
+        (21L, "totally fresh words here"),
+        (22L, "one two three something")))    // same prefix as doc 11 -> must hit
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val out = spark.table("bloom_gate")
+      .select(col("doc_id"), col("bloom_hit")).as[(Long, Boolean)].collect().toMap
+    assert(out(20L) && out(22L), s"known-prefix docs must bloom-hit: $out")
+    assert(out.contains(21L), "fresh doc must flow through the gate")
+  }
+
   test("generator: deterministic for a seed, spike seconds carry elevated error rate") {
     val a = LogGenerator.logs(spark, T0, 120, seed = 1).collect()
     val b = LogGenerator.logs(spark, T0, 120, seed = 1).collect()
