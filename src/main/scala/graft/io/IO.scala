@@ -55,6 +55,13 @@ object Sources {
           schema: org.apache.spark.sql.types.StructType,
           header: Boolean = true): DataFrame =
     spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  /** ORC — the other columnar format warehouses hand over; schema explicit
+    * for the same reasons as [[json]] (ORC files carry one, but pinning it
+    * rejects drifted files instead of silently widening the plan). */
+  def orc(spark: SparkSession, path: String,
+          schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }
 
 object Sinks {

@@ -55,6 +55,10 @@ class IOSpec extends SparkSpec {
     val original = logs.collect().toSet
     assert(fromJson == original, "JSON round-trip diverged")
     assert(fromCsv == original, "CSV round-trip diverged")
+
+    logs.write.mode("overwrite").orc(s"$dir/orc")
+    val fromOrc = Sources.orc(spark, s"$dir/orc", schema).as[RawLog].collect().toSet
+    assert(fromOrc == original, "ORC round-trip diverged")
   }
 
   test("S6 streaming: jsonDir tails a directory with the explicit schema") {
