@@ -93,7 +93,57 @@ object Components {
        |SELECT doc_id, lbl.cluster_id, cluster_size
        |FROM lbl JOIN sz ON lbl.cluster_id = sz.cluster_id""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** Leakage-free train/val/test split: assign every document to a split by
+    * hashing its near-dup CLUSTER root (singletons root themselves), so
+    * near-duplicates can never straddle train and eval — the split-level
+    * dedup guarantee an LLM data pipeline needs (a verbatim copy of an eval
+    * doc in train is exactly the contamination q39 hunts; this prevents
+    * minting it at split time). 90/5/5 via the same deterministic
+    * md5-threshold arithmetic as q26/q42 (retry-stable, engine-exact).
+    *
+    * Scale shape: the cluster table only contains docs that appear in
+    * near-dup pairs (small by construction — dup rate ≪ 1), so the
+    * root-attach join broadcasts; the split decision is map-side. */
+  def q48(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.oracle.Tables.table(spark, sfDir, "documents").select(col("doc_id"))
+    val pairs = graft.ext.TextOps.ngramJaccard(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("v"), col("cluster_id"))
+    docs.join(broadcast(cc), col("doc_id") === col("v"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("root"))
+      .withColumn("hh", md5(concat(lit("split|"), col("root"))))
+      .withColumn("bucket", expr(s"${graft.ext.TextOps.hexVal("hh", 1, duck = false)} % 1000"))
+      .select(col("doc_id"), col("root"),
+        when(col("bucket") < 900, "train")
+          .when(col("bucket") < 950, "val")
+          .otherwise("test").as("split"))
+  }
+
+  private val q48Sql =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b FROM (${graft.ext.TextOps.q14SqlText}) q14),
+       |bi AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+       |       UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT x, x FROM bi
+       |  UNION
+       |  SELECT r.src, bi.y FROM reach r JOIN bi ON r.dst = bi.x),
+       |lbl AS (SELECT src AS v, min(dst) AS cluster_id FROM reach GROUP BY src),
+       |rooted AS (SELECT doc_id, coalesce(cluster_id, doc_id) AS root,
+       |                  md5('split|' || coalesce(cluster_id, doc_id)) AS hh
+       |           FROM documents LEFT JOIN lbl ON doc_id = v),
+       |b AS (SELECT doc_id, root, ${graft.ext.TextOps.hexVal("hh", 1, duck = true)} % 1000 AS bucket
+       |      FROM rooted)
+       |SELECT doc_id, root,
+       |       CASE WHEN bucket < 900 THEN 'train'
+       |            WHEN bucket < 950 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q38_dedup_clusters", q38, Some(q38Sql))
+    QueryDef("q38_dedup_clusters", q38, Some(q38Sql)),
+    QueryDef("q48_leakage_free_split", q48, Some(q48Sql))
   )
 }

@@ -151,6 +151,23 @@ class CurationOpsSpec extends SparkSpec {
     rows.foreach { case (v, kl) => assert(kl * 2 >= -v, s"KL below rounding floor: $kl (vocab $v)") }
   }
 
+  test("q48: near-dup cluster members never straddle splits; proportions roughly 90/5/5") {
+    import spark.implicits._
+    val split = graft.ops.Components.q48(spark, sf0001)
+      .select(col("doc_id"), col("root"), col("split")).as[(Long, Long, String)].collect()
+    assert(split.length == 500)
+    // same root -> same split (the leakage guarantee), and clustered docs
+    // (root != self for at least one member) exercise it on the fixture
+    val byRoot = split.groupBy(_._2)
+    assert(byRoot.exists(_._2.length > 1), "fixture should contain multi-doc clusters")
+    byRoot.foreach { case (root, ms) =>
+      assert(ms.map(_._3).distinct.length == 1, s"cluster $root straddles splits: $ms")
+    }
+    val frac = split.groupBy(_._3).view.mapValues(_.length / 500.0).toMap
+    assert(frac("train") > 0.8 && frac("train") < 0.97, s"proportions off: $frac")
+    assert(frac.getOrElse("val", 0.0) + frac.getOrElse("test", 0.0) > 0.03, s"$frac")
+  }
+
   test("q42: deterministic under re-execution (hash-threshold, not rand)") {
     val a = CurationOps.mixtureResample(spark, sf0001).orderBy("source").collect().toSeq
     val b = CurationOps.mixtureResample(spark, sf0001).orderBy("source").collect().toSeq
