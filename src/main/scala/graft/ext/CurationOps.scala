@@ -34,19 +34,29 @@ object CurationOps {
     * overlap count is a map-side broadcast semi-join — the 100 TB corpus is
     * scanned once, never shuffled by shingle; the only hash exchange is the
     * per-document overlap count. */
-  def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = TextOps.docShingleArr(spark, sfDir, distinct = true)
-    val bench = sh.filter(col("doc_id") % 20 === 7)
+  /** General form: flag docs in `trainDocs` whose distinct-shingle overlap
+    * with `benchDocs`' vocabulary is ≥ minShareNum/minShareDen (integer
+    * cross-multiplied — no FP boundary). Both args are (doc_id, text). */
+  def decontaminationAgainst(trainDocs: DataFrame, benchDocs: DataFrame,
+                             minShareNum: Int = 1, minShareDen: Int = 2): DataFrame = {
+    val bench = TextOps.shingleArr(benchDocs, distinct = true)
       .select(explode(col("sarr")).as("s")).distinct()
-    sh.filter(col("doc_id") % 20 =!= 7)
+    TextOps.shingleArr(trainDocs, distinct = true)
       .select(col("doc_id"), size(col("sarr")).cast("long").as("n_shingles"),
         explode(col("sarr")).as("s"))
       .join(broadcast(bench), "s")
       .groupBy(col("doc_id"), col("n_shingles"))
       .agg(count(lit(1)).as("n_overlap"))
-      .filter(col("n_overlap") * 2 >= col("n_shingles"))
+      .filter(col("n_overlap") * minShareDen >= col("n_shingles") * minShareNum)
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
         round(col("n_overlap") / col("n_shingles"), 4).as("overlap_ratio"))
+  }
+
+  def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    decontaminationAgainst(
+      docs.filter(col("doc_id") % 20 =!= 7),
+      docs.filter(col("doc_id") % 20 === 7))
   }
 
   private val q39Sql =
@@ -87,10 +97,15 @@ object CurationOps {
        |  a -> named_struct('w', a.bw, 'n', a.bn))""".stripMargin
   }
 
-  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.TextExprs.register(spark)
-    Tables.fanned(Tables.table(spark, sfDir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws")))
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionStatsOf(Tables.table(spark, sfDir, "documents"))
+
+  /** General form over any (doc_id, text) frame; thresholds are integer
+    * percents (flag when `100·top > pct·n`). */
+  def repetitionStatsOf(docs: DataFrame, topWordPct: Int = 15,
+                        top2GramPct: Int = 8, dupWordPct: Int = 68): DataFrame = {
+    graft.functions.TextExprs.register(docs.sparkSession)
+    Tables.fanned(docs.select(col("doc_id"), split(col("text"), " ").as("ws")))
       .withColumn("tw", expr(modeExpr("array_sort(ws)")))
       .withColumn("tg", expr(modeExpr("array_sort(word_ngrams(ws, 2))")))
       .select(
@@ -107,9 +122,9 @@ object CurationOps {
         round(col("top_word_n") / col("n_words"), 4).as("top_word_frac"),
         round(col("top_2gram_n") / col("n_2grams"), 4).as("top_2gram_frac"),
         round(col("n_dup_words") / col("n_words"), 4).as("dup_word_ratio"),
-        ((col("top_word_n") * 100 > col("n_words") * 15) ||
-         (col("top_2gram_n") * 100 > col("n_2grams") * 8) ||
-         (col("n_dup_words") * 100 > col("n_words") * 68)).cast("int").as("flagged"))
+        ((col("top_word_n") * 100 > col("n_words") * topWordPct) ||
+         (col("top_2gram_n") * 100 > col("n_2grams") * top2GramPct) ||
+         (col("n_dup_words") * 100 > col("n_words") * dupWordPct)).cast("int").as("flagged"))
   }
 
   private val q40Sql =
@@ -205,9 +220,18 @@ object CurationOps {
   }
 
   def bloomDedup(spark: SparkSession, sfDir: String, mBits: Int = 16384): DataFrame = {
-    val keyed = prefixKeyed(Tables.table(spark, sfDir, "documents"))
-    val corpus = keyed.filter(col("doc_id") % 5 =!= 0)
-    val incoming = keyed.filter(col("doc_id") % 5 === 0)
+    val docs = Tables.table(spark, sfDir, "documents")
+    bloomDedupAgainst(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0), mBits)
+  }
+
+  /** General form: probe `incomingDocs` against a bloom filter built from
+    * `corpusDocs` (both (doc_id, text)), exact-verifying only the hits. */
+  def bloomDedupAgainst(corpusDocs: DataFrame, incomingDocs: DataFrame,
+                        mBits: Int = 16384): DataFrame = {
+    val corpus = prefixKeyed(corpusDocs)
+    val incoming = prefixKeyed(incomingDocs)
     val bitmap = bloomBitmap(corpus, mBits)
     val corpusKeys = corpus.select(col("h").as("ck")).distinct()
     val probed = bloomProbe(incoming, bitmap, mBits)
@@ -265,8 +289,14 @@ object CurationOps {
     * (|sources| rows) broadcast back onto the corpus; the sampling decision
     * itself is map-side; the output aggregate is the only full shuffle, and
     * it is keyed by source with map-side partials. */
-  def mixtureResample(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.table(spark, sfDir, "documents")
+  def mixtureResample(spark: SparkSession, sfDir: String): DataFrame =
+    mixtureResampleOf(Tables.table(spark, sfDir, "documents"))
+
+  /** General form over any (doc_id, source, text) frame; the token budget is
+    * `corpus_tokens · budgetNum / budgetDen` (integer arithmetic). */
+  def mixtureResampleOf(rawDocs: DataFrame,
+                        budgetNum: Long = 1L, budgetDen: Long = 2L): DataFrame = {
+    val docs = rawDocs
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("tok"))
     val perSource = docs.groupBy(col("source"))
@@ -276,7 +306,7 @@ object CurationOps {
       sum(col("src_tok")).as("corpus_tok"), sum(col("w")).as("sum_w"))
     val rates = perSource.crossJoin(broadcast(totals))
       .withColumn("rate_pm", least(lit(1000L),
-        expr("(1000L * (corpus_tok div 2L) * w) div (sum_w * src_tok)")))
+        expr(s"(1000L * (corpus_tok * ${budgetNum}L div ${budgetDen}L) * w) div (sum_w * src_tok)")))
       .select(col("source"), col("src_tok"), col("rate_pm"))
     docs.join(broadcast(rates), "source")
       .withColumn("hh", md5(concat(lit("mix|"), col("doc_id"))))
@@ -337,7 +367,12 @@ object CurationOps {
     * surprisal join re-uses that exchange's partitioning (words co-
     * partitioned); the corpus total is a 1-row broadcast; the per-doc
     * rollup is the only other exchange. Nothing ever collects. */
-  def surprisalScore(spark: SparkSession, sfDir: String): DataFrame = {
+  def surprisalScore(spark: SparkSession, sfDir: String): DataFrame =
+    surprisalScoreOf(Tables.table(spark, sfDir, "documents"))
+
+  /** General form over any (doc_id, text) frame; `flagMillibits` is the
+    * per-word average above which a doc is flagged (integer compare). */
+  def surprisalScoreOf(docs: DataFrame, flagMillibits: Long = 5000L): DataFrame = {
     // One pass over raw word instances: the per-doc tf table is the first
     // aggregation, and corpus frequencies/totals are derived FROM tf — the
     // 100 TB word stream is exploded and exchanged exactly once (the tf
@@ -345,7 +380,7 @@ object CurationOps {
     // ReuseExchange); every later stage touches only the compressed
     // (doc, word) table. Per-doc sums weight the per-WORD millibits by tf
     // (exact integer multiply — identical to summing per instance).
-    val tf = Tables.fanned(Tables.table(spark, sfDir, "documents")
+    val tf = Tables.fanned(docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w")))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val freq = tf.groupBy(col("w")).agg(sum(col("tf")).as("c"))
@@ -362,7 +397,7 @@ object CurationOps {
       // bit-deterministic
       .select(col("doc_id"), col("n_words"), col("sum_millibits"),
         (floor(col("sum_millibits") / (col("n_words") * 1000.0) * 10000) / 10000).as("bits_per_word"),
-        (col("sum_millibits") > col("n_words") * 5000L).cast("int").as("flagged"))
+        (col("sum_millibits") > col("n_words") * flagMillibits).cast("int").as("flagged"))
   }
 
   private val q43Sql =
@@ -394,12 +429,16 @@ object CurationOps {
     * counts, final per-source sum — plus broadcast per-source totals and
     * the 1-row corpus total. The word-frequency join is co-partitioned on
     * the word key. |sources| bounds every broadcast side. */
-  def sourceDivergence(spark: SparkSession, sfDir: String): DataFrame = {
+  def sourceDivergence(spark: SparkSession, sfDir: String): DataFrame =
+    sourceDivergenceOf(Tables.table(spark, sfDir, "documents"))
+
+  /** General form over any (source, text) frame. */
+  def sourceDivergenceOf(docs: DataFrame): DataFrame = {
     // Same single-pass shape as q43: the raw word stream is exchanged once
     // into (source, word) counts; word totals, source totals and the corpus
     // total all derive from that compressed table (≤ |vocab|·|sources|
     // rows), never from a second explode.
-    val bySourceWord = Tables.fanned(Tables.table(spark, sfDir, "documents")
+    val bySourceWord = Tables.fanned(docs
         .select(col("source"), explode(split(col("text"), " ")).as("w")))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
     val byWord = bySourceWord.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))

@@ -34,7 +34,13 @@ object TextOps {
     * difference between 0 and 1 extra exchanges of the full shingle stream
     * (the old `.distinct()` formulation shuffled every (doc_id, shingle)
     * instance once just to de-dup what `array_distinct` de-dups in place). */
-  def docShingleArr(spark: SparkSession, sfDir: String, distinct: Boolean): DataFrame = {
+  def docShingleArr(spark: SparkSession, sfDir: String, distinct: Boolean): DataFrame =
+    shingleArr(Tables.table(spark, sfDir, "documents"), distinct)
+
+  /** Same shingling over any (doc_id, text) frame — the reusable form the
+    * curation operators bind to arbitrary corpora. */
+  def shingleArr(docs: DataFrame, distinct: Boolean): DataFrame = {
+    val spark = docs.sparkSession
     // InferFiltersFromGenerate turns a downstream explode(sarr) into a
     // `size(sarr) > 0 AND isnotnull(sarr)` filter that predicate pushdown
     // then sinks below the fan-out exchange — re-evaluating the whole
@@ -52,7 +58,7 @@ object TextOps {
     // to the transform(sequence(...)) HOF chain it replaced, ~1 JVM call
     // per document instead of ~3 interpreted lambda evals per shingle
     val arr = "word_ngrams(ws, 3)"
-    Tables.fanned(Tables.table(spark, sfDir, "documents"))
+    Tables.fanned(docs)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"),

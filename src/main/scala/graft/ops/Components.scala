@@ -105,10 +105,15 @@ object Components {
     * Scale shape: the cluster table only contains docs that appear in
     * near-dup pairs (small by construction — dup rate ≪ 1), so the
     * root-attach join broadcasts; the split decision is map-side. */
-  def q48(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = graft.oracle.Tables.table(spark, sfDir, "documents").select(col("doc_id"))
-    val pairs = graft.ext.TextOps.ngramJaccard(spark, sfDir)
-      .select(col("doc_a"), col("doc_b"))
+  def q48(spark: SparkSession, sfDir: String): DataFrame =
+    leakageFreeSplit(
+      graft.oracle.Tables.table(spark, sfDir, "documents").select(col("doc_id")),
+      graft.ext.TextOps.ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b")))
+
+  /** General form: split any (doc_id) frame given a near-dup pair list;
+    * per-mil boundaries default to 900/950 → 90/5/5 train/val/test. */
+  def leakageFreeSplit(docs: DataFrame, pairs: DataFrame,
+                       trainPm: Int = 900, valPm: Int = 950): DataFrame = {
     val cc = connectedComponents(pairs, "doc_a", "doc_b")
       .select(col("v"), col("cluster_id"))
     docs.join(broadcast(cc), col("doc_id") === col("v"), "left")
@@ -116,8 +121,8 @@ object Components {
       .withColumn("hh", md5(concat(lit("split|"), col("root"))))
       .withColumn("bucket", expr(s"${graft.ext.TextOps.hexVal("hh", 1, duck = false)} % 1000"))
       .select(col("doc_id"), col("root"),
-        when(col("bucket") < 900, "train")
-          .when(col("bucket") < 950, "val")
+        when(col("bucket") < trainPm, "train")
+          .when(col("bucket") < valPm, "val")
           .otherwise("test").as("split"))
   }
 
