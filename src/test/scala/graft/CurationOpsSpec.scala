@@ -168,6 +168,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(frac.getOrElse("val", 0.0) + frac.getOrElse("test", 0.0) > 0.03, s"$frac")
   }
 
+  test("general forms honor their parameters: quarter budget, stricter contamination share") {
+    import spark.implicits._
+    val docs = graft.oracle.Tables.table(spark, sf0001, "documents")
+    // quarter token budget keeps roughly half of what the half budget keeps
+    val quarter = CurationOps.mixtureResampleOf(docs, budgetNum = 1L, budgetDen = 4L)
+      .agg(sum(col("kept_tokens"))).as[Long].head()
+    val half = CurationOps.mixtureResampleOf(docs)
+      .agg(sum(col("kept_tokens"))).as[Long].head()
+    assert(quarter < half * 0.7, s"quarter budget kept $quarter vs half's $half")
+    // a 90% share threshold flags a subset of the 50% threshold's docs
+    val strict = CurationOps.decontaminationAgainst(
+        docs.filter(col("doc_id") % 20 =!= 7), docs.filter(col("doc_id") % 20 === 7),
+        minShareNum = 9, minShareDen = 10)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val loose = CurationOps.decontamination(spark, sf0001)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(strict.subsetOf(loose), s"stricter threshold admitted new docs: ${strict -- loose}")
+  }
+
   test("q42: deterministic under re-execution (hash-threshold, not rand)") {
     val a = CurationOps.mixtureResample(spark, sf0001).orderBy("source").collect().toSeq
     val b = CurationOps.mixtureResample(spark, sf0001).orderBy("source").collect().toSeq
