@@ -56,7 +56,11 @@ object PlanDump {
     "q46_snowflake_revenue" ->
       "Snowflake rollup: the fact joins orders once by key; customer/supplier/nation-region all broadcast; the local-supplier predicate filters on two broadcast columns before the rollup.",
     "q47_promo_share" ->
-      "Part dim broadcast against the lineitem scan - zero shuffle before the single per-brand aggregation exchange; decimal sums, floor-truncated share."
+      "Part dim broadcast against the lineitem scan - zero shuffle before the single per-brand aggregation exchange; decimal sums, floor-truncated share.",
+    "q49_pii_scrub" ->
+      "PII counting + redaction as one codegen'd projection over the scan - zero exchanges of any kind at any corpus size.",
+    "q50_boilerplate_remove" ->
+      "Line-df aggregation is the only full-corpus exchange; the boilerplate set (small by construction: <= lines/minDf) is BROADCAST for the anti-join; per-doc reassembly re-sorts collected (pos,line) structs, not collect order."
     // q38/q48 (iterative CC + its consumers) are omitted like all cached
     // multi-action loops: their dumped plans are ~900 lines of repeated
     // InMemoryTableScan lineage that drown the other plans; their shape

@@ -141,6 +141,21 @@ class PlanSpec extends SparkSpec {
       s"per-vector energy should not shuffle:\n$p")
   }
 
+  test("q49 pii scrub: pure map-side — zero exchanges of any kind") {
+    val p = plan(graft.oracle.Registry.byName("q49_pii_scrub").run(spark, sf0001))
+    assert(!p.contains("Exchange"), s"regex scrub must not shuffle or broadcast:\n$p")
+  }
+
+  test("q50 boilerplate removal: the boilerplate set broadcasts; only df-agg and doc regroup shuffle") {
+    val p = plan(graft.oracle.Registry.byName("q50_boilerplate_remove").run(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"line removal must be a broadcast anti-join:\n$p")
+    // line-df aggregation (distinct + count collapse onto the line key) and
+    // the per-doc reassembly — the corpus line stream itself exchanges once
+    assert(countOccurrences(p, "hashpartitioning(doc_id#") <= 2,
+      s"doc-keyed exchanges exceed the reassembly budget:\n$p")
+  }
+
   test("q46 snowflake: all dims broadcast, at most the fact join shuffles") {
     val p = plan(graft.oracle.OlapQueries.q46(spark, sf0001))
     assert(countOccurrences(p, "BroadcastHashJoin") >= 4,
