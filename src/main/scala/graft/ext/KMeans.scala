@@ -1,0 +1,147 @@
+package graft.ext
+
+import graft.oracle.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lloyd's k-means over the embedding corpus — the clustering stage behind
+  * SemDeDup-style semantic dedup and corpus partitioning (cluster, then
+  * dedup/sample WITHIN clusters). Spark ships MLlib's KMeans, but its
+  * float math is summation-order-dependent (non-reproducible run to run
+  * at scale) and invisible to a cross-engine oracle; this implementation
+  * runs ENTIRELY in int64:
+  *
+  *   - dims quantized to milli-units with `floor(x·1000 + 0.5)` (float→
+  *     double widening is exact; both engines round identically — the q36
+  *     trick, since `round()` half-handling differs cross-engine),
+  *   - distances are integer squared-L2 (exact, order-free),
+  *   - centroid means are exact floor division (`(s − pmod(s,n)) div n`),
+  *   - argmin ties break to the LOWEST centroid id in both engines
+  *     (first occurrence of the array minimum ≡ row_number by dist, cid).
+  *
+  * So the fixed-point is deterministic at ANY partitioning/parallelism —
+  * re-runs and engines agree bit-for-bit, which is what makes an
+  * hash-exact DuckDB oracle possible for an iterative ML kernel.
+  *
+  * Scale shape per iteration: the assignment is PURE map-side — all k
+  * centroids travel as ONE broadcast row (array of quantized vectors,
+  * ~k·dim·8 bytes) and the argmin is an in-row fold, so the corpus is
+  * never shuffled or joined per point; the centroid update is a
+  * posexplode → (cid, dim) hash aggregation whose map-side partials
+  * reduce the shuffle to k·dim rows per partition. With fixed `iters`
+  * the corpus is scanned iters+1 times (a production run caches the
+  * quantized points once; at fixture scale the rescan is cheaper than
+  * the cache write, and the plan is identical either way). */
+object KMeans {
+
+  /** (vec_id, q) — embedding quantized to exact int64 milli-units. */
+  def quantize(embeds: DataFrame): DataFrame =
+    embeds.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT))").as("q"))
+
+  /** Collapse (cid, cvec) rows into the single broadcast row used by the
+    * map-side assignment: `cents[i]` = centroid i's vector (cid order). */
+  private def centsRow(cents: DataFrame): DataFrame =
+    cents.agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cs"))
+      .select(expr("transform(cs, s -> s.cvec)").as("cents"))
+
+  /** Map-side assignment: per-point distance array over the broadcast
+    * centroids, argmin = first occurrence of the minimum (lowest cid). */
+  private def assign(pts: DataFrame, cents: DataFrame): DataFrame =
+    pts.crossJoin(broadcast(centsRow(cents)))
+      .withColumn("darr", expr(
+        "transform(cents, c -> aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x))"))
+      .withColumn("cid", (array_position(col("darr"), array_min(col("darr"))) - 1).cast("int"))
+      .withColumn("dist", expr("darr[cid]"))
+      .select(col("vec_id"), col("q"), col("cid"), col("dist"))
+
+  /** Exact integer centroid update; clusters that lost every point keep
+    * their previous centroid (both engines coalesce identically). */
+  private def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    val sums = assigned
+      .select(col("cid"), posexplode(col("q")).as(Seq("d", "v")))
+      .groupBy(col("cid"), col("d"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("cv", expr("(s - pmod(s, n)) div n"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, cv))), x -> x.cv)").as("ncvec"))
+    prev.join(sums.withColumnRenamed("cid", "ncid"),
+        col("cid") === col("ncid"), "left")
+      .select(col("cid"), coalesce(col("ncvec"), col("cvec")).as("cvec"))
+  }
+
+  /** General form over any (vec_id, embedding array<float>) frame:
+    * k-means with `iters` Lloyd rounds from the deterministic seed
+    * (the k smallest vec_ids), reporting per-cluster size, exact integer
+    * inertia under the final model, and a position-weighted centroid
+    * checksum (a hashable witness of the centroid values themselves). */
+  def kmeansOf(embeds: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val pts = quantize(embeds)
+    var cents = pts.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("q").as("cvec"))
+    for (_ <- 0 until iters)
+      cents = update(assign(pts, cents), cents)
+    val checksums = cents.select(col("cid").as("ccid"), expr(
+      "aggregate(zip_with(cvec, sequence(1L, CAST(size(cvec) AS BIGINT)), (x, i) -> x * i), 0L, (s, x) -> s + x)")
+      .as("centroid_checksum"))
+    assign(pts, cents)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_points"), sum(col("dist")).as("inertia"))
+      .join(broadcast(checksums), col("cid") === col("ccid"))
+      .select(col("cid").cast("long").as("cid"), col("n_points"),
+        col("inertia"), col("centroid_checksum"))
+  }
+
+  def kmeans(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansOf(Tables.table(spark, sfDir, "embeddings"))
+
+  /** One Lloyd round in DuckDB: assignment (dist + argmin window) and the
+    * exact-integer centroid update with empty-cluster coalesce. */
+  private def duckRound(i: Int, prevC: String, dim: Int): String =
+    s"""ad$i AS (
+       |  SELECT vec_id, q, cid, dist FROM (
+       |    SELECT p.vec_id, p.q, c.cid,
+       |           CAST(list_sum(list_transform(range(1, ${dim + 1}),
+       |             j -> (p.q[j] - c.cvec[j]) * (p.q[j] - c.cvec[j]))) AS BIGINT) AS dist
+       |    FROM pts p CROSS JOIN $prevC c) t
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+       |s$i AS (
+       |  SELECT cid, d.d, CAST(sum(q[d.d]) AS BIGINT) AS s, count(*) AS n
+       |  FROM ad$i CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS d) d
+       |  GROUP BY cid, d.d),
+       |u$i AS (
+       |  SELECT cid, list((s - ((s % n) + n) % n) // n ORDER BY d) AS cvec
+       |  FROM s$i GROUP BY cid),
+       |c$i AS (
+       |  SELECT p.cid, coalesce(u.cvec, p.cvec) AS cvec
+       |  FROM $prevC p LEFT JOIN u$i u USING (cid))""".stripMargin
+
+  private def q51Sql(k: Int = 8, iters: Int = 2, dim: Int = 64): String = {
+    val rounds = (1 to iters).map(i => duckRound(i, if (i == 1) "c0" else s"c${i - 1}", dim))
+    s"""WITH pts AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, q AS cvec FROM pts WHERE vec_id < $k),
+       |${rounds.mkString(",\n")},
+       |fin AS (
+       |  SELECT vec_id, cid, dist FROM (
+       |    SELECT p.vec_id, c.cid,
+       |           CAST(list_sum(list_transform(range(1, ${dim + 1}),
+       |             j -> (p.q[j] - c.cvec[j]) * (p.q[j] - c.cvec[j]))) AS BIGINT) AS dist
+       |    FROM pts p CROSS JOIN c$iters c) t
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+       |cs AS (
+       |  SELECT cid, CAST(list_sum(list_transform(cvec, (x, i) -> x * i)) AS BIGINT)
+       |           AS centroid_checksum
+       |  FROM c$iters)
+       |SELECT CAST(fin.cid AS BIGINT) AS cid, count(*) AS n_points,
+       |       CAST(sum(dist) AS BIGINT) AS inertia, cs.centroid_checksum
+       |FROM fin JOIN cs ON cs.cid = fin.cid
+       |GROUP BY fin.cid, cs.centroid_checksum""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q51_kmeans_cluster", kmeans, Some(q51Sql()))
+  )
+}
