@@ -36,15 +36,26 @@ object CurationOps {
     * per-document overlap count. */
   /** General form: flag docs in `trainDocs` whose distinct-shingle overlap
     * with `benchDocs`' vocabulary is ≥ minShareNum/minShareDen (integer
-    * cross-multiplied — no FP boundary). Both args are (doc_id, text). */
+    * cross-multiplied — no FP boundary). Both args are (doc_id, text).
+    *
+    * PRECONDITION on the default `broadcastVocab = true`: `benchDocs` must
+    * be an EVAL-SET-sized frame — its distinct-shingle vocabulary is
+    * collected to the driver and broadcast, so a corpus-scale bench side
+    * would OOM the driver. Real benchmark suites are a few thousand
+    * documents (vocabulary ≪ executor memory), which is why broadcast is
+    * the default shape; pass `broadcastVocab = false` to decontaminate
+    * against a LARGE reference corpus instead — the overlap then runs as a
+    * shuffle join keyed by shingle (both sides exchanged, nothing
+    * collected anywhere). */
   def decontaminationAgainst(trainDocs: DataFrame, benchDocs: DataFrame,
-                             minShareNum: Int = 1, minShareDen: Int = 2): DataFrame = {
+                             minShareNum: Int = 1, minShareDen: Int = 2,
+                             broadcastVocab: Boolean = true): DataFrame = {
     val bench = TextOps.shingleArr(benchDocs, distinct = true)
       .select(explode(col("sarr")).as("s")).distinct()
     TextOps.shingleArr(trainDocs, distinct = true)
       .select(col("doc_id"), size(col("sarr")).cast("long").as("n_shingles"),
         explode(col("sarr")).as("s"))
-      .join(broadcast(bench), "s")
+      .join(if (broadcastVocab) broadcast(bench) else bench, "s")
       .groupBy(col("doc_id"), col("n_shingles"))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") * minShareDen >= col("n_shingles") * minShareNum)
@@ -54,6 +65,12 @@ object CurationOps {
 
   def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.table(spark, sfDir, "documents")
+    // The 5%-of-corpus residue slice STANDS IN for a real eval table, whose
+    // defining property is being tiny and fixed-size (MMLU and friends are
+    // ~10⁴ docs regardless of corpus size). The broadcast precondition
+    // documented on decontaminationAgainst holds for real eval sets, not
+    // for this slice extrapolated to 100 TB — a corpus-scale reference
+    // side must pass broadcastVocab = false there.
     decontaminationAgainst(
       docs.filter(col("doc_id") % 20 =!= 7),
       docs.filter(col("doc_id") % 20 === 7))
@@ -101,11 +118,15 @@ object CurationOps {
     repetitionStatsOf(Tables.table(spark, sfDir, "documents"))
 
   /** General form over any (doc_id, text) frame; thresholds are integer
-    * percents (flag when `100·top > pct·n`). */
+    * percents (flag when `100·top > pct·n`). Documents with fewer than 2
+    * words are excluded: they have no 2-grams, so every repetition ratio
+    * is degenerate (0/0) and the doc is definitionally unflaggable — both
+    * engines agree on the row set instead of diverging on null fractions. */
   def repetitionStatsOf(docs: DataFrame, topWordPct: Int = 15,
                         top2GramPct: Int = 8, dupWordPct: Int = 68): DataFrame = {
     graft.functions.TextExprs.register(docs.sparkSession)
-    Tables.fanned(docs.select(col("doc_id"), split(col("text"), " ").as("ws")))
+    Tables.fanned(docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2))
       .withColumn("tw", expr(modeExpr("array_sort(ws)")))
       .withColumn("tg", expr(modeExpr("array_sort(word_ngrams(ws, 2))")))
       .select(
@@ -236,8 +257,15 @@ object CurationOps {
     val corpusKeys = corpus.select(col("h").as("ck")).distinct()
     val probed = bloomProbe(incoming, bitmap, mBits)
       .select(col("doc_id"), col("h"), col("bloom_hit"))
+    // No broadcast hint on corpusKeys: the corpus side is the one the
+    // bloom filter exists to avoid materializing driver-side (tens of GB
+    // of keys at 1e9 docs — a guaranteed broadcast OOM). Unhinted, the
+    // planner broadcasts it only while its measured size is actually
+    // small; past the threshold this becomes a shuffle join keyed by h,
+    // whose probe side is |hits| (bloom-filtered, small by construction)
+    // — the corpus keys are exchanged but never collected to one node.
     val verified = probed.filter(col("bloom_hit"))
-      .join(broadcast(corpusKeys), col("h") === col("ck"), "left")
+      .join(corpusKeys, col("h") === col("ck"), "left")
       .select(col("doc_id"), col("bloom_hit"), col("ck").isNotNull.as("exact_dup"))
     val misses = probed.filter(!col("bloom_hit"))
       .select(col("doc_id"), col("bloom_hit"), lit(false).as("exact_dup"))
@@ -283,9 +311,12 @@ object CurationOps {
     * sampling as q26 (retry-stable, engine-exact, join-alignment-safe).
     *
     * All rate arithmetic is INTEGER (⌊√·⌋ of a bigint is exact in IEEE
-    * double well past 2^52, then pure int64 multiply/divide), so Spark and
-    * DuckDB agree bit-for-bit — no float summation-order hazard crosses the
-    * engines. Scale shape: per-source token totals are a tiny aggregate
+    * double well past 2^52; the rate products run in exact 38-digit
+    * integers — DECIMAL(38,0) on Spark, HUGEINT on DuckDB — because
+    * `1000·budget·w` and `sum_w·src_tok` overflow int64 around corpus ≈
+    * 10¹³ tokens, i.e. exactly the 100 TB operating point; 38 digits is
+    * safe past a 10³⁰-token corpus), so Spark and DuckDB agree
+    * bit-for-bit — no float summation-order hazard crosses the engines. Scale shape: per-source token totals are a tiny aggregate
     * (|sources| rows) broadcast back onto the corpus; the sampling decision
     * itself is map-side; the output aggregate is the only full shuffle, and
     * it is keyed by source with map-side partials. */
@@ -305,8 +336,13 @@ object CurationOps {
     val totals = perSource.agg(
       sum(col("src_tok")).as("corpus_tok"), sum(col("w")).as("sum_w"))
     val rates = perSource.crossJoin(broadcast(totals))
+      // DECIMAL(38,0) intermediates: the numerator/denominator products
+      // exceed int64 near 1e13 corpus tokens; `div` on decimals is exact
+      // integer floor division returning BIGINT (the quotient is ≤ 1000·
+      // budget, well inside long range)
       .withColumn("rate_pm", least(lit(1000L),
-        expr(s"(1000L * (corpus_tok * ${budgetNum}L div ${budgetDen}L) * w) div (sum_w * src_tok)")))
+        expr(s"(CAST(1000 AS DECIMAL(38,0)) * (corpus_tok * ${budgetNum}L div ${budgetDen}L) * w)" +
+          s" div (CAST(sum_w AS DECIMAL(38,0)) * src_tok)")))
       .select(col("source"), col("src_tok"), col("rate_pm"))
     docs.join(broadcast(rates), "source")
       .withColumn("hh", md5(concat(lit("mix|"), col("doc_id"))))
@@ -336,7 +372,8 @@ object CurationOps {
        |tot AS (SELECT CAST(sum(src_tok) AS BIGINT) AS corpus_tok,
        |               CAST(sum(w) AS BIGINT) AS sum_w FROM perw),
        |rates AS (SELECT source, src_tok,
-       |                 least(1000, (1000 * (corpus_tok // 2) * w) // (sum_w * src_tok)) AS rate_pm
+       |                 least(1000, CAST((1000::HUGEINT * (corpus_tok // 2) * w)
+       |                                  // (sum_w::HUGEINT * src_tok) AS BIGINT)) AS rate_pm
        |          FROM perw CROSS JOIN tot),
        |keyed AS (SELECT d.doc_id, d.source, d.tok, r.src_tok, r.rate_pm,
        |                 md5('mix|' || d.doc_id) AS hh

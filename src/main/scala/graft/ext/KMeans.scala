@@ -29,9 +29,11 @@ import org.apache.spark.sql.functions._
   * never shuffled or joined per point; the centroid update is a
   * posexplode → (cid, dim) hash aggregation whose map-side partials
   * reduce the shuffle to k·dim rows per partition. With fixed `iters`
-  * the corpus is scanned iters+1 times (a production run caches the
-  * quantized points once; at fixture scale the rescan is cheaper than
-  * the cache write, and the plan is identical either way). */
+  * the corpus is scanned iters+1 times unless `cachePoints` is set,
+  * which materializes the quantized points once and serves every
+  * assignment pass from the cache (the production setting; at fixture
+  * scale the rescan is cheaper than the cache write, and the
+  * per-iteration plan is identical either way). */
 object KMeans {
 
   /** (vec_id, q) — embedding quantized to exact int64 milli-units. */
@@ -40,19 +42,22 @@ object KMeans {
       expr("transform(embedding, x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT))").as("q"))
 
   /** Collapse (cid, cvec) rows into the single broadcast row used by the
-    * map-side assignment: `cents[i]` = centroid i's vector (cid order). */
+    * map-side assignment: an array<struct<cid,cvec>> sorted by cid. The
+    * cid travels WITH its vector so labels are the centroids' actual ids —
+    * seed cids need not be contiguous 0..k-1 (sparse vec_id frames work). */
   private def centsRow(cents: DataFrame): DataFrame =
     cents.agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cs"))
-      .select(expr("transform(cs, s -> s.cvec)").as("cents"))
 
   /** Map-side assignment: per-point distance array over the broadcast
-    * centroids, argmin = first occurrence of the minimum (lowest cid). */
+    * centroids, argmin = first occurrence of the minimum (lowest cid,
+    * since `cs` is cid-sorted); the label is `cs[argmin].cid`. */
   private def assign(pts: DataFrame, cents: DataFrame): DataFrame =
     pts.crossJoin(broadcast(centsRow(cents)))
       .withColumn("darr", expr(
-        "transform(cents, c -> aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x))"))
-      .withColumn("cid", (array_position(col("darr"), array_min(col("darr"))) - 1).cast("int"))
-      .withColumn("dist", expr("darr[cid]"))
+        "transform(cs, c -> aggregate(zip_with(q, c.cvec, (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x))"))
+      .withColumn("pi", (array_position(col("darr"), array_min(col("darr"))) - 1).cast("int"))
+      .withColumn("cid", expr("cs[pi].cid"))
+      .withColumn("dist", expr("darr[pi]"))
       .select(col("vec_id"), col("q"), col("cid"), col("dist"))
 
   /** Exact integer centroid update; clusters that lost every point keep
@@ -72,15 +77,30 @@ object KMeans {
 
   /** General form over any (vec_id, embedding array<float>) frame:
     * k-means with `iters` Lloyd rounds from the deterministic seed
-    * (the k smallest vec_ids), reporting per-cluster size, exact integer
+    * (the k smallest vec_ids — contiguity NOT required; labels are the
+    * seeds' actual vec_ids), reporting per-cluster size, exact integer
     * inertia under the final model, and a position-weighted centroid
-    * checksum (a hashable witness of the centroid values themselves). */
-  def kmeansOf(embeds: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
-    val pts = quantize(embeds)
+    * checksum (a hashable witness of the centroid values themselves).
+    *
+    * `cachePoints` materializes the quantized corpus once so the iters+1
+    * assignment passes read the cache instead of rescanning the source —
+    * the production setting for any corpus where a scan is not free
+    * (default off: at fixture scale the rescan is cheaper than the cache
+    * write, and the per-iteration plan is identical either way).
+    * `checkpointEvery` truncates the centroid frame's lineage every N
+    * rounds (`localCheckpoint` of k rows — a negligible eager job);
+    * without it the logical plan nests one join+agg per round and planner
+    * cost grows superlinearly in `iters`. */
+  def kmeansOf(embeds: DataFrame, k: Int = 8, iters: Int = 2,
+               cachePoints: Boolean = false, checkpointEvery: Int = 5): DataFrame = {
+    val pts = if (cachePoints) quantize(embeds).cache() else quantize(embeds)
     var cents = pts.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("q").as("cvec"))
-    for (_ <- 0 until iters)
+    for (i <- 0 until iters) {
       cents = update(assign(pts, cents), cents)
+      if ((i + 1) % checkpointEvery == 0 && i + 1 < iters)
+        cents = cents.localCheckpoint()
+    }
     val checksums = cents.select(col("cid").as("ccid"), expr(
       "aggregate(zip_with(cvec, sequence(1L, CAST(size(cvec) AS BIGINT)), (x, i) -> x * i), 0L, (s, x) -> s + x)")
       .as("centroid_checksum"))

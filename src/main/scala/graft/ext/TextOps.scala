@@ -125,40 +125,52 @@ object TextOps {
   private val MersenneP = 2147483647L
 
   def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    // Signatures are computed entirely map-side: one md5 per shingle
-    // instance, the 12 Carter-Wegman mins taken with array_min over the
-    // in-row shingle array — the signature stage contributes ZERO shuffle
-    // (the old groupBy(doc_id).agg(min...) exchanged the full hashed
-    // shingle stream). Min-hash is multiset-invariant, so the non-distinct
-    // array is used.
-    // native one-pass signatures (graft.functions.MinhashSignatures): one
-    // MD5 per shingle straight from digest bytes — no hex string, no
-    // interpreted nibble arithmetic, all 12 running mins in one loop
-    val sigs = docShingleArr(spark, sfDir, distinct = false)
-      .withColumn("sig", expr("minhash_signatures(sarr, 12)"))
-      .select(col("doc_id") +: (0 until 12).map(i => expr(s"sig[$i]").as(s"mh$i")): _*)
+    // ONE corpus scan + ONE shingling pass. Signatures are computed
+    // entirely map-side (one md5 per shingle via the native
+    // graft.functions.MinhashSignatures expression, all 12 Carter-Wegman
+    // running mins in one loop; min-hash is multiset-invariant so the raw
+    // array feeds it) and the distinct shingle SET for verification comes
+    // out of the same projection. The (doc_id, sset, sig) table is then
+    // PERSISTED (memory-and-disk — the Layout-style write-once
+    // materialization): the band bucketing reads it once and the verify
+    // joins read it twice, where the previous formulation re-scanned and
+    // re-shingled the corpus for each of those four references — at 100 TB
+    // that was 4 corpus reads and 4× the dominant hashing cost.
+    val base = docShingleArr(spark, sfDir, distinct = false)
+      .select(col("doc_id"),
+        array_distinct(col("sarr")).as("sset"),
+        expr("minhash_signatures(sarr, 12)").as("sig"))
+      .persist()
+    // Candidate pairs via the q14-style inverted index over band keys —
+    // group docs per (band, band-key) bucket and emit ordered pairs in-row
+    // (native ordered_pairs) — instead of a bands⋈bands self-join: ONE
+    // exchange of the band stream replaces the self-join's two, and the
+    // signature table is referenced once, not twice. Per-doc set sizes
+    // ride inside the bucket rows so the verify never joins a count table.
     val bandCols = (0 until 4).map(b =>
-      s"$b, concat_ws('|', mh${3 * b}, mh${3 * b + 1}, mh${3 * b + 2})").mkString(", ")
-    val bands = sigs.select(col("doc_id"),
-      expr(s"stack(4, $bandCols)").as(Seq("band", "bk")))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      s"$b, concat_ws('|', sig[${3 * b}], sig[${3 * b + 1}], sig[${3 * b + 2}])").mkString(", ")
+    val cand = base
+      .select(col("doc_id"), size(col("sset")).as("n"),
+        expr(s"stack(4, $bandCols)").as(Seq("band", "bk")))
+      .groupBy(col("band"), col("bk"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr("ordered_pairs(ids)")).as("p"))
+      // a pair sharing several bands appears once per band — dedup
+      .select(col("p.a_doc_id").as("doc_a"), col("p.b_doc_id").as("doc_b"),
+        col("p.a_n").as("na"), col("p.b_n").as("nb"))
       .distinct()
-    // Verify: join each candidate pair to the two doc shingle SETS and take
-    // the intersection in-row — two joins against the (doc_id, sarr) table
-    // replace the old double shingle-stream join + re-aggregation. The
-    // candidate side is small by LSH construction (that is the point of the
-    // band filter), so AQE broadcasts it.
-    val sets = docShingleArr(spark, sfDir, distinct = true)
+    // Verify: join each candidate pair to the two doc shingle sets and take
+    // the intersection in-row. The candidate side is small by LSH
+    // construction (that is the point of the band filter), so AQE
+    // broadcasts it; both set lookups hit the persisted base.
+    val sets = base.select(col("doc_id"), col("sset"))
     cand
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sa.sarr"), col("sb.sarr"))).as("inter"),
-        size(col("sa.sarr")).as("na"), size(col("sb.sarr")).as("nb"))
+        size(array_intersect(col("sa.sset"), col("sb.sset"))).as("inter"),
+        col("na"), col("nb"))
       .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.5)
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))

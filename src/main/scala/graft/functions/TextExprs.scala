@@ -131,6 +131,65 @@ object MinhashSignatures {
   }
 }
 
+/** 32-bit SimHash fingerprint of a shingle array in one pass: per shingle,
+  * v = big-endian uint32 of the first 4 MD5 digest bytes (≡ the first 8 hex
+  * chars of `md5(s)` — bit j of v is exactly what the hex-nibble SQL
+  * formulation extracts), each bit votes +1/−1, fp bit j set iff the vote
+  * sum is positive. Bit-identical to the aggregate/zip_with HOF chain it
+  * replaces (pinned by TextExprsSpec), which interpreted three lambdas per
+  * shingle×32 bits; this is one JVM call per document. NULL shingles are
+  * skipped; an empty array yields 0 (the HOF's all-zero-sums fixed point). */
+case class SimhashFingerprint(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"simhash_fingerprint requires array<string>, got ${child.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    SimhashFingerprint.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimhashFingerprint.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimhashFingerprint {
+  def compute(shingles: ArrayData): Long = {
+    val n = shingles.numElements()
+    val sums = new Array[Int](32)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(shingles.getUTF8String(i).getBytes)
+        val v = ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) | ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+        var j = 0
+        while (j < 32) {
+          sums(j) += (if (((v >>> j) & 1) == 1) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 32) {
+      if (sums(j) > 0) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
+}
+
 /** All ordered 2-element combinations of a SORTED posting list (array of
   * 2-field structs) as array<struct<a_f1, b_f1, a_f2, b_f2>> — the pair
   * generation step of an inverted-index join-free intersection count. One
@@ -209,8 +268,9 @@ object TextExprs {
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
 
-  /** Register `word_ngrams(ws, n)`, `minhash_signatures(arr, k)` and
-    * `ordered_pairs(ids)` in the session function registry. Idempotent. */
+  /** Register `word_ngrams(ws, n)`, `minhash_signatures(arr, k)`,
+    * `ordered_pairs(ids)` and `simhash_fingerprint(arr)` in the session
+    * function registry. Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("word_ngrams"),
@@ -224,5 +284,9 @@ object TextExprs {
       FunctionIdentifier("ordered_pairs"),
       new ExpressionInfo(classOf[OrderedPairs].getName, "ordered_pairs"),
       (args: Seq[Expression]) => OrderedPairs(args.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash_fingerprint"),
+      new ExpressionInfo(classOf[SimhashFingerprint].getName, "simhash_fingerprint"),
+      (args: Seq[Expression]) => SimhashFingerprint(args.head))
   }
 }

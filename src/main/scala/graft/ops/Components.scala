@@ -48,6 +48,7 @@ object Components {
       .cache()
     var i = 1
     var converged = false
+    var prevCheckpointed = false
     while (!converged && i < maxIter) {
       // One job per round: the previous label rides along as `prev`, so the
       // convergence count needs no second join against the prior frame.
@@ -55,16 +56,35 @@ object Components {
       // neighbor by construction.
       val nbrMin = bi.join(labels.select(col("v").as("y"), col("lbl").as("nl")), "y")
         .groupBy(col("x").as("v")).agg(min(col("nl")).as("nl"))
-      val stepped = labels.join(nbrMin, "v")
+      val steppedRaw = labels.join(nbrMin, "v")
         .select(col("v"), least(col("lbl"), col("nl")).as("lbl"), col("lbl").as("prev"))
-        .cache()
+      // Every 5th round, localCheckpoint instead of cache: the label frame
+      // is tiny (one row per near-dup vertex) but its LOGICAL plan nests
+      // one join+agg per round — on a high-diameter graph the planner cost
+      // grows superlinearly and executor stacks carry the full lineage.
+      // The checkpoint truncates the plan to a leaf for the price of an
+      // eager job over the (small) label frame. Checkpointed rounds are
+      // never unpersisted: truncated lineage cannot be recomputed, and the
+      // leaked frames are |V|-row, bounded by maxIter/5.
+      val checkpointThis = i % 5 == 0
+      val stepped = if (checkpointThis) steppedRaw.localCheckpoint()
+                    else steppedRaw.cache()
       val changed = stepped.filter(col("lbl") =!= col("prev")).count()
-      labels.unpersist()
+      if (!prevCheckpointed) labels.unpersist()
+      prevCheckpointed = checkpointThis
       labels = stepped.select(col("v"), col("lbl"))
       converged = changed == 0
       i += 1
     }
     bi.unpersist()
+    // A partial labeling silently breaks every downstream guarantee built
+    // on the closure (canonical keeper choice, leakage-free splits), so an
+    // unconverged exit is an error, not a result. Near-dup clusters are
+    // shallow; hitting this means the pair list is not dedup-shaped —
+    // raise maxIter or switch to an alternating-star variant.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: labels still changing after $maxIter rounds " +
+        "(component diameter exceeds maxIter); raise maxIter")
     labels.select(col("v"), col("lbl").as("cluster_id"))
   }
 
