@@ -41,5 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ordered_pairs"),
       new ExpressionInfo(classOf[graft.functions.OrderedPairs].getName, "ordered_pairs"),
       (args: Seq[Expression]) => graft.functions.OrderedPairs(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_fingerprint"),
+      new ExpressionInfo(classOf[graft.functions.SimhashFingerprint].getName, "simhash_fingerprint"),
+      (args: Seq[Expression]) => graft.functions.SimhashFingerprint(args.head)))
   }
 }

@@ -94,7 +94,12 @@ object KMeans {
   def kmeansOf(embeds: DataFrame, k: Int = 8, iters: Int = 2,
                cachePoints: Boolean = false, checkpointEvery: Int = 5): DataFrame = {
     val pts = if (cachePoints) quantize(embeds).cache() else quantize(embeds)
-    var cents = pts.filter(col("vec_id") < k)
+    // Seed by RANK, not by value: orderBy+limit takes the k smallest ids
+    // whatever the id space looks like (sparse / offset frames included) —
+    // a `vec_id < k` filter on a sparse frame yields fewer than k seeds.
+    // TakeOrderedAndProject keeps this a k-row driver-side top-k, never a
+    // full sort of the corpus.
+    var cents = pts.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").cast("int").as("cid"), col("q").as("cvec"))
     for (i <- 0 until iters) {
       cents = update(assign(pts, cents), cents)

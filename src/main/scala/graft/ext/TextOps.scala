@@ -223,22 +223,32 @@ object TextOps {
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     // Fingerprints are per-document functions of the shingle array, so the
-    // whole majority vote runs map-side (one md5 per shingle, one
-    // aggregate/zip_with pass accumulating all 32 bit-sums) — zero shuffle
-    // until the final cluster-size window on simhash. The old formulation
-    // exchanged every (doc_id, shingle-hash) row for a groupBy(doc_id).
+    // whole majority vote runs map-side — zero shuffle until the final
+    // cluster-size window on simhash. The vote runs in the native
+    // graft.functions.SimhashFingerprint expression (one fused JVM loop,
+    // one md5 per shingle); the interpreted aggregate/zip_with HOF chain it
+    // replaced evaluated three lambdas per shingle×32 bits
+    // (bit-equivalence pinned by TextExprsSpec).
+    val hashed = docShingleArr(spark, sfDir, distinct = true)
+      .select(col("doc_id"), expr("simhash_fingerprint(sarr)").as("simhash"))
+    hashed.withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("simhash"))))
+  }
+
+  /** The interpreted HOF formulation of the 32-bit simhash vote over a
+    * column named `sarr` — kept as the equivalence oracle for
+    * [[graft.functions.SimhashFingerprint]] (TextExprsSpec pins native ==
+    * HOF on the fixture's shingle arrays). */
+  private[graft] val simhashHof: String = {
     val bitVec = (0 until 32).map(j => s"CAST(2 * ${bitExpr(j, "h")} - 1 AS BIGINT)")
       .mkString("array(", ", ", ")")
-    val fpFromSums = (0 until 32)
-      .map(j => s"IF(element_at(sums, ${j + 1}) > 0, ${1L << j}L, 0L)")
-      .mkString("(", " + ", ")")
-    val hashed = docShingleArr(spark, sfDir, distinct = true)
-      .withColumn("sums", expr(
-        s"""aggregate(transform(sarr, s -> substr(md5(s), 1, 8)),
-           |  transform(sequence(0, 31), j -> 0L),
-           |  (acc, h) -> zip_with(acc, $bitVec, (x, y) -> x + y))""".stripMargin))
-      .select(col("doc_id"), expr(fpFromSums).as("simhash"))
-    hashed.withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("simhash"))))
+    s"""aggregate(
+       |  zip_with(
+       |    aggregate(transform(sarr, s -> substr(md5(s), 1, 8)),
+       |              transform(sequence(0, 31), j -> 0L),
+       |              (acc, h) -> zip_with(acc, $bitVec, (x, y) -> x + y)),
+       |    sequence(0, 31),
+       |    (s, j) -> IF(s > 0, shiftleft(1L, j), 0L)),
+       |  0L, (a, x) -> a + x)""".stripMargin
   }
 
   private val q13Sql = {

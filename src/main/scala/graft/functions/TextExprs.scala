@@ -270,8 +270,11 @@ object TextExprs {
 
   /** Register `word_ngrams(ws, n)`, `minhash_signatures(arr, k)`,
     * `ordered_pairs(ids)` and `simhash_fingerprint(arr)` in the session
-    * function registry. Idempotent. */
+    * function registry. Idempotent (and quiet about it — re-registering
+    * logs a replaced-function warning per call otherwise). */
   def register(spark: SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry
+          .functionExists(FunctionIdentifier("simhash_fingerprint"))) return
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),

@@ -131,10 +131,18 @@ object Components {
       graft.ext.TextOps.ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b")))
 
   /** General form: split any (doc_id) frame given a near-dup pair list;
-    * per-mil boundaries default to 900/950 → 90/5/5 train/val/test. */
+    * per-mil boundaries default to 900/950 → 90/5/5 train/val/test.
+    *
+    * Inherits [[connectedComponents]]' convergence CONTRACT: if the pair
+    * graph's component diameter exceeds `maxIter`, this THROWS rather than
+    * silently splitting from a partial closure (a partial closure is
+    * precisely a leakage bug — two transitively-linked docs could land in
+    * train and test). Callers with unusually deep graphs raise `maxIter`
+    * here instead of editing the library. */
   def leakageFreeSplit(docs: DataFrame, pairs: DataFrame,
-                       trainPm: Int = 900, valPm: Int = 950): DataFrame = {
-    val cc = connectedComponents(pairs, "doc_a", "doc_b")
+                       trainPm: Int = 900, valPm: Int = 950,
+                       maxIter: Int = 15): DataFrame = {
+    val cc = connectedComponents(pairs, "doc_a", "doc_b", maxIter)
       .select(col("v"), col("cluster_id"))
     docs.join(broadcast(cc), col("doc_id") === col("v"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("root"))

@@ -187,6 +187,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(strict.subsetOf(loose), s"stricter threshold admitted new docs: ${strict -- loose}")
   }
 
+  test("decontaminationAgainst: broadcastVocab=false shuffle path returns identical rows") {
+    val docs = graft.oracle.Tables.table(spark, sf0001, "documents")
+    val train = docs.filter(col("doc_id") % 20 =!= 7)
+    val bench = docs.filter(col("doc_id") % 20 === 7)
+    val broadcastRows = CurationOps.decontaminationAgainst(train, bench)
+      .collect().map(_.toSeq).toSet
+    // force the planner off broadcast so the shuffle join actually runs —
+    // at fixture size the unhinted path would still auto-broadcast
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = CurationOps.decontaminationAgainst(train, bench, broadcastVocab = false)
+      assert(df.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+        s"expected the shuffle-join shape:\n${df.queryExecution.executedPlan}")
+      assert(df.collect().map(_.toSeq).toSet == broadcastRows)
+      assert(broadcastRows.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("q42: deterministic under re-execution (hash-threshold, not rand)") {
     val a = CurationOps.mixtureResample(spark, sf0001).orderBy("source").collect().toSeq
     val b = CurationOps.mixtureResample(spark, sf0001).orderBy("source").collect().toSeq

@@ -101,6 +101,32 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got2 == expect, s"diff=${got2.toSet -- expect.toSet}")
   }
 
+  test("connected components: deep chain (diameter 12) runs the localCheckpoint rounds") {
+    import spark.implicits._
+    // chain 0-1-…-12: min-label propagation needs ~12 rounds, so the
+    // i % 5 == 0 localCheckpoint branch fires (rounds 5 and 10) — the
+    // lineage-truncation path no fixture graph reaches (near-dup clusters
+    // converge in 2–3 rounds). Labels must still all collapse to 0, and the
+    // final frame's physical plan must be checkpoint-rooted (Scan
+    // ExistingRDD), i.e. the per-round join+agg lineage was truncated.
+    val chain = (0L until 12L).map(i => (i, i + 1))
+    val cc = graft.ops.Components.connectedComponents(
+      chain.toDF("a", "b"), "a", "b", maxIter = 25)
+    assert(cc.queryExecution.executedPlan.toString.contains("Scan ExistingRDD"),
+      s"expected checkpoint-truncated lineage:\n${cc.queryExecution.executedPlan}")
+    val got = cc.as[(Long, Long)].collect().toMap
+    assert(got == (0L to 12L).map(_ -> 0L).toMap)
+  }
+
+  test("connected components: unconverged at maxIter throws, never returns a partial closure") {
+    import spark.implicits._
+    val chain = (0L until 12L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      graft.ops.Components.connectedComponents(chain.toDF("a", "b"), "a", "b", maxIter = 4)
+    }
+    assert(ex.getMessage.contains("raise maxIter"))
+  }
+
   test("asOfJoin == brute-force reference on seeded random data (300x300, 20 keys)") {
     import spark.implicits._
     val rng = new scala.util.Random(7)

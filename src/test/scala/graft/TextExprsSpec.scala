@@ -78,6 +78,25 @@ class TextExprsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("simhash_fingerprint == aggregate/zip_with HOF vote on fixture shingles") {
+    TextExprs.register(spark)
+    val sarr = graft.ext.TextOps.docShingleArr(spark, sf0001, distinct = true)
+    val bad = sarr
+      .select(expr("simhash_fingerprint(sarr)").as("a"),
+        expr(graft.ext.TextOps.simhashHof).as("b"))
+      .filter(col("a") =!= col("b"))
+      .count()
+    assert(bad == 0)
+    // edge cases: empty array -> 0 (the HOF's all-zero-sums fixed point);
+    // null elements skipped; single shingle sets exactly its md5's bits
+    import spark.implicits._
+    val fps = Seq(Seq.empty[String], Seq[String]("x", null, "y"), Seq[String]("x", "y"))
+      .toDF("sarr").select(expr("simhash_fingerprint(sarr)").as("f"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(fps.head == 0L)
+    assert(fps(1) == fps(2))
+  }
+
   test("null elements from arbitrary SQL callers are skipped, not NPEs") {
     import spark.implicits._
     TextExprs.register(spark)
