@@ -93,7 +93,11 @@ object KMeans {
     * cost grows superlinearly in `iters`. */
   def kmeansOf(embeds: DataFrame, k: Int = 8, iters: Int = 2,
                cachePoints: Boolean = false, checkpointEvery: Int = 5): DataFrame = {
-    val pts = if (cachePoints) quantize(embeds).cache() else quantize(embeds)
+    // swapPersist, not a bare .cache(): keyed lifecycle — a re-invocation
+    // releases the previous corpus-scale cached frame instead of pinning
+    // one per call for the session lifetime (Tables.swapPersist scaladoc).
+    val pts = if (cachePoints) Tables.swapPersist("kmeans_points", quantize(embeds))
+              else quantize(embeds)
     // Seed by RANK, not by value: orderBy+limit takes the k smallest ids
     // whatever the id space looks like (sparse / offset frames included) —
     // a `vec_id < k` filter on a sparse frame yields fewer than k seeds.

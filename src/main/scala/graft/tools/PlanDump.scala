@@ -18,9 +18,9 @@ object PlanDump {
     "q10_join_revenue" ->
       "Lineitem pre-aggregated per order key below the join (no countDistinct Expand); customer broadcast; the join reuses the aggregation's partitioning.",
     "q12_dedup_minhash_lsh" ->
-      "Minhash signatures map-side over in-row shingle arrays (no hashpartitioning(doc_id) anywhere); band self-join only moves 4 rows/doc; verify joins candidate pairs to shingle-set arrays.",
+      "ONE corpus scan: the (doc_id, sset, sig) base is persisted and re-read by the band bucketing and both verify joins (InMemoryTableScan x3, shared relation); signatures map-side (no hashpartitioning(doc_id)); inverted-index band buckets capped at maxBucket=64 before in-row pair expansion.",
     "q13_dedup_simhash" ->
-      "Whole fingerprint computed map-side (single aggregate/zip_with pass); the only hash exchange is the cluster-size window.",
+      "Whole fingerprint computed map-side (native simhash_fingerprint, one fused loop per doc); the only hash exchange is the cluster-size window.",
     "q14_ngram_jaccard" ->
       "Join-free inverted index: exactly two hash exchanges (posting lists by shingle, pair counts); per-doc set sizes travel in the posting rows.",
     "q19_cosine_topk" ->

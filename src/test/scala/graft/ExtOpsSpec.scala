@@ -14,6 +14,26 @@ class ExtOpsSpec extends SparkSpec {
     assert(exact.subsetOf(lsh), s"missed pairs: ${exact -- lsh}")
   }
 
+  test("q12 LSH: oversized band buckets are dropped by maxBucket (the quadratic-row kill switch)") {
+    import spark.implicits._
+    // 40 byte-identical docs collapse onto ONE (band, key) bucket in every
+    // band — the mass-boilerplate shape that, uncapped, builds an m(m-1)/2
+    // struct array in a single row. Two other identical docs form a
+    // size-2 bucket that must survive the cap untouched.
+    val boiler = (0L until 40L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta"))
+    val pair = Seq(
+      (100L, "one two three four five six seven eight nine ten"),
+      (101L, "one two three four five six seven eight nine ten"))
+    val docs = (boiler ++ pair).toDF("doc_id", "text")
+    val capped = TextOps.dedupMinhashLshOf(docs, maxBucket = 10).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((100L, 101L)),
+      "cap must drop the giant bucket wholesale and keep small buckets intact")
+    // default cap admits the bucket: all 780 intra-boilerplate pairs + 1
+    val uncapped = TextOps.dedupMinhashLshOf(docs).count()
+    assert(uncapped == 40L * 39 / 2 + 1)
+  }
+
   test("q21 multi-band LSH: coarser bits widen recall over the single-band default, pairs scored once") {
     import spark.implicits._
     // bucket equality on 12 sign bits implies equality on the 6-bit prefix,

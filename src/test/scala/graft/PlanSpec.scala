@@ -86,9 +86,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("topwords"), s"TopWords aggregate missing:\n$p")
   }
 
-  test("q12 minhash: signature computation is exchange-free up to the band self-join") {
-    val p = plan(graft.ext.TextOps.dedupMinhashLsh(spark, sf0001))
+  test("q12 minhash: ONE corpus scan — bucketing and both verify reads share the persisted base") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = graft.ext.TextOps.dedupMinhashLsh(spark, sf0001)
+    val withCache = df.queryExecution.withCachedData
+    val ims = withCache.collect { case r: InMemoryRelation => r }
+    assert(ims.length == 3,
+      s"band bucketing + two verify joins should all read the cache:\n$withCache")
+    assert(ims.map(_.cacheBuilder).distinct.length == 1,
+      "cache reads must share ONE materialization, not three")
+    assert(withCache.collect { case l: LogicalRelation => l }.isEmpty,
+      s"a corpus scan escaped the persisted base:\n$withCache")
+    // the shared materialization itself reads parquet exactly once
+    assert(countOccurrences(ims.head.cacheBuilder.cachedPlan.toString, "Scan parquet") == 1,
+      s"persisted base must be a single corpus scan:\n${ims.head.cacheBuilder.cachedPlan}")
     // no hashpartitioning(doc_id) anywhere: signatures never groupBy doc
+    val p = plan(df)
     assert(!p.contains("hashpartitioning(doc_id"),
       s"signature stage re-introduced a per-doc shuffle:\n$p")
   }

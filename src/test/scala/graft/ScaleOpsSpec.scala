@@ -104,11 +104,12 @@ class ScaleOpsSpec extends SparkSpec {
   test("connected components: deep chain (diameter 12) runs the localCheckpoint rounds") {
     import spark.implicits._
     // chain 0-1-…-12: min-label propagation needs ~12 rounds, so the
-    // i % 5 == 0 localCheckpoint branch fires (rounds 5 and 10) — the
-    // lineage-truncation path no fixture graph reaches (near-dup clusters
-    // converge in 2–3 rounds). Labels must still all collapse to 0, and the
-    // final frame's physical plan must be checkpoint-rooted (Scan
-    // ExistingRDD), i.e. the per-round join+agg lineage was truncated.
+    // i % 5 == 0 localCheckpoint branch deterministically fires (rounds 5
+    // and 10) — the lineage-truncation path no fixture graph reaches
+    // (near-dup clusters converge in 2–3 rounds). Labels must still all
+    // collapse to 0, and the returned frame must be checkpoint-rooted
+    // (Scan ExistingRDD — the cache-handoff contract: no per-round plan
+    // nesting or cache entry survives into the caller).
     val chain = (0L until 12L).map(i => (i, i + 1))
     val cc = graft.ops.Components.connectedComponents(
       chain.toDF("a", "b"), "a", "b", maxIter = 25)
