@@ -103,7 +103,7 @@ object CurationOps {
     * to the lexicographically smallest element on both engines (first
     * max-run in sorted order ≡ min(word) among max-count). The whole
     * operator is shuffle-free. */
-  private def modeExpr(arr: String): String = {
+  private[graft] def modeExpr(arr: String): String = {
     val r = "IF(w <=> a.prev, a.run + 1L, 1L)"
     s"""aggregate($arr,
        |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L,

@@ -35,14 +35,23 @@ object ScrubOps {
     ("ipv4", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "<IP>"),
     ("idnum", """\b[A-Z]{2}\d{6}\b""", "<ID>"))
 
+  /** The scrub as a COLUMN (fold of regexp_replace) — shared by q49 and
+    * the composed curation DAG (q52) so the redaction cannot drift. */
+  private[graft] def piiCleanCol(c: org.apache.spark.sql.Column,
+      patterns: Seq[(String, String, String)] = defaultPiiPatterns): org.apache.spark.sql.Column =
+    patterns.foldLeft(c) { case (cc, (_, pat, repl)) => regexp_replace(cc, lit(pat), lit(repl)) }
+
+  /** Total PII match count as a column (sum over patterns). */
+  private[graft] def piiCountCol(c: org.apache.spark.sql.Column,
+      patterns: Seq[(String, String, String)] = defaultPiiPatterns): org.apache.spark.sql.Column =
+    patterns.map { case (_, pat, _) => regexp_count(c, lit(pat)).cast("long") }.reduce(_ + _)
+
   /** General form over any (doc_id, text) frame. One projection: counts
     * are `regexp_count`, the scrub is a fold of `regexp_replace` — all
     * codegen'd string expressions, zero exchanges. */
   def piiScrubOf(docs: DataFrame,
                  patterns: Seq[(String, String, String)] = defaultPiiPatterns): DataFrame = {
-    val scrubbed = patterns.foldLeft(col("text")) { case (c, (_, pat, repl)) =>
-      regexp_replace(c, lit(pat), lit(repl))
-    }
+    val scrubbed = piiCleanCol(col("text"), patterns)
     val counts = patterns.map { case (name, pat, _) =>
       regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$name")
     }
@@ -54,13 +63,13 @@ object ScrubOps {
           (length(col("clean_text")) - length(col("text"))).cast("long").as("chars_delta")): _*)
   }
 
-  /** Fixture binding: the synthetic corpus has no PII, so the query plants
-    * it deterministically (id-derived emails / IPs / badge numbers on
-    * residue-class subsets) — the SAME concat runs in the oracle, so the
-    * regex engines are compared on real matches, not on all-zero counts. */
-  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.table(spark, sfDir, "documents")
-    val planted = docs.select(col("doc_id"), concat(
+  /** Fixture PII planting: the synthetic corpus has no PII, so fixture
+    * bindings (q49, q52) plant it deterministically (id-derived emails /
+    * IPs / badge numbers on residue-class subsets) — the SAME concat runs
+    * in the oracle, so the regex engines are compared on real matches, not
+    * on all-zero counts. Keeps every input column; only `text` changes. */
+  private[graft] def plantPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(
       col("text"),
       when(col("doc_id") % 3 =!= 0,
         concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
@@ -70,33 +79,49 @@ object ScrubOps {
         .otherwise(lit("")),
       when(col("doc_id") % 5 === 2,
         concat(lit(" badge AB"), lpad((col("doc_id") % 1000000).cast("string"), 6, "0")))
-        .otherwise(lit(""))).as("text"))
-    piiScrubOf(planted)
+        .otherwise(lit(""))))
+
+  /** DuckDB text of the same planting (`text || CASE … END`) and of the
+    * 3-pattern scrub / total-count — shared between q49Sql and q52's
+    * oracle so the two cannot drift. */
+  private[graft] val plantSql: String = {
+    """text ||
+      |    CASE WHEN doc_id % 3 != 0
+      |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 1
+      |         THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 2
+      |         THEN ' badge AB' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')
+      |         ELSE '' END""".stripMargin
   }
+
+  private[graft] def scrubSql(c: String): String =
+    defaultPiiPatterns.foldLeft(c) { case (acc, (_, pat, repl)) =>
+      s"regexp_replace($acc, '$pat', '$repl', 'g')"
+    }
+
+  private[graft] def countSql(c: String): String =
+    defaultPiiPatterns
+      .map { case (_, pat, _) => s"len(regexp_extract_all($c, '$pat'))" }
+      .mkString("CAST(", " + ", " AS BIGINT)")
+
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    piiScrubOf(plantPii(Tables.table(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("text")))
 
   private val q49Sql = {
     val Seq(email, ipv4, idnum) = defaultPiiPatterns.map(_._2)
     s"""WITH planted AS (
-       |  SELECT doc_id, text ||
-       |    CASE WHEN doc_id % 3 != 0
-       |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-       |         ELSE '' END ||
-       |    CASE WHEN doc_id % 4 = 1
-       |         THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
-       |         ELSE '' END ||
-       |    CASE WHEN doc_id % 5 = 2
-       |         THEN ' badge AB' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')
-       |         ELSE '' END AS text
+       |  SELECT doc_id, $plantSql AS text
        |  FROM documents),
        |scrubbed AS (
        |  SELECT doc_id,
        |         CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
        |         CAST(len(regexp_extract_all(text, '$ipv4')) AS BIGINT) AS n_ipv4,
        |         CAST(len(regexp_extract_all(text, '$idnum')) AS BIGINT) AS n_idnum,
-       |         regexp_replace(regexp_replace(regexp_replace(text,
-       |           '$email', '<EMAIL>', 'g'),
-       |           '$ipv4', '<IP>', 'g'),
-       |           '$idnum', '<ID>', 'g') AS clean_text,
+       |         ${scrubSql("text")} AS clean_text,
        |         text AS orig
        |  FROM planted)
        |SELECT doc_id, n_email, n_ipv4, n_idnum, md5(clean_text) AS clean_hash,

@@ -307,14 +307,18 @@ object TextOps {
     * df-capped underestimate; the oracle applies the identical predicate).
     * Fixture max df is 25, so the default cap of 1000 leaves output
     * byte-identical while keeping the guard on the plan's hot path. */
-  def ngramJaccard(spark: SparkSession, sfDir: String, dfCap: Int = DefaultDfCap): DataFrame = {
+  def ngramJaccard(spark: SparkSession, sfDir: String, dfCap: Int = DefaultDfCap): DataFrame =
+    ngramJaccardOf(Tables.table(spark, sfDir, "documents"), dfCap)
+
+  /** General form over any (doc_id, text) frame. */
+  def ngramJaccardOf(docs: DataFrame, dfCap: Int = DefaultDfCap): DataFrame = {
     // Inverted-index formulation, join-free: group shingle instances into
     // posting lists, emit ordered doc pairs per list in-row, count pair
     // multiplicity = intersection size. Exactly two shuffles total (by
     // shingle, then by pair) versus the naive self-join's four (two join
     // inputs + pair agg + count join); per-doc set sizes travel inside the
     // posting rows so no count table is ever joined back.
-    docShingleArr(spark, sfDir, distinct = true)
+    shingleArr(docs, distinct = true)
       .select(col("doc_id"), size(col("sarr")).as("n"), explode(col("sarr")).as("s"))
       .groupBy(col("s"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))

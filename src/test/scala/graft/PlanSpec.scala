@@ -18,6 +18,14 @@ class PlanSpec extends SparkSpec {
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 
+  /** An AQE plan string repeats the tree under "== Initial Plan ==" once
+    * finalized — keep only the executed portion so node counts are not
+    * doubled. */
+  private def executedPortion(s: String): String = {
+    val i = s.indexOf("== Initial Plan ==")
+    if (i >= 0) s.substring(0, i) else s
+  }
+
   test("q35: the composed pipeline reads documents exactly once") {
     val p = plan(graft.ops.CorpusPipeline.q35(spark, sf0001))
     assert(countOccurrences(p, "Scan parquet") == 1,
@@ -99,12 +107,32 @@ class PlanSpec extends SparkSpec {
     assert(withCache.collect { case l: LogicalRelation => l }.isEmpty,
       s"a corpus scan escaped the persisted base:\n$withCache")
     // the shared materialization itself reads parquet exactly once
-    assert(countOccurrences(ims.head.cacheBuilder.cachedPlan.toString, "Scan parquet") == 1,
+    assert(countOccurrences(executedPortion(ims.head.cacheBuilder.cachedPlan.toString),
+        "Scan parquet") == 1,
       s"persisted base must be a single corpus scan:\n${ims.head.cacheBuilder.cachedPlan}")
     // no hashpartitioning(doc_id) anywhere: signatures never groupBy doc
     val p = plan(df)
     assert(!p.contains("hashpartitioning(doc_id"),
       s"signature stage re-introduced a per-doc shuffle:\n$p")
+  }
+
+  test("q52 curation DAG: ONE corpus scan feeds all six stages via the shared persisted base") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = graft.ops.CurationPipeline.q52(spark, sf0001)
+    val withCache = df.queryExecution.withCachedData
+    val ims = withCache.collect { case r: InMemoryRelation => r }
+    // per-doc stats, surprisal tf, decon train shingles, bench vocabulary,
+    // split docs — every stage reads the cache (the pair chain consumed it
+    // eagerly inside the CC loop and returns checkpoint-rooted)
+    assert(ims.length >= 4, s"stages bypassed the persisted base:\n$withCache")
+    assert(ims.map(_.cacheBuilder).distinct.length == 1,
+      "all stages must share ONE materialization")
+    assert(withCache.collect { case l: LogicalRelation => l }.isEmpty,
+      s"a corpus scan escaped the persisted base:\n$withCache")
+    assert(countOccurrences(executedPortion(ims.head.cacheBuilder.cachedPlan.toString),
+        "Scan parquet") == 1,
+      s"persisted base must be a single corpus scan:\n${ims.head.cacheBuilder.cachedPlan}")
   }
 
   test("q39 decontamination: eval vocabulary is broadcast — the corpus is never shuffled by shingle") {
