@@ -91,13 +91,11 @@ object KMeans {
     * rounds (`localCheckpoint` of k rows — a negligible eager job);
     * without it the logical plan nests one join+agg per round and planner
     * cost grows superlinearly in `iters`. */
-  def kmeansOf(embeds: DataFrame, k: Int = 8, iters: Int = 2,
-               cachePoints: Boolean = false, checkpointEvery: Int = 5): DataFrame = {
-    // swapPersist, not a bare .cache(): keyed lifecycle — a re-invocation
-    // releases the previous corpus-scale cached frame instead of pinning
-    // one per call for the session lifetime (Tables.swapPersist scaladoc).
-    val pts = if (cachePoints) Tables.swapPersist("kmeans_points", quantize(embeds))
-              else quantize(embeds)
+  /** The Lloyd loop over a pre-quantized (vec_id, q) frame → final
+    * (cid, cvec) centroids. Shared by q51's stats rollup and q53's
+    * SemDeDup assignment so the fixed-point cannot drift between them. */
+  private[graft] def fit(pts: DataFrame, k: Int, iters: Int,
+                         checkpointEvery: Int = 5): DataFrame = {
     // Seed by RANK, not by value: orderBy+limit takes the k smallest ids
     // whatever the id space looks like (sparse / offset frames included) —
     // a `vec_id < k` filter on a sparse frame yields fewer than k seeds.
@@ -110,6 +108,27 @@ object KMeans {
       if ((i + 1) % checkpointEvery == 0 && i + 1 < iters)
         cents = cents.localCheckpoint()
     }
+    cents
+  }
+
+  /** Final-model per-vector assignment over any (vec_id, embedding) frame:
+    * (vec_id, q, cid, dist) — the input to per-cluster operators
+    * (SemDeDup's within-cell dedup, cluster-stratified sampling). */
+  def assignments(embeds: DataFrame, k: Int = 8, iters: Int = 2,
+                  cachePoints: Boolean = false): DataFrame = {
+    val pts = if (cachePoints) Tables.swapPersist("kmeans_points", quantize(embeds))
+              else quantize(embeds)
+    assign(pts, fit(pts, k, iters))
+  }
+
+  def kmeansOf(embeds: DataFrame, k: Int = 8, iters: Int = 2,
+               cachePoints: Boolean = false, checkpointEvery: Int = 5): DataFrame = {
+    // swapPersist, not a bare .cache(): keyed lifecycle — a re-invocation
+    // releases the previous corpus-scale cached frame instead of pinning
+    // one per call for the session lifetime (Tables.swapPersist scaladoc).
+    val pts = if (cachePoints) Tables.swapPersist("kmeans_points", quantize(embeds))
+              else quantize(embeds)
+    val cents = fit(pts, k, iters, checkpointEvery)
     val checksums = cents.select(col("cid").as("ccid"), expr(
       "aggregate(zip_with(cvec, sequence(1L, CAST(size(cvec) AS BIGINT)), (x, i) -> x * i), 0L, (s, x) -> s + x)")
       .as("centroid_checksum"))
@@ -145,21 +164,29 @@ object KMeans {
        |  SELECT p.cid, coalesce(u.cvec, p.cvec) AS cvec
        |  FROM $prevC p LEFT JOIN u$i u USING (cid))""".stripMargin
 
-  private def q51Sql(k: Int = 8, iters: Int = 2, dim: Int = 64): String = {
+  /** Shared oracle CTE block: quantized points, rank seed (the fixture's
+    * vec_ids are dense, so `vec_id < k` ≡ the k smallest), `iters` Lloyd
+    * rounds, and the final assignment `fin` (carrying q for per-cluster
+    * consumers like q53). Used by q51Sql and SemDeDup's oracle. */
+  private[graft] def duckFitCtes(k: Int, iters: Int, dim: Int): String = {
     val rounds = (1 to iters).map(i => duckRound(i, if (i == 1) "c0" else s"c${i - 1}", dim))
-    s"""WITH pts AS (
+    s"""pts AS (
        |  SELECT vec_id,
        |         list_transform(embedding, x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT)) AS q
        |  FROM embeddings),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, q AS cvec FROM pts WHERE vec_id < $k),
        |${rounds.mkString(",\n")},
        |fin AS (
-       |  SELECT vec_id, cid, dist FROM (
-       |    SELECT p.vec_id, c.cid,
+       |  SELECT vec_id, q, cid, dist FROM (
+       |    SELECT p.vec_id, p.q, c.cid,
        |           CAST(list_sum(list_transform(range(1, ${dim + 1}),
        |             j -> (p.q[j] - c.cvec[j]) * (p.q[j] - c.cvec[j]))) AS BIGINT) AS dist
        |    FROM pts p CROSS JOIN c$iters c) t
-       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)""".stripMargin
+  }
+
+  private def q51Sql(k: Int = 8, iters: Int = 2, dim: Int = 64): String = {
+    s"""WITH ${duckFitCtes(k, iters, dim)},
        |cs AS (
        |  SELECT cid, CAST(list_sum(list_transform(cvec, (x, i) -> x * i)) AS BIGINT)
        |           AS centroid_checksum

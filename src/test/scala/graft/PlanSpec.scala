@@ -177,6 +177,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q53 semdedup: corpus pairs only within cells — equi-join on cid, no cartesian") {
+    val df = graft.ext.SemDeDup.q53(spark, sf0001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"global pairwise comparison crept in:\n$p")
+    assert(p.contains("hashpartitioning(cid"),
+      s"within-cell pairing must shuffle by cluster id:\n$p")
+    // the only nested-loop joins are the 1-row centroid broadcasts
+    // (KMeans.assign's crossJoin(broadcast(centsRow))); the pairing itself
+    // must be hash/merge on cid
+    assert(p.contains("SortMergeJoin [cid") || p.contains("ShuffledHashJoin [cid") ||
+      countOccurrences(p, "hashpartitioning(cid") >= 1, s"pairing not keyed on cid:\n$p")
+  }
+
   test("q45 matryoshka energy: map-side only — zero hash exchanges") {
     val p = plan(graft.ext.Similarity.matryoshkaEnergy(spark, sf0001))
     assert(countOccurrences(p, "Exchange hashpartitioning") == 0,
