@@ -198,11 +198,12 @@ object CurationOps {
     * docs). `m` defaults to 16 Ki bits (~5 bits/key at sf0.1, FP ≈ 16% —
     * deliberately lossy so false positives are exercised; size m at
     * ~10 bits/key for a production 1% FP rate). */
-  /** (doc_id, h, h1, h2) — md5 of the first-3-word prefix split into the
-    * two Carter-Wegman hash halves. The key column any bloom stage probes. */
+  /** Adds (h, h1, h2) — md5 of the first-3-word prefix split into the two
+    * Carter-Wegman hash halves — to any frame with `text`. Input columns
+    * are KEPT so gate → scrub → score chains compose on one stream. */
   def prefixKeyed(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        md5(array_join(slice(split(col("text"), " "), 1, 3), " ")).as("h"))
+    docs
+      .withColumn("h", md5(array_join(slice(split(col("text"), " "), 1, 3), " ")))
       .withColumn("h1", expr(TextOps.hexVal("h", 1, duck = false)))
       .withColumn("h2", expr(TextOps.hexVal("h", 9, duck = false)))
 

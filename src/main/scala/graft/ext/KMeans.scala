@@ -172,7 +172,7 @@ object KMeans {
     val rounds = (1 to iters).map(i => duckRound(i, if (i == 1) "c0" else s"c${i - 1}", dim))
     s"""pts AS (
        |  SELECT vec_id,
-       |         list_transform(embedding, x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT)) AS q
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
        |  FROM embeddings),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, q AS cvec FROM pts WHERE vec_id < $k),
        |${rounds.mkString(",\n")},

@@ -381,6 +381,50 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains(21L), "fresh doc must flow through the gate")
   }
 
+  test("streaming curation chain: bloom gate -> PII scrub -> quality gate == batch composition") {
+    import graft.ext.{CurationOps, ScrubOps, TextOps}
+    import spark.implicits._
+    // already-ingested corpus -> static packed bitmap; incoming docs run
+    // gate (drop already-seen prefixes) -> redact -> score -> floor as ONE
+    // continuous query (every stage map-side / stream-static broadcast, so
+    // append mode needs no aggregation state). The same function over the
+    // same rows as a batch frame must produce the identical end state.
+    val corpusDocs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val m = 4096
+    val bitmap = CurationOps.bloomBitmap(CurationOps.prefixKeyed(corpusDocs), m)
+    def chain(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val gated = CurationOps.bloomProbe(CurationOps.prefixKeyed(docs), bitmap, m)
+        .filter(!col("bloom_hit"))
+      val scrubbed = gated.select(col("doc_id"),
+        ScrubOps.piiCountCol(col("text")).as("n_pii"),
+        ScrubOps.piiCleanCol(col("text")).as("text"))
+      TextOps.scoredDocs(scrubbed)
+        .filter(col("quality_score") >= 0.3)
+        .select(col("doc_id"), col("n_pii"), col("n_words"),
+          col("quality_score"), md5(col("text")).as("clean_hash"))
+    }
+    val incoming = Seq(
+      (10L, "alpha beta gamma NEW CONTENT"),  // corpus prefix -> gated out
+      (11L, "crisp fresh words mail me at bob@example.com please"),
+      (12L, "the the the the the the the the"), // degenerate ttr -> floored
+      (13L, "server logs from 10.1.2.3 show a clean run of results today"))
+    val stream = MemoryStream[(Long, String)]
+    val sq = chain(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curation_chain")
+      .outputMode("append").start()
+    try {
+      stream.addData(incoming)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = spark.table("curation_chain").collect().map(_.toSeq).toSet
+    val batch = chain(incoming.toDF("doc_id", "text")).collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    val byId = spark.table("curation_chain").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.keySet == Set(11L, 13L), s"gates wrong: $byId") // 10 gated, 12 floored
+    assert(byId(11L) == 1L && byId(13L) == 1L, s"PII not counted: $byId")
+  }
+
   test("generator: deterministic for a seed, spike seconds carry elevated error rate") {
     val a = LogGenerator.logs(spark, T0, 120, seed = 1).collect()
     val b = LogGenerator.logs(spark, T0, 120, seed = 1).collect()
