@@ -28,12 +28,20 @@ import org.apache.spark.sql.functions._
   * ~k·dim·8 bytes) and the argmin is an in-row fold, so the corpus is
   * never shuffled or joined per point; the centroid update is a
   * posexplode → (cid, dim) hash aggregation whose map-side partials
-  * reduce the shuffle to k·dim rows per partition. With fixed `iters`
-  * the corpus is scanned iters+1 times unless `cachePoints` is set,
-  * which materializes the quantized points once and serves every
-  * assignment pass from the cache (the production setting; at fixture
-  * scale the rescan is cheaper than the cache write, and the
-  * per-iteration plan is identical either way). */
+  * reduce the shuffle to k·dim rows per partition.
+  *
+  * Scan accounting: [[fit]] runs the Lloyd loop EAGERLY and hands back
+  * `localCheckpoint`ed centroids (k rows — a negligible job), so a
+  * consumer that references the fixed point any number of times (q51
+  * reads it twice, SemDeDup three times) re-reads k checkpointed rows,
+  * never the Lloyd subtree. Total corpus scans for fit + one assignment
+  * pass = iters + 1 (PlanSpec-pinned: the final q51 plan contains
+  * exactly ONE parquet scan), or 1 with `cachePoints`, which
+  * materializes the quantized points once and serves every Lloyd pass
+  * from the cache (the production setting; at fixture scale the rescan
+  * is cheaper than the cache write). Without the checkpoint each
+  * reference re-embedded the whole loop — round 5 measured 15 scans in
+  * q51's plan and 24+ in q53's. */
 object KMeans {
 
   /** (vec_id, q) — embedding quantized to exact int64 milli-units. */
@@ -75,25 +83,18 @@ object KMeans {
       .select(col("cid"), coalesce(col("ncvec"), col("cvec")).as("cvec"))
   }
 
-  /** General form over any (vec_id, embedding array<float>) frame:
-    * k-means with `iters` Lloyd rounds from the deterministic seed
-    * (the k smallest vec_ids — contiguity NOT required; labels are the
-    * seeds' actual vec_ids), reporting per-cluster size, exact integer
-    * inertia under the final model, and a position-weighted centroid
-    * checksum (a hashable witness of the centroid values themselves).
-    *
-    * `cachePoints` materializes the quantized corpus once so the iters+1
-    * assignment passes read the cache instead of rescanning the source —
-    * the production setting for any corpus where a scan is not free
-    * (default off: at fixture scale the rescan is cheaper than the cache
-    * write, and the per-iteration plan is identical either way).
-    * `checkpointEvery` truncates the centroid frame's lineage every N
-    * rounds (`localCheckpoint` of k rows — a negligible eager job);
-    * without it the logical plan nests one join+agg per round and planner
-    * cost grows superlinearly in `iters`. */
   /** The Lloyd loop over a pre-quantized (vec_id, q) frame → final
-    * (cid, cvec) centroids. Shared by q51's stats rollup and q53's
-    * SemDeDup assignment so the fixed-point cannot drift between them. */
+    * (cid, cvec) centroids, `localCheckpoint`ed: the returned frame is a
+    * k-row leaf, so consumers can reference the fixed point freely
+    * without re-embedding (and re-executing) the whole loop — the
+    * checkpoint runs the loop exactly once, eagerly. Shared by q51's
+    * stats rollup and q53's SemDeDup assignment so the fixed point
+    * cannot drift between them.
+    *
+    * `checkpointEvery` additionally truncates the centroid frame's
+    * lineage every N rounds mid-loop; without it the logical plan nests
+    * one join+agg per round and planner cost grows superlinearly in
+    * `iters`. */
   private[graft] def fit(pts: DataFrame, k: Int, iters: Int,
                          checkpointEvery: Int = 5): DataFrame = {
     // Seed by RANK, not by value: orderBy+limit takes the k smallest ids
@@ -108,7 +109,7 @@ object KMeans {
       if ((i + 1) % checkpointEvery == 0 && i + 1 < iters)
         cents = cents.localCheckpoint()
     }
-    cents
+    cents.localCheckpoint()
   }
 
   /** Final-model per-vector assignment over any (vec_id, embedding) frame:
@@ -121,6 +122,21 @@ object KMeans {
     assign(pts, fit(pts, k, iters))
   }
 
+  /** General form over any (vec_id, embedding array<float>) frame:
+    * k-means with `iters` Lloyd rounds from the deterministic seed
+    * (the k smallest vec_ids — contiguity NOT required; labels are the
+    * seeds' actual vec_ids), reporting per-cluster size, exact integer
+    * inertia under the final model, and a position-weighted centroid
+    * checksum (a hashable witness of the centroid values themselves).
+    *
+    * `cachePoints` materializes the quantized corpus once so the iters+1
+    * corpus passes (Lloyd rounds + the final assignment) read the cache
+    * instead of rescanning the source — the production setting for any
+    * corpus where a scan is not free (default off: at fixture scale the
+    * rescan is cheaper than the cache write, and the per-pass plan is
+    * identical either way). The centroids themselves come back
+    * checkpointed from [[fit]], so the checksum and assignment reads of
+    * the fixed point cost k rows each, not a loop re-execution. */
   def kmeansOf(embeds: DataFrame, k: Int = 8, iters: Int = 2,
                cachePoints: Boolean = false, checkpointEvery: Int = 5): DataFrame = {
     // swapPersist, not a bare .cache(): keyed lifecycle — a re-invocation

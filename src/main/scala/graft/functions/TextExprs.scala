@@ -270,26 +270,26 @@ object TextExprs {
 
   /** Register `word_ngrams(ws, n)`, `minhash_signatures(arr, k)`,
     * `ordered_pairs(ids)` and `simhash_fingerprint(arr)` in the session
-    * function registry. Idempotent (and quiet about it — re-registering
-    * logs a replaced-function warning per call otherwise). */
+    * function registry. Idempotent PER FUNCTION (and quiet about it —
+    * re-registering logs a replaced-function warning per call otherwise):
+    * each registration is individually guarded, so a registry that holds
+    * some subset (however it got there) is completed, never skipped off
+    * a single-function sentinel. */
   def register(spark: SparkSession): Unit = {
-    if (spark.sessionState.functionRegistry
-          .functionExists(FunctionIdentifier("simhash_fingerprint"))) return
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("word_ngrams"),
-      new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
-      (args: Seq[Expression]) => WordNGrams(args.head, intLit(args(1), "n")))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("minhash_signatures"),
-      new ExpressionInfo(classOf[MinhashSignatures].getName, "minhash_signatures"),
-      (args: Seq[Expression]) => MinhashSignatures(args.head, intLit(args(1), "k")))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("ordered_pairs"),
-      new ExpressionInfo(classOf[OrderedPairs].getName, "ordered_pairs"),
-      (args: Seq[Expression]) => OrderedPairs(args.head))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("simhash_fingerprint"),
-      new ExpressionInfo(classOf[SimhashFingerprint].getName, "simhash_fingerprint"),
-      (args: Seq[Expression]) => SimhashFingerprint(args.head))
+    val registry = spark.sessionState.functionRegistry
+    def ensure(name: String, clazz: Class[_],
+               builder: Seq[Expression] => Expression): Unit = {
+      val id = FunctionIdentifier(name)
+      if (!registry.functionExists(id))
+        registry.registerFunction(id, new ExpressionInfo(clazz.getName, name), builder)
+    }
+    ensure("word_ngrams", classOf[WordNGrams],
+      args => WordNGrams(args.head, intLit(args(1), "n")))
+    ensure("minhash_signatures", classOf[MinhashSignatures],
+      args => MinhashSignatures(args.head, intLit(args(1), "k")))
+    ensure("ordered_pairs", classOf[OrderedPairs],
+      args => OrderedPairs(args.head))
+    ensure("simhash_fingerprint", classOf[SimhashFingerprint],
+      args => SimhashFingerprint(args.head))
   }
 }

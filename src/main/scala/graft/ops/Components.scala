@@ -88,20 +88,28 @@ object Components {
     // on the closure (canonical keeper choice, leakage-free splits), so an
     // unconverged exit is an error, not a result. Near-dup clusters are
     // shallow; hitting this means the pair list is not dedup-shaped —
-    // raise maxIter or switch to an alternating-star variant.
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents: labels still changing after $maxIter rounds " +
-        "(component diameter exceeds maxIter); raise maxIter")
-    // Hand back a CHECKPOINT-rooted frame (one eager job over the small
-    // label set) and drop the loop's last cached round: without this the
-    // final round's cache entry leaks per invocation and re-invocations
-    // log "already cached" (the returned frame's consumers would otherwise
-    // hold that cache forever — same lifecycle bug Tables.swapPersist
-    // exists for). The checkpointed blocks are ContextCleaner-reclaimed
-    // once the caller drops the frame.
-    val out = labels.select(col("v"), col("lbl").as("cluster_id")).localCheckpoint()
-    if (!prevCheckpointed) persistedRound.unpersist()
-    out
+    // raise maxIter or switch to an alternating-star variant. The last
+    // round's cache must not outlive the failure.
+    if (!converged) {
+      if (!prevCheckpointed) persistedRound.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents: labels still changing after $maxIter rounds " +
+          "(component diameter exceeds maxIter); raise maxIter")
+    }
+    // Hand back the last round's ALREADY-materialized frame: the loop's
+    // convergence count just computed it, so the caller reads the cache
+    // (or the round-multiple-of-5 checkpoint) with ZERO additional jobs —
+    // round 5's unconditional localCheckpoint here re-ran the label set
+    // eagerly on every invocation and benched as the q38/q48 regressions.
+    // Lifecycle: the cached round is adopted under a swap key, so the
+    // next CC invocation releases it instead of leaking one entry per
+    // call. A consumer that outlives the swap recomputes from lineage —
+    // ≤ 4 rounds above the last mid-loop checkpoint (or above the edge
+    // derivation for shallow graphs); correct, just slower — the same
+    // contract as every swapPersist intermediate.
+    if (!prevCheckpointed)
+      graft.oracle.Tables.adoptPersisted("cc_labels", persistedRound)
+    labels.select(col("v"), col("lbl").as("cluster_id"))
   }
 
   // ---------------------------------------------------------------- q38

@@ -55,8 +55,18 @@ object Tables {
     p
   }
 
-  /** Unpersist every frame held by [[swapPersist]] (session teardown /
-    * between pipeline stages in a long-lived session). */
+  /** Register an ALREADY-persisted frame under a key with the same swap
+    * lifecycle as [[swapPersist]] — for operators that materialize a frame
+    * themselves (e.g. the CC loop's last cached round) and need the next
+    * invocation, not the session's end, to release it. */
+  def adoptPersisted(key: String, df: DataFrame): Unit = synchronized {
+    persisted.remove(key).foreach(_.unpersist(blocking = false))
+    persisted(key) = df
+  }
+
+  /** Unpersist every frame held by [[swapPersist]]/[[adoptPersisted]]
+    * (session teardown / between pipeline stages in a long-lived
+    * session). */
   def releasePersisted(): Unit = synchronized {
     persisted.values.foreach(_.unpersist(blocking = false))
     persisted.clear()

@@ -34,6 +34,30 @@ class ExtOpsSpec extends SparkSpec {
     assert(uncapped == 40L * 39 / 2 + 1)
   }
 
+  test("q53 semdedup: over-full cells are dropped by maxCell (the quadratic-row kill switch)") {
+    import spark.implicits._
+    // 301 identical embeddings collapse into ONE k-means cell — the
+    // mass-near-duplicate corpus SemDeDup targets; uncapped, that cell
+    // alone emits 301·300/2 pair rows. A distinct 3-member cluster on the
+    // opposite side of the space must keep deduping under the cap.
+    val dim = 4
+    val big = (0L +: (2L to 301L)).map(i => (i, Array.fill(dim)(1.0f)))
+    val small = Seq(1L, 1001L, 1002L).map(i => (i, Array.fill(dim)(-1.0f)))
+    val embeds = (big ++ small).toDF("vec_id", "embedding")
+    // seeds = two smallest vec_ids = 0 (+1s) and 1 (−1s): Lloyd separates
+    // the clusters deterministically — cell 0 has 301 members, cell 1 has 3
+    val capped = graft.ext.SemDeDup.semDedupOf(embeds, k = 2, maxCell = 100).collect()
+    assert(capped.length == 304, "every vector must still appear in the output")
+    val dups = capped.filter(_.getInt(2) == 1)
+      .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq
+    assert(dups == Seq((1001L, 1L), (1002L, 1L)),
+      s"cap must drop the giant cell wholesale and keep small cells deduping: $dups")
+    // the default cap admits the giant cell: all 300 non-min members dup
+    val uncapped = graft.ext.SemDeDup.semDedupOf(embeds, k = 2)
+      .filter(col("is_dup") === 1).count()
+    assert(uncapped == 302)
+  }
+
   test("q21 multi-band LSH: coarser bits widen recall over the single-band default, pairs scored once") {
     import spark.implicits._
     // bucket equality on 12 sign bits implies equality on the 6-bit prefix,

@@ -107,14 +107,20 @@ class ScaleOpsSpec extends SparkSpec {
     // i % 5 == 0 localCheckpoint branch deterministically fires (rounds 5
     // and 10) — the lineage-truncation path no fixture graph reaches
     // (near-dup clusters converge in 2–3 rounds). Labels must still all
-    // collapse to 0, and the returned frame must be checkpoint-rooted
-    // (Scan ExistingRDD — the cache-handoff contract: no per-round plan
-    // nesting or cache entry survives into the caller).
+    // collapse to 0, and the returned frame must read the loop's
+    // already-materialized last round (InMemoryRelation — zero extra
+    // jobs; the keyed adopt releases it on the next CC call) whose
+    // lineage sits on the round-10 checkpoint leaf (Scan ExistingRDD),
+    // never 12 nested join+agg rounds.
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
     val chain = (0L until 12L).map(i => (i, i + 1))
     val cc = graft.ops.Components.connectedComponents(
       chain.toDF("a", "b"), "a", "b", maxIter = 25)
-    assert(cc.queryExecution.executedPlan.toString.contains("Scan ExistingRDD"),
-      s"expected checkpoint-truncated lineage:\n${cc.queryExecution.executedPlan}")
+    val imrs = cc.queryExecution.withCachedData.collect { case r: InMemoryRelation => r }
+    assert(imrs.length == 1,
+      s"expected the cached last round:\n${cc.queryExecution.withCachedData}")
+    assert(imrs.head.cacheBuilder.cachedPlan.toString.contains("Scan ExistingRDD"),
+      s"expected checkpoint-truncated lineage:\n${imrs.head.cacheBuilder.cachedPlan}")
     val got = cc.as[(Long, Long)].collect().toMap
     assert(got == (0L to 12L).map(_ -> 0L).toMap)
   }
