@@ -12,10 +12,13 @@ import org.apache.spark.sql.SparkSession
   * TWICE back-to-back with the min reported: the shared host's CPU
   * availability swings ~2.5× between runs (BASELINE.md), and consecutive-
   * execution min removes the worst of that noise without changing what is
-  * measured (both executions are full cold-cache plans — caches cleared
-  * between queries, not between the pair, and nothing is cached by the
-  * first execution that the second reuses beyond JIT state the warmup
-  * already established). */
+  * measured. Both executions are full cold-cache plans: the keyed persist
+  * registry AND the cache are released after EVERY timed execution (not
+  * just between queries) — Spark's CacheManager matches cache entries by
+  * plan, so a re-invocation of a self-materializing query (the CC loop's
+  * adopted labels, q12/q53's persisted bases) would otherwise silently
+  * reuse the first execution's materialization and the min would report
+  * a warm number as the query's floor. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,9 +42,13 @@ object Bench {
       val dt = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // full isolation after every execution: no keyed-registry frame or
+        // cache entry survives for the next execution to reuse
+        graft.oracle.Tables.releasePersisted()
+        spark.catalog.clearCache()
+        t
       }.min
-      spark.catalog.clearCache() // per-query isolation: no leaked caches
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

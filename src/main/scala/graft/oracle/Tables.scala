@@ -58,9 +58,22 @@ object Tables {
   /** Register an ALREADY-persisted frame under a key with the same swap
     * lifecycle as [[swapPersist]] — for operators that materialize a frame
     * themselves (e.g. the CC loop's last cached round) and need the next
-    * invocation, not the session's end, to release it. */
+    * invocation, not the session's end, to release it.
+    *
+    * Unlike swapPersist (which unpersists the old entry BEFORE caching
+    * the new one), the new frame here is already cached — and
+    * `unpersist` removes CacheManager entries by `sameResult` plan
+    * match, so when a re-invocation produces the same plan (the common
+    * case: the bench times every query twice) unpersisting the old
+    * handle would silently evict the entry the NEW frame just reused,
+    * and its consumer would recompute from lineage. Same-result swaps
+    * therefore keep the shared entry and just hand ownership to the new
+    * frame. */
   def adoptPersisted(key: String, df: DataFrame): Unit = synchronized {
-    persisted.remove(key).foreach(_.unpersist(blocking = false))
+    persisted.remove(key).foreach { old =>
+      if (!old.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
+        old.unpersist(blocking = false)
+    }
     persisted(key) = df
   }
 

@@ -60,11 +60,13 @@ object PlanDump {
     "q49_pii_scrub" ->
       "PII counting + redaction as one codegen'd projection over the scan - zero exchanges of any kind at any corpus size.",
     "q50_boilerplate_remove" ->
-      "Line-df aggregation is the only full-corpus exchange; the boilerplate set (small by construction: <= lines/minDf) is BROADCAST for the anti-join; per-doc reassembly re-sorts collected (pos,line) structs, not collect order."
-    // q38/q48 (iterative CC + its consumers) are omitted like all cached
-    // multi-action loops: their dumped plans are ~900 lines of repeated
-    // InMemoryTableScan lineage that drown the other plans; their shape
-    // evidence lives in Components scaladoc + the CC/property specs
+      "Line-df aggregation is the only full-corpus exchange; the boilerplate set (small by construction: <= lines/minDf) is BROADCAST for the anti-join; per-doc reassembly re-sorts collected (pos,line) structs, not collect order.",
+    "q51_kmeans_cluster" ->
+      "The Lloyd loop ran eagerly inside fit's k-row localCheckpoint, so THIS plan - the only lazy part - is ONE corpus scan (quantize + map-side assign against the broadcast centroid row) plus two k-row reads of the checkpointed fixed point (Scan ExistingRDD: the inertia rollup and the checksum broadcast). Round 5 shipped this as a fully lazy plan and measured 15 parquet scans - the fixed point re-embedded per reference.",
+    "q52_curation_dag" ->
+      "Scrub -> quality -> repetition -> surprisal -> decontamination -> split over ONE persisted corpus scan: per-doc gates are projections of the shared InMemoryRelation, aggregate stages join back co-keyed, and the split root arrives as a broadcast of the CC loop's adopted label cache (the loop itself ran eagerly; its InMemoryRelation is the second materialization in the plan).",
+    "q53_semdedup" ->
+      "The k-means assignment is materialized ONCE (keyed persist) and read three times - both within-cell pair sides and the final attach; the cell census ran eagerly at build time and over-cap cells are a literal map-side NOT-IN pruned before pairing (maxCell - the q12 maxBucket analogue). Centroids inside the cached plan are fit's checkpointed k-row leaf. Round 5: 24 scans, 0 reused exchanges; now: one corpus scan under the cache."
   )
 
   def main(args: Array[String]): Unit = {
@@ -85,7 +87,17 @@ object PlanDump {
     notes.foreach { case (name, note) =>
       val df = Registry.byName(name).run(spark, sf)
       sb ++= s"\n## $name\n\n$note\n\n```\n"
-      sb ++= df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode).trim
+      val full = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode).trim
+      // A cached iterative subtree (the CC label round inside q52) prints
+      // its whole per-round lineage under the InMemoryRelation — hundreds
+      // of lines that drown every other plan. The top of the tree carries
+      // all the shape evidence (what reads which cache, what broadcasts);
+      // cap the dump and say so.
+      val lines = full.linesIterator.toSeq
+      sb ++= (if (lines.length <= 120) full
+              else lines.take(120).mkString("\n") +
+                s"\n... [truncated ${lines.length - 120} lines: cached-subtree lineage; " +
+                "shape evidence above + PlanSpec]")
       sb ++= "\n```\n"
     }
     Files.write(Paths.get("PLANS.md"), sb.toString.getBytes("UTF-8"))
