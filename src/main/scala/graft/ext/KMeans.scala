@@ -159,6 +159,18 @@ object KMeans {
   def kmeans(spark: SparkSession, sfDir: String): DataFrame =
     kmeansOf(Tables.table(spark, sfDir, "embeddings"))
 
+  /** Stream-static assignment — the ingestion-time use of the model: fit
+    * once on a STATIC corpus (eager, checkpointed k rows), then label a
+    * STREAMING (vec_id, embedding) frame map-side against the broadcast
+    * fixed point. Pure projection over a stream-static broadcast, so it
+    * composes into append-mode curation chains with no streaming state —
+    * each arriving vector is routed to its cluster before downstream
+    * gates (per-cell sampling, SemDeDup-style cell caps). Works on a
+    * batch frame too (the spec's stream==batch contract relies on it). */
+  def assignmentsStreamStatic(streamEmbeds: DataFrame, staticEmbeds: DataFrame,
+                              k: Int = 8, iters: Int = 2): DataFrame =
+    assign(quantize(streamEmbeds), fit(quantize(staticEmbeds), k, iters))
+
   /** One Lloyd round in DuckDB: assignment (dist + argmin window) and the
     * exact-integer centroid update with empty-cluster coalesce. */
   private def duckRound(i: Int, prevC: String, dim: Int): String =

@@ -425,6 +425,38 @@ class StreamingSpec extends SparkSpec {
     assert(byId(11L) == 1L && byId(13L) == 1L, s"PII not counted: $byId")
   }
 
+  test("stream-static kmeans assignment: streaming points labeled against the static fixed point == batch") {
+    import spark.implicits._
+    // ingestion-time clustering: the model is fit ONCE on the already-
+    // ingested corpus (eager, k-row checkpoint); arriving vectors are
+    // labeled map-side against the broadcast centroids and gated per cell
+    // in the SAME continuous query — no streaming aggregation state, so
+    // append mode composes with the curation chain stages above.
+    val staticCorpus = ((0L +: (2L to 5L)).map(i => (i, Array.fill(4)(1.0f))) ++
+      (Seq(1L, 6L, 7L).map(i => (i, Array.fill(4)(-1.0f))))).toDF("vec_id", "embedding")
+    def chain(pts: org.apache.spark.sql.DataFrame) =
+      graft.ext.KMeans.assignmentsStreamStatic(pts, staticCorpus, k = 2)
+        .select(col("vec_id"), col("cid"), col("dist"))
+    val incoming = Seq(
+      (100L, Array.fill(4)(1.0f)),            // plus-cluster -> seed 0
+      (101L, Array.fill(4)(-1.0f)),           // minus-cluster -> seed 1
+      (102L, Array(1.0f, 1.0f, -1.0f, -1.0f))) // equidistant tie -> lowest cid
+    val stream = MemoryStream[(Long, Array[Float])]
+    val sq = chain(stream.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("assign_gate")
+      .outputMode("append").start()
+    try {
+      stream.addData(incoming)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = spark.table("assign_gate").collect().map(_.toSeq).toSet
+    val batch = chain(incoming.toDF("vec_id", "embedding")).collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    val cids = spark.table("assign_gate").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cids == Map(100L -> 0, 101L -> 1, 102L -> 0), s"labels wrong: $cids")
+  }
+
   test("generator: deterministic for a seed, spike seconds carry elevated error rate") {
     val a = LogGenerator.logs(spark, T0, 120, seed = 1).collect()
     val b = LogGenerator.logs(spark, T0, 120, seed = 1).collect()
