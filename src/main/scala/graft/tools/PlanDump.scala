@@ -66,7 +66,11 @@ object PlanDump {
     "q52_curation_dag" ->
       "Scrub -> quality -> repetition -> surprisal -> decontamination -> split over ONE persisted corpus scan: per-doc gates are projections of the shared InMemoryRelation, aggregate stages join back co-keyed, and the split root arrives as a broadcast of the CC loop's adopted label cache (the loop itself ran eagerly; its InMemoryRelation is the second materialization in the plan).",
     "q53_semdedup" ->
-      "The k-means assignment is materialized ONCE (keyed persist) and read three times - both within-cell pair sides and the final attach; the cell census ran eagerly at build time and over-cap cells are a literal map-side NOT-IN pruned before pairing (maxCell - the q12 maxBucket analogue). Centroids inside the cached plan are fit's checkpointed k-row leaf. Round 5: 24 scans, 0 reused exchanges; now: one corpus scan under the cache."
+      "The k-means assignment is materialized ONCE (keyed persist) and read three times - both within-cell pair sides and the final attach; the cell census ran eagerly at build time and over-cap cells are a literal map-side NOT-IN pruned before pairing (maxCell - the q12 maxBucket analogue). Centroids inside the cached plan are fit's checkpointed k-row leaf. Round 5: 24 scans, 0 reused exchanges; now: one corpus scan under the cache.",
+    "q54_epoch_shuffle" ->
+      "Deterministic epoch permutation without a global sort: md5-keyed shard + within-shard rank is ONE hash exchange into N shards followed by a shard-local sort (corpus/N rows per sort, N sized to the loader's reader count at scale) - no Exchange rangepartitioning anywhere, and any slice of any epoch reproduces bit-identically.",
+    "q55_cluster_sample" ->
+      "Cluster-balanced thinning: the persisted assignment feeds both the <= k-row cell census (broadcast back as per-cell keep rates) and the output; the keep decision is map-side md5-per-mil arithmetic. One corpus scan, one k-row broadcast, zero corpus shuffles."
   )
 
   def main(args: Array[String]): Unit = {

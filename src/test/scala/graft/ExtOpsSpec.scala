@@ -58,6 +58,29 @@ class ExtOpsSpec extends SparkSpec {
     assert(uncapped == 302)
   }
 
+  test("q55 cluster-balanced sample: small cells fully kept, big cells thinned toward target") {
+    import spark.implicits._
+    // the q53 hostile shape again: one 301-member cell, one 3-member cell
+    // (k = 2, seeds 0/+1s and 1/-1s separate them deterministically)
+    val dim = 4
+    val big = (0L +: (2L to 301L)).map(i => (i, Array.fill(dim)(1.0f)))
+    val small = Seq(1L, 1001L, 1002L).map(i => (i, Array.fill(dim)(-1.0f)))
+    val out = graft.ext.ClusterSample.clusterBalancedSample(
+      (big ++ small).toDF("vec_id", "embedding"), k = 2, targetPerCell = 40).collect()
+    assert(out.length == 304, "every vector appears with a keep flag")
+    val keptByCid = out.filter(_.getInt(2) == 1).groupBy(_.getLong(1))
+      .map { case (c, rows) => c -> rows.length }
+    assert(keptByCid(1L) == 3, s"cells at/under target keep everything: $keptByCid")
+    // 301-member cell at rate 40000/301 = 132 per-mil: ~40 expected; the
+    // md5 thinning is deterministic, the band just guards the contract
+    val kept0 = keptByCid(0L)
+    assert(kept0 > 10 && kept0 < 100, s"over-full cell not thinned toward 40: $kept0")
+    // determinism: identical re-run
+    val again = graft.ext.ClusterSample.clusterBalancedSample(
+      (big ++ small).toDF("vec_id", "embedding"), k = 2, targetPerCell = 40).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("q21 multi-band LSH: coarser bits widen recall over the single-band default, pairs scored once") {
     import spark.implicits._
     // bucket equality on 12 sign bits implies equality on the 6-bit prefix,

@@ -233,6 +233,50 @@ class PlanSpec extends SparkSpec {
       s"centroids must be the checkpointed fixed point:\n$p")
   }
 
+  test("q48 split: one docs scan + the CC loop's cached labels, attached by broadcast") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = graft.oracle.Registry.byName("q48_leakage_free_split").run(spark, sf0001)
+    val withCache = df.queryExecution.withCachedData
+    // the pair chain was consumed eagerly inside the CC loop; THIS plan
+    // reads documents once and the loop's adopted label round (cluster
+    // table small by construction: only docs appearing in near-dup pairs)
+    assert(withCache.collect { case l: LogicalRelation => l }.length == 1,
+      s"expected exactly the documents scan:\n$withCache")
+    assert(withCache.collect { case r: InMemoryRelation => r }.length == 1,
+      s"split attach must read the adopted label cache:\n$withCache")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"cluster roots not broadcast:\n$p")
+  }
+
+  test("q54 epoch shuffle: one shard exchange + shard-local sort — never a global sort") {
+    val p = plan(Registry.byName("q54_epoch_shuffle").run(spark, sf0001))
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1,
+      s"expected exactly the shard exchange:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a global sort crept into the epoch shuffle:\n$p")
+  }
+
+  test("q55 cluster sample: ONE corpus scan — census broadcast and output share the persisted assignment") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = graft.ext.ClusterSample.q55(spark, sf0001)
+    val withCache = df.queryExecution.withCachedData
+    val ims = withCache.collect { case r: InMemoryRelation => r }
+    assert(ims.length == 2,
+      s"census + output should both read the cached assignment:\n$withCache")
+    assert(ims.map(_.cacheBuilder).distinct.length == 1,
+      "cache reads must share ONE materialization")
+    assert(withCache.collect { case l: LogicalRelation => l }.isEmpty,
+      s"a corpus scan escaped the persisted assignment:\n$withCache")
+    assert(countOccurrences(executedPortion(ims.head.cacheBuilder.cachedPlan.toString),
+        "Scan parquet") == 1,
+      s"persisted assignment must be a single corpus scan:\n${ims.head.cacheBuilder.cachedPlan}")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"k-row rate table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled to join k rate rows:\n$p")
+  }
+
   test("q45 matryoshka energy: map-side only — zero hash exchanges") {
     val p = plan(graft.ext.Similarity.matryoshkaEnergy(spark, sf0001))
     assert(countOccurrences(p, "Exchange hashpartitioning") == 0,

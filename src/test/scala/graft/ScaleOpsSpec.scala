@@ -134,6 +134,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("raise maxIter"))
   }
 
+  test("q54 epoch shuffle: bijective shard positions, deterministic re-run, epochs decorrelate") {
+    import spark.implicits._
+    val docs = (1L to 200L).toDF("doc_id")
+    val e1 = graft.ops.EpochShuffle.epochShuffleOf(docs, numShards = 4, epoch = 1).collect()
+    assert(e1.length == 200)
+    // every shard's positions are exactly 1..n — a true permutation, no
+    // gaps or collisions for a loader to trip on
+    e1.groupBy(_.getInt(1)).foreach { case (s, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to rows.length),
+        s"shard $s positions not contiguous")
+    }
+    // resumable: a re-run reproduces the identical permutation
+    val e1b = graft.ops.EpochShuffle.epochShuffleOf(docs, numShards = 4, epoch = 1).collect()
+    assert(e1.map(_.toSeq).toSet == e1b.map(_.toSeq).toSet)
+    // a new epoch re-keys the hash: same ids, different permutation
+    val e2 = graft.ops.EpochShuffle.epochShuffleOf(docs, numShards = 4, epoch = 2).collect()
+    assert(e2.map(_.getLong(0)).toSet == (1L to 200L).toSet)
+    assert(e1.map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap !=
+      e2.map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap)
+  }
+
   test("asOfJoin == brute-force reference on seeded random data (300x300, 20 keys)") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
