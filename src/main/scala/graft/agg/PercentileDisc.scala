@@ -65,6 +65,9 @@ object PercentileDisc {
   /** p95 as a Column-producing aggregate: `p95(col("latency_ms"))`. */
   val p95 = udaf(new PercentileDisc(0.95))
 
+  /** Arbitrary-quantile variant of [[p95]] (q56's per-cell threshold). */
+  def at(q: Double) = udaf(new PercentileDisc(q))
+
   /** (lo, hi) rank band for the p95 sketch contract (q24). */
   val p95Band = udaf(new PercentileBand(0.95))
 }

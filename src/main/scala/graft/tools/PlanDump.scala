@@ -70,7 +70,17 @@ object PlanDump {
     "q54_epoch_shuffle" ->
       "Deterministic epoch permutation without a global sort: md5-keyed shard + within-shard rank is ONE hash exchange into N shards followed by a shard-local sort (corpus/N rows per sort, N sized to the loader's reader count at scale) - no Exchange rangepartitioning anywhere, and any slice of any epoch reproduces bit-identically.",
     "q55_cluster_sample" ->
-      "Cluster-balanced thinning: the persisted assignment feeds both the <= k-row cell census (broadcast back as per-cell keep rates) and the output; the keep decision is map-side md5-per-mil arithmetic. One corpus scan, one k-row broadcast, zero corpus shuffles."
+      "Cluster-balanced thinning: the persisted assignment feeds both the <= k-row cell census (broadcast back as per-cell keep rates) and the output; the keep decision is map-side md5-per-mil arithmetic. One corpus scan, one k-row broadcast, zero corpus shuffles.",
+    "q56_centroid_outliers" ->
+      "Prototype-distance pruning: the persisted assignment feeds the <= k-row exact-percentile aggregate (PercentileDisc, map-side partial buffers) and the verdict; thresholds come back by BROADCAST and keep = dist <= thr is a map-side comparison. One corpus scan, zero corpus sorts - the window-rank formulation the oracle uses would sort every cell.",
+    "q57_bow_dedup" ->
+      "Order-insensitive exact dedup: canonicalization (lower/strip/collapse + in-row word sort) is a projection over the scan; the only exchanges are the hash groupBy on the 32-byte bag hash and the co-keyed group attach - the q11 layout.",
+    "q58_budget_select" ->
+      "Quality-first greedy prefix per source: q16 score + q17 token estimate are in-row expression work over ONE scan; the running sum is a single source-keyed exchange + per-source sort (the ordered-prefix semantic IS the sort; parallelism bounded by |sources|) - no Exchange rangepartitioning, no global sort.",
+    "q59_ngram_novelty" ->
+      "Novelty without a df join-back: the persisted shingle base serves the in-row denominator (size(sarr)) and the singleton rollup (df=1 shingles ARE their posting list - count+min per shingle key, then a per-doc count); final attach is a thin doc-keyed left join. One corpus scan, linear cost, no dfCap needed.",
+    "q60_hard_negatives" ->
+      "Cell-bounded contrastive mining: assignment + labels persisted ONCE (the label attach is a thin co-keyed self-join inside the cache); candidate pairs are a cid equi-join over cap-eligible cells; the per-anchor winner is groupBy max((sim,-id) struct) with map-side partials - no corpus-wide window, no cartesian."
   )
 
   def main(args: Array[String]): Unit = {

@@ -277,6 +277,93 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled to join k rate rows:\n$p")
   }
 
+  test("q56 centroid outliers: ONE corpus scan — threshold agg and verdict share the persisted assignment") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = graft.ext.OutlierPrune.q56(spark, sf0001)
+    val withCache = df.queryExecution.withCachedData
+    val ims = withCache.collect { case r: InMemoryRelation => r }
+    assert(ims.length == 2,
+      s"threshold agg + verdict should both read the cached assignment:\n$withCache")
+    assert(ims.map(_.cacheBuilder).distinct.length == 1,
+      "cache reads must share ONE materialization")
+    assert(withCache.collect { case l: LogicalRelation => l }.isEmpty,
+      s"a corpus scan escaped the persisted assignment:\n$withCache")
+    assert(countOccurrences(executedPortion(ims.head.cacheBuilder.cachedPlan.toString),
+        "Scan parquet") == 1,
+      s"persisted assignment must be a single corpus scan:\n${ims.head.cacheBuilder.cachedPlan}")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"k-row threshold table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled to join k threshold rows:\n$p")
+  }
+
+  test("q57 bow dedup: canonicalization is map-side; corpus scanned at most twice (group + attach)") {
+    val p = plan(Registry.byName("q57_bow_dedup").run(spark, sf0001))
+    assert(countOccurrences(p, "Scan parquet") <= 2,
+      s"expected <=2 corpus scans (the q11 layout):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dedup attach must be an equi-join on the bag hash:\n$p")
+  }
+
+  test("q58 budget select: exactly one exchange (the per-source sort) — never a global sort") {
+    val p = plan(Registry.byName("q58_budget_select").run(spark, sf0001))
+    assert(countOccurrences(p, "Scan parquet") == 1,
+      s"scoring + window should share one corpus scan:\n$p")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1,
+      s"expected only the source-keyed window exchange:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a global sort crept into the budget window:\n$p")
+  }
+
+  test("q59 novelty: ONE corpus scan — denominator and singleton rollup share the persisted shingle base") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = graft.ext.Novelty.q59(spark, sf0001)
+    val withCache = df.queryExecution.withCachedData
+    val ims = withCache.collect { case r: InMemoryRelation => r }
+    assert(ims.length == 2,
+      s"per-doc denominator + singleton rollup should both read the cached base:\n$withCache")
+    assert(ims.map(_.cacheBuilder).distinct.length == 1,
+      "cache reads must share ONE materialization")
+    assert(withCache.collect { case l: LogicalRelation => l }.isEmpty,
+      s"a corpus scan escaped the persisted base:\n$withCache")
+    assert(countOccurrences(executedPortion(ims.head.cacheBuilder.cachedPlan.toString),
+        "Scan parquet") == 1,
+      s"persisted shingle base must be a single corpus scan:\n${ims.head.cacheBuilder.cachedPlan}")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the unique-count attach must stay a doc-keyed equi-join:\n$p")
+  }
+
+  test("q60 hard negatives: pairs only within cells; census, pair sides and attach share the cache") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = graft.ext.HardNeg.q60(spark, sf0001)
+    val withCache = df.queryExecution.withCachedData
+    val ims = withCache.collect { case r: InMemoryRelation => r }
+    assert(ims.length == 3,
+      s"both candidate sides + final attach should all read the cache:\n$withCache")
+    assert(ims.map(_.cacheBuilder).distinct.length == 1,
+      "cache reads must share ONE materialization")
+    assert(withCache.collect { case l: LogicalRelation => l }.isEmpty,
+      s"a corpus scan escaped the persisted base:\n$withCache")
+    // the materialization reads parquet exactly twice: the assignment side
+    // and the thin label side of the co-keyed self-join
+    val cached = executedPortion(ims.head.cacheBuilder.cachedPlan.toString)
+    assert(countOccurrences(cached, "Scan parquet") == 2,
+      s"persisted base must be assignment + label scan only:\n${ims.head.cacheBuilder.cachedPlan}")
+    assert(cached.contains("Scan ExistingRDD"),
+      s"centroid side must be the checkpointed fixed point:\n${ims.head.cacheBuilder.cachedPlan}")
+    // the only nested-loop joins are KMeans' 1-row centroid broadcasts;
+    // the candidate pairing itself must stay KEYED on cid
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"global pairwise comparison crept in:\n$p")
+    assert(p.contains("SortMergeJoin [cid") || p.contains("ShuffledHashJoin [cid") ||
+      p.contains("BroadcastHashJoin [cid") ||
+      countOccurrences(p, "hashpartitioning(cid") >= 1, s"pairing not keyed on cid:\n$p")
+  }
+
   test("q45 matryoshka energy: map-side only — zero hash exchanges") {
     val p = plan(graft.ext.Similarity.matryoshkaEnergy(spark, sf0001))
     assert(countOccurrences(p, "Exchange hashpartitioning") == 0,

@@ -1,0 +1,102 @@
+package graft
+
+import graft.ext.{BowDedup, BudgetSelect, OutlierPrune}
+import org.apache.spark.sql.functions._
+
+/** q56 centroid-outlier pruning, q57 bag-of-words dedup, q58 token-budget
+  * selection — semantics vs in-memory recomputation plus the planted
+  * hostile/edge cases their scaladocs promise. */
+class SelectOpsSpec extends SparkSpec {
+
+  // ---------------------------------------------------------------- q56
+
+  test("q56: per-cell threshold IS the discrete p90 and keep == dist <= thr (brute force)") {
+    val rows = OutlierPrune.centroidOutliersOf(
+      spark.read.parquet(s"$sf0001/embeddings.parquet"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(rows.length == 500)
+    for ((cid, members) <- rows.groupBy(_._2)) {
+      val dists = members.map(_._3).sorted
+      val expectThr = dists(math.floor(0.9 * (dists.length - 1)).toInt)
+      for ((vid, _, dist, thr, keep) <- members) {
+        assert(thr == expectThr, s"cell $cid: thr $thr != sorted[floor(.9(n-1))] $expectThr")
+        assert(keep == (if (dist <= thr) 1 else 0), s"vec $vid: keep flag wrong")
+      }
+      assert(members.exists(_._5 == 0) || dists.distinct.length == 1,
+        s"cell $cid: p90 gate should drop its far tail unless all dists tie")
+    }
+  }
+
+  test("q56: pct=1.0 keeps every vector; a planted far outlier is cut at p90") {
+    import spark.implicits._
+    val embeds = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    assert(OutlierPrune.centroidOutliersOf(embeds, pct = 1.0)
+      .filter(col("keep") === 0).count() == 0)
+    // 20 points on the unit corner + one far straggler, all one cell
+    // (k=2 seeds split the two groups; the -1 corner anchors cell 1)
+    val near = (0L to 19L).filter(_ != 1L).map(i => (i, Array.fill(4)(1.0f)))
+    val far = Seq((999L, Array.fill(4)(5.0f)))
+    val anchor = Seq((1L, Array.fill(4)(-1.0f)))
+    val df = (near ++ far ++ anchor).toDF("vec_id", "embedding")
+    val out = OutlierPrune.centroidOutliersOf(df, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(4))).toMap
+    assert(out(999L) == 0, "the straggler must be pruned")
+    assert(near.forall { case (i, _) => out(i) == 1 }, "the tight mass must survive")
+  }
+
+  // ---------------------------------------------------------------- q57
+
+  test("q57: case/punctuation/word-order variants collapse to one group; multisets are exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "world hello"),
+      (3L, "HELLO   WORLD???"),
+      (4L, "hello hello world"), // different multiset: count matters
+      (5L, "entirely different text")).toDF("doc_id", "text")
+    val out = BowDedup.bowDedupOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((3L, 0)), "min doc_id is the keeper")
+    assert(out(2L) == ((3L, 1)) && out(3L) == ((3L, 1)))
+    assert(out(4L) == ((1L, 0)), "a doubled word is a different bag")
+    assert(out(5L) == ((1L, 0)))
+  }
+
+  test("q57: fixture corpus is singleton-only at sf0.001 (normalization is live, not lossy)") {
+    val out = BowDedup.q57(spark, sf0001)
+    assert(out.count() == 500)
+    assert(out.filter(col("is_dup") === 1).count() == 0)
+  }
+
+  // ---------------------------------------------------------------- q58
+
+  test("q58: kept set is exactly the greedy quality-first prefix under the budget (brute force)") {
+    val rows = BudgetSelect.q58(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+    assert(rows.length == 500)
+    for ((src, members) <- rows.groupBy(_._2)) {
+      val ordered = members.sortBy(m => (-m._3, m._1))
+      var cum = 0L
+      for ((vid, _, _, tok, cumGot, keep) <- ordered) {
+        cum += tok
+        assert(cumGot == cum, s"$src/$vid: cum_tokens $cumGot != running sum $cum")
+        assert(keep == (if (cum <= 1000L) 1 else 0), s"$src/$vid: keep flag wrong")
+      }
+      assert(members.exists(_._6 == 1) && members.exists(_._6 == 0),
+        s"$src: the budget should cut mid-source at fixture scale")
+    }
+  }
+
+  test("q58: a larger budget keeps a superset; kept mass never exceeds the budget") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    def kept(b: Long): Set[Long] = BudgetSelect.budgetSelectOf(docs, b)
+      .filter(col("keep") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    val small = kept(500L); val big = kept(2000L)
+    assert(small.subsetOf(big))
+    val mass = BudgetSelect.budgetSelectOf(docs, 500L).filter(col("keep") === 1)
+      .groupBy(col("source")).agg(sum(col("est_tokens")).as("m"))
+      .collect().map(_.getLong(1))
+    assert(mass.forall(_ <= 500L))
+  }
+}

@@ -106,6 +106,35 @@ class StreamingSpec extends SparkSpec {
       s"expected dedup to drop 3 and the gate to drop 2, got $out")
   }
 
+  test("streaming bow dedup: word-order-shuffled re-ingest dropped where the exact hash admits it") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(e: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(e))
+    // q57's canonical bag hash as the streaming dedup key: the shuffled
+    // replay (same word multiset, different order + punctuation) collapses
+    // onto doc 1's key; the genuinely different multiset survives
+    val docs = stream.toDF().toDF("doc_id", "text", "event_time")
+      .withColumn("bh", graft.ext.BowDedup.bowHashCol(col("text")))
+      .withColumn("xh", sha2(col("text"), 256))
+    val sq = graft.ops.StreamingDedup.dedup(docs, Seq("bh"), delay = "10 seconds")
+      .select("doc_id").writeStream.format("memory").queryName("bow_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, "alpha beta gamma", ts(T0)))
+      sq.processAllAvailable()
+      stream.addData((2L, "Gamma, alpha beta!", ts(T0 + 2)), // shuffled replay
+                     (3L, "alpha alpha beta gamma", ts(T0 + 3))) // different bag
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val out = spark.table("bow_stream").as[Long].collect().toSet
+    assert(out == Set(1L, 3L), s"bow gate must drop the shuffled replay only, got $out")
+    // the exact-hash gate would have admitted the replay — the canonical
+    // key is what buys the drop
+    assert(Seq("alpha beta gamma", "Gamma, alpha beta!")
+      .map(t => Seq((t, ts(T0))).toDF("text", "event_time")).map(df =>
+        df.select(sha2(col("text"), 256)).head.getString(0)).distinct.length == 2)
+  }
+
   test("heartbeat injection closes windows for a stream that has gone idle (W4 idleness mitigation)") {
     import spark.implicits._
     import graft.streaming.Heartbeat
