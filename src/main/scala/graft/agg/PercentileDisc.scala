@@ -68,6 +68,10 @@ object PercentileDisc {
   /** Arbitrary-quantile variant of [[p95]] (q56's per-cell threshold). */
   def at(q: Double) = udaf(new PercentileDisc(q))
 
+  /** Arbitrary-quantile rank band (the [[p95Band]] sketch contract, used
+    * by q56's approximate-threshold spec). */
+  def bandAt(q: Double) = udaf(new PercentileBand(q))
+
   /** (lo, hi) rank band for the p95 sketch contract (q24). */
   val p95Band = udaf(new PercentileBand(0.95))
 }

@@ -58,8 +58,10 @@ object KMeans {
 
   /** Map-side assignment: per-point distance array over the broadcast
     * centroids, argmin = first occurrence of the minimum (lowest cid,
-    * since `cs` is cid-sorted); the label is `cs[argmin].cid`. */
-  private def assign(pts: DataFrame, cents: DataFrame): DataFrame =
+    * since `cs` is cid-sorted); the label is `cs[argmin].cid`.
+    * `private[ext]` so [[OutlierPrune.outlierGateStreamStatic]] can label
+    * a stream against the SAME fixed point its thresholds came from. */
+  private[ext] def assign(pts: DataFrame, cents: DataFrame): DataFrame =
     pts.crossJoin(broadcast(centsRow(cents)))
       .withColumn("darr", expr(
         "transform(cs, c -> aggregate(zip_with(q, c.cvec, (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x))"))

@@ -36,16 +36,53 @@ object OutlierPrune {
 
   /** (vec_id, cid, dist, cell_thr, keep) for every vector of any
     * (vec_id, embedding array<float>) frame: keep = 1 iff the vector's
-    * squared distance to its centroid is ≤ its cell's pct-percentile. */
+    * squared distance to its centroid is ≤ its cell's pct-percentile.
+    *
+    * `exactThreshold = false` is the 100 TB setting: cells are ≈ n/k rows,
+    * so the exact buffer is per-CELL corpus-fraction memory; the sketch
+    * path (`percentile_approx`, accuracy 10⁴ ⇒ rank error ≤ n/10⁴ — the
+    * q24 Greenwald-Khanna contract) aggregates in bounded memory, and the
+    * spec pins its threshold inside the exact rank band. Explicitly
+    * chosen, never a silent swap — the oracle binds the exact path. */
   def centroidOutliersOf(embeds: DataFrame, k: Int = 8, iters: Int = 2,
-                         pct: Double = 0.9): DataFrame = {
+                         pct: Double = 0.9,
+                         exactThreshold: Boolean = true): DataFrame = {
     val assigned = Tables.swapPersist("outlier_prune_assigned",
       KMeans.assignments(embeds, k, iters)
         .select(col("vec_id"), col("cid"), col("dist")))
+    val thrCol =
+      if (exactThreshold) PercentileDisc.at(pct)(col("dist").cast("double"))
+      else percentile_approx(col("dist").cast("double"), lit(pct), lit(10000))
     val thr = assigned.groupBy(col("cid"))
-      .agg(PercentileDisc.at(pct)(col("dist").cast("double")).cast("long").as("cell_thr"))
+      .agg(thrCol.cast("long").as("cell_thr"))
       .withColumnRenamed("cid", "tcid")
     assigned.join(broadcast(thr), col("cid") === col("tcid"))
+      .select(col("vec_id"), col("cid").cast("long").as("cid"), col("dist"),
+        col("cell_thr"), (col("dist") <= col("cell_thr")).cast("int").as("keep"))
+  }
+
+  /** Stream-static outlier gate — the ingestion-time face of q56: the
+    * model AND the per-cell thresholds are computed ONCE on the static
+    * (already-ingested) corpus, then arriving vectors are labeled
+    * map-side against the broadcast fixed point and gated
+    * `dist ≤ their cell's threshold` in the same continuous query.
+    * Both static artifacts are eager k-row leaves (`fit` checkpoints the
+    * centroids; the threshold table is `localCheckpoint`ed here), so a
+    * micro-batch pays one k-row broadcast join — the static corpus is
+    * NEVER re-aggregated per batch. Stateless append-mode stage: composes
+    * with the assignment/cell-cap/curation chain stages (StreamingSpec
+    * pins stream == batch). */
+  def outlierGateStreamStatic(streamEmbeds: DataFrame, staticEmbeds: DataFrame,
+                              k: Int = 8, iters: Int = 2,
+                              pct: Double = 0.9): DataFrame = {
+    val cents = KMeans.fit(KMeans.quantize(staticEmbeds), k, iters)
+    val thr = KMeans.assign(KMeans.quantize(staticEmbeds), cents)
+      .groupBy(col("cid"))
+      .agg(PercentileDisc.at(pct)(col("dist").cast("double")).cast("long").as("cell_thr"))
+      .withColumnRenamed("cid", "tcid")
+      .localCheckpoint()
+    KMeans.assign(KMeans.quantize(streamEmbeds), cents)
+      .join(broadcast(thr), col("cid") === col("tcid"))
       .select(col("vec_id"), col("cid").cast("long").as("cid"), col("dist"),
         col("cell_thr"), (col("dist") <= col("cell_thr")).cast("int").as("keep"))
   }

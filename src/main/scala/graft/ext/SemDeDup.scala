@@ -51,8 +51,9 @@ import org.apache.spark.sql.functions._
 object SemDeDup {
 
   /** Exact integer dot product of two quantized vectors as a SQL string
-    * (shared with [[HardNeg]] so the similarity kernel cannot drift). */
-  private[ext] def intDot(a: String, b: String) =
+    * (shared with [[HardNeg]] and [[graft.ops.VectorPipeline]] so the
+    * similarity kernel cannot drift). */
+  private[graft] def intDot(a: String, b: String) =
     s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (s, x) -> s + x)"
 
   /** General form over any (vec_id, embedding array<float>) frame.

@@ -1,0 +1,147 @@
+package graft.ops
+
+import graft.agg.PercentileDisc
+import graft.ext.{KMeans, SemDeDup, TextOps}
+import graft.oracle.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composed vector-curation DAG (q61) — the embedding-side counterpart of
+  * q52's text pipeline, chaining the three per-cluster gates a real
+  * corpus runs over ONE clustering: semantic dedup (q53's within-cell
+  * greedy-by-id pass), centroid-distance outlier pruning (q56's per-cell
+  * p90 gate), and cluster-balanced thinning (q55's md5-per-mil rate) —
+  * with the thinning rates computed over the SURVIVORS of the first two
+  * gates, the way a staged pipeline actually composes (a cell that lost
+  * half its mass to dedup needs half the thinning).
+  *
+  * final_keep = NOT semantic-dup AND within the cell's distance
+  * percentile AND drawn by the cell's survivor rate.
+  *
+  * Everything is the shared int64 fixed point, so every flag is
+  * bit-identical cross-engine (hash-exact oracle over the full DAG) and
+  * the spec pins is_dup ≡ q53's and keep_dist ≡ q56's on the same
+  * fixture — composition cannot drift from the standalone operators.
+  *
+  * Scale shape: TWO keyed materializations, one per expensive stage. The
+  * assignment (vec_id, cid, q, dist, nrm) is persisted once and read by
+  * the census, both pair sides, the threshold aggregate and the flag
+  * attach; the flagged frame (thin, 4 scalar columns — it embeds the
+  * pair join, the DAG's dominant cost) is persisted once and read by the
+  * survivor rollup and the final attach, so the pairing executes exactly
+  * once (PlanSpec pins one corpus scan under the assignment cache and
+  * one shared flagged cache). Per-stage traffic beyond the caches: a
+  * ≤ k-row eager census (drives the maxCell literal), a cid equi-join
+  * bounded by maxCell, two ≤ k-row broadcast tables (thresholds,
+  * survivor rates), and a thin vec_id-keyed dup attach. No corpus-wide
+  * window, sort, or cartesian.
+  */
+object VectorPipeline {
+
+  def vectorCurationOf(embeds: DataFrame, k: Int = 8, iters: Int = 2,
+                       minSim: Double = 0.25, maxCell: Int = 500,
+                       pct: Double = 0.9, targetPerCell: Int = 40): DataFrame = {
+    val assigned = Tables.swapPersist("vecpipe_assigned",
+      KMeans.assignments(embeds, k, iters)
+        .select(col("vec_id"), col("cid"), col("q"), col("dist"))
+        .withColumn("nrm", expr(SemDeDup.intDot("q", "q"))))
+    // eager ≤ k-row census → maxCell exclusion as a literal map-side
+    // predicate (the q53 pattern)
+    val oversized = assigned.groupBy(col("cid")).agg(count(lit(1)).as("m"))
+      .filter(col("m") > maxCell).select(col("cid"))
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val elig = if (oversized.isEmpty) assigned
+               else assigned.filter(!col("cid").isin(oversized: _*))
+    val a = elig.select(col("cid"), col("vec_id").as("aid"),
+      col("q").as("qa"), col("nrm").as("na"))
+    val b = elig.select(col("cid"), col("vec_id").as("bid"),
+      col("q").as("qb"), col("nrm").as("nb"))
+    val dups = a.join(b, "cid").filter(col("aid") < col("bid"))
+      .withColumn("sim", floor(
+        expr(SemDeDup.intDot("qa", "qb")) / (sqrt(col("na")) * sqrt(col("nb"))) * 1e6) / 1e6)
+      .filter(col("sim") >= minSim)
+      .groupBy(col("bid").as("vec_id")).agg(min(col("aid")).as("rep_of"))
+    val thr = assigned.groupBy(col("cid"))
+      .agg(PercentileDisc.at(pct)(col("dist").cast("double")).cast("long").as("cell_thr"))
+      .withColumnRenamed("cid", "tcid")
+    // second keyed materialization: the flag stage embeds the pair join
+    // (the DAG's most expensive stage) and is read TWICE below (survivor
+    // census + final attach) — unpersisted, the pairing would execute
+    // twice. Thin frame: 4 scalar columns, no q arrays.
+    val flagged = Tables.swapPersist("vecpipe_flagged",
+      assigned.select(col("vec_id"), col("cid"), col("dist"))
+        .join(dups, Seq("vec_id"), "left")
+        .join(broadcast(thr), col("cid") === col("tcid"))
+        .select(col("vec_id"), col("cid"),
+          col("rep_of").isNotNull.cast("int").as("is_dup"),
+          (col("dist") <= col("cell_thr")).cast("int").as("keep_dist")))
+    // survivor census → per-cell thinning rates (≤ k rows, broadcast back)
+    val srates = flagged.filter(col("is_dup") === 0 && col("keep_dist") === 1)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .select(col("cid").as("rcid"),
+        least(lit(1000L), expr(s"(${1000L * targetPerCell}) div n")).as("keep_pm"))
+    flagged.join(broadcast(srates), col("cid") === col("rcid"), "left")
+      .withColumn("hh", md5(concat(lit("vcur|"), col("vec_id"))))
+      .select(col("vec_id"), col("cid").cast("long").as("cid"),
+        col("is_dup"), col("keep_dist"),
+        (col("is_dup") === 0 && col("keep_dist") === 1 &&
+          expr(s"${TextOps.hexVal("hh", 1, duck = false)} % 1000") < col("keep_pm"))
+          .cast("int").as("final_keep"))
+  }
+
+  // ---------------------------------------------------------------- q61
+  // targetPerCell bound at a NON-default 20 (the q12/q53 fixture-binding
+  // pattern): fixture survivor cells sit under the default 40, which
+  // would leave the thinning stage a no-op in the oracle; at 20 the rate
+  // is < 1000‰ and the md5 draw is live (the spec asserts both branches).
+  def q61(spark: SparkSession, sfDir: String): DataFrame =
+    vectorCurationOf(Tables.table(spark, sfDir, "embeddings"), targetPerCell = 20)
+
+  private def q61Sql(k: Int = 8, iters: Int = 2, dim: Int = 64,
+                     minSim: Double = 0.25, maxCell: Int = 500,
+                     pct: Double = 0.9, targetPerCell: Int = 20): String =
+    s"""WITH ${KMeans.duckFitCtes(k, iters, dim)},
+       |normed AS (
+       |  SELECT vec_id, cid, q, dist,
+       |         CAST(list_sum(list_transform(range(1, ${dim + 1}), j -> q[j] * q[j])) AS BIGINT) AS nrm
+       |  FROM fin),
+       |okcells AS (SELECT cid FROM normed GROUP BY cid HAVING count(*) <= $maxCell),
+       |elig AS (SELECT n.* FROM normed n JOIN okcells USING (cid)),
+       |sims AS (
+       |  SELECT a.vec_id AS aid, b.vec_id AS bid,
+       |         floor(CAST(list_sum(list_transform(range(1, ${dim + 1}),
+       |                 j -> a.q[j] * b.q[j])) AS BIGINT)
+       |               / (sqrt(a.nrm) * sqrt(b.nrm)) * 1000000.0) / 1000000.0 AS sim
+       |  FROM elig a JOIN elig b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       |dups AS (SELECT bid AS vec_id, min(aid) AS rep_of
+       |         FROM sims WHERE sim >= $minSim GROUP BY bid),
+       |thr AS (
+       |  SELECT cid, dist AS cell_thr FROM (
+       |    SELECT cid, dist,
+       |           row_number() OVER (PARTITION BY cid ORDER BY dist) AS rn,
+       |           count(*) OVER (PARTITION BY cid) AS cnt
+       |    FROM normed) t
+       |  WHERE rn = CAST(floor($pct * (cnt - 1)) AS BIGINT) + 1),
+       |flagged AS (
+       |  SELECT n.vec_id, n.cid,
+       |         CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+       |         CASE WHEN n.dist <= t.cell_thr THEN 1 ELSE 0 END AS keep_dist
+       |  FROM normed n
+       |  LEFT JOIN dups d ON d.vec_id = n.vec_id
+       |  JOIN thr t ON t.cid = n.cid),
+       |srates AS (
+       |  SELECT cid, least(1000, (${1000L * targetPerCell}) // count(*)) AS keep_pm
+       |  FROM flagged WHERE is_dup = 0 AND keep_dist = 1 GROUP BY cid),
+       |h AS (
+       |  SELECT f.*, r.keep_pm, md5('vcur|' || f.vec_id) AS hh
+       |  FROM flagged f LEFT JOIN srates r USING (cid))
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cid, is_dup, keep_dist,
+       |       CASE WHEN is_dup = 0 AND keep_dist = 1
+       |                 AND ${TextOps.hexVal("hh", 1, duck = true)} % 1000 < keep_pm
+       |            THEN 1 ELSE 0 END AS final_keep
+       |FROM h""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q61_vector_curation", q61, Some(q61Sql()))
+  )
+}

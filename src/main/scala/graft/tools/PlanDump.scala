@@ -80,7 +80,9 @@ object PlanDump {
     "q59_ngram_novelty" ->
       "Novelty without a df join-back: the persisted shingle base serves the in-row denominator (size(sarr)) and the singleton rollup (df=1 shingles ARE their posting list - count+min per shingle key, then a per-doc count); final attach is a thin doc-keyed left join. One corpus scan, linear cost, no dfCap needed.",
     "q60_hard_negatives" ->
-      "Cell-bounded contrastive mining: assignment + labels persisted ONCE (the label attach is a thin co-keyed self-join inside the cache); candidate pairs are a cid equi-join over cap-eligible cells; the per-anchor winner is groupBy max((sim,-id) struct) with map-side partials - no corpus-wide window, no cartesian."
+      "Cell-bounded contrastive mining: assignment + labels persisted ONCE (the label attach is a thin co-keyed self-join inside the cache); candidate pairs are a cid equi-join over cap-eligible cells; the per-anchor winner is groupBy max((sim,-id) struct) with map-side partials - no corpus-wide window, no cartesian.",
+    "q61_vector_curation" ->
+      "The composed embedding DAG (q52's vector-side counterpart): TWO keyed materializations - the assignment cache feeds census/pair-sides/threshold-agg/flag-attach, the thin flagged cache (which embeds the pair join, the dominant stage) feeds the survivor rollup and the final attach, so the pairing executes once. Thinning rates come from SURVIVOR counts, broadcast back with the thresholds; the final keep is map-side md5 arithmetic."
   )
 
   def main(args: Array[String]): Unit = {

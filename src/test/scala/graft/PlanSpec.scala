@@ -364,6 +364,28 @@ class PlanSpec extends SparkSpec {
       countOccurrences(p, "hashpartitioning(cid") >= 1, s"pairing not keyed on cid:\n$p")
   }
 
+  test("q61 vector DAG: two-level materialization — flagged cache shared, all stages read the assignment cache") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = graft.ops.VectorPipeline.q61(spark, sf0001)
+    val withCache = df.queryExecution.withCachedData
+    val ims = withCache.collect { case r: InMemoryRelation => r }
+    // survivor rollup + final attach share the ONE flagged materialization
+    // (the pair join inside it therefore executes exactly once)
+    assert(ims.length == 2 && ims.map(_.cacheBuilder).distinct.length == 1,
+      s"survivor census + final attach should share the flagged cache:\n$withCache")
+    assert(withCache.collect { case l: LogicalRelation => l }.isEmpty,
+      s"a corpus scan escaped the two-level materialization:\n$withCache")
+    // inside the flagged materialization, the pair sides, the threshold
+    // aggregate and the flag attach all read the ASSIGNMENT cache (whose
+    // own single-corpus-scan shape is pinned by the q51/q53 tests)
+    val flaggedPlan = ims.head.cacheBuilder.cachedPlan.toString
+    assert(countOccurrences(flaggedPlan, "InMemoryTableScan") >= 4,
+      s"flag stage must read the shared assignment cache, not rebuild it:\n$flaggedPlan")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"global pairwise comparison crept in:\n$p")
+  }
+
   test("q45 matryoshka energy: map-side only — zero hash exchanges") {
     val p = plan(graft.ext.Similarity.matryoshkaEnergy(spark, sf0001))
     assert(countOccurrences(p, "Exchange hashpartitioning") == 0,

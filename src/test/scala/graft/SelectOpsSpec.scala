@@ -44,6 +44,22 @@ class SelectOpsSpec extends SparkSpec {
     assert(near.forall { case (i, _) => out(i) == 1 }, "the tight mass must survive")
   }
 
+  test("q56: the sketch threshold lands inside the exact rank band (the q24 GK contract)") {
+    val embeds = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val approx = OutlierPrune.centroidOutliersOf(embeds, exactThreshold = false)
+      .select(col("cid"), col("cell_thr")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bands = graft.ext.KMeans.assignments(embeds)
+      .groupBy(col("cid"))
+      .agg(graft.agg.PercentileDisc.bandAt(0.9)(col("dist").cast("double")).as("b"))
+      .collect().map(r => (r.getInt(0).toLong,
+        (r.getStruct(1).getDouble(0), r.getStruct(1).getDouble(1)))).toMap
+    assert(approx.keySet == bands.keySet)
+    for ((cid, (lo, hi)) <- bands)
+      assert(approx(cid) >= lo.toLong && approx(cid) <= hi.toLong,
+        s"cell $cid: sketch thr ${approx(cid)} outside exact band [$lo, $hi]")
+  }
+
   // ---------------------------------------------------------------- q57
 
   test("q57: case/punctuation/word-order variants collapse to one group; multisets are exact") {

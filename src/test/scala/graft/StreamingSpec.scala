@@ -135,6 +135,37 @@ class StreamingSpec extends SparkSpec {
         df.select(sha2(col("text"), 256)).head.getString(0)).distinct.length == 2)
   }
 
+  test("stream-static outlier gate: static-corpus thresholds gate arriving vectors == batch") {
+    import spark.implicits._
+    // two tight static clusters → per-cell p90 distance thresholds are 0;
+    // an arriving vector on a corner passes, a perturbed one is cut —
+    // model + thresholds are eager k-row leaves, so each micro-batch pays
+    // one broadcast join, never a static-corpus re-aggregation
+    val staticCorpus = ((0L +: (2L to 4L)).map(i => (i, Array.fill(4)(1.0f))) ++
+      Seq(1L, 5L).map(i => (i, Array.fill(4)(-1.0f)))).toDF("vec_id", "embedding")
+    def gate(pts: org.apache.spark.sql.DataFrame) =
+      graft.ext.OutlierPrune.outlierGateStreamStatic(pts, staticCorpus, k = 2)
+        .select(col("vec_id"), col("cid"), col("keep"))
+    val incoming = Seq(
+      (100L, Array.fill(4)(1.0f)),               // on the +1 corner -> keep
+      (101L, Array(1.2f, 1.0f, 1.0f, 1.0f)),     // perturbed -> cut
+      (102L, Array.fill(4)(-1.0f)))              // on the -1 corner -> keep
+    val stream = MemoryStream[(Long, Array[Float])]
+    val sq = gate(stream.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("outlier_gate")
+      .outputMode("append").start()
+    try {
+      stream.addData(incoming)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = spark.table("outlier_gate").collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(streamed == Set((100L, 1), (101L, 0), (102L, 1)), s"gate wrong: $streamed")
+    val batch = gate(incoming.toDF("vec_id", "embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
+
   test("heartbeat injection closes windows for a stream that has gone idle (W4 idleness mitigation)") {
     import spark.implicits._
     import graft.streaming.Heartbeat
