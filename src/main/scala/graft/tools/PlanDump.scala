@@ -82,7 +82,9 @@ object PlanDump {
     "q60_hard_negatives" ->
       "Cell-bounded contrastive mining: assignment + labels persisted ONCE (the label attach is a thin co-keyed self-join inside the cache); candidate pairs are a cid equi-join over cap-eligible cells; the per-anchor winner is groupBy max((sim,-id) struct) with map-side partials - no corpus-wide window, no cartesian.",
     "q61_vector_curation" ->
-      "The composed embedding DAG (q52's vector-side counterpart): TWO keyed materializations - the assignment cache feeds census/pair-sides/threshold-agg/flag-attach, the thin flagged cache (which embeds the pair join, the dominant stage) feeds the survivor rollup and the final attach, so the pairing executes once. Thinning rates come from SURVIVOR counts, broadcast back with the thresholds; the final keep is map-side md5 arithmetic."
+      "The composed embedding DAG (q52's vector-side counterpart): TWO keyed materializations - the assignment cache feeds census/pair-sides/threshold-agg/flag-attach, the thin flagged cache (which embeds the pair join, the dominant stage) feeds the survivor rollup and the final attach, so the pairing executes once. Thinning rates come from SURVIVOR counts, broadcast back with the thresholds; the final keep is map-side md5 arithmetic.",
+    "q62_cluster_topics" ->
+      "Cluster labeling in cluster-x-vocab space: ONE corpus equi-join (text -> cid, co-keyed on id over the checkpointed fixed point) feeds a map-side-partial (cid, term) count, persisted once and read three ways (score join, cluster-df rollup, cluster count - the count crosses back in as a broadcast 1-row aggregate, no driver collect). Ranking is the bounded TopTerms aggregator: <= topN rows per cluster-x-partition reach the exchange, never a corpus-wide window sort."
   )
 
   def main(args: Array[String]): Unit = {

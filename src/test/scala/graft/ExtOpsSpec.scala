@@ -34,6 +34,27 @@ class ExtOpsSpec extends SparkSpec {
     assert(uncapped == 40L * 39 / 2 + 1)
   }
 
+  test("q62 topic labels: c-TF-IDF ranks each cluster's distinguishing term first, shared terms score 0") {
+    import spark.implicits._
+    // two well-separated cells (seeds 0 and 1); each doc carries its
+    // cluster's signature term twice plus the shared term once — the
+    // signature must outrank it, and the shared term (in every cluster)
+    // must score exactly ln(2/2) = 0
+    val dim = 4
+    val aIds = Seq(0L, 2L, 3L)
+    val bIds = Seq(1L, 10L, 11L)
+    val embeds = (aIds.map((_, Array.fill(dim)(1.0f))) ++
+      bIds.map((_, Array.fill(dim)(-1.0f)))).toDF("vec_id", "embedding")
+    val docs = (aIds.map((_, "apple apple banana")) ++
+      bIds.map((_, "car car banana"))).toDF("doc_id", "text")
+    val rows = graft.ext.TopicLabel.topicLabelsOf(docs, embeds, k = 2, topN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val expectedTop = math.floor(6 * math.log(2) * 1e6 + 0.5) / 1e6
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq == Seq(
+      (0L, 1L, "apple", expectedTop), (0L, 2L, "banana", 0.0),
+      (1L, 1L, "car", expectedTop), (1L, 2L, "banana", 0.0)), rows.mkString(", "))
+  }
+
   test("q53 semdedup: over-full cells are dropped by maxCell (the quadratic-row kill switch)") {
     import spark.implicits._
     // 301 identical embeddings collapse into ONE k-means cell — the

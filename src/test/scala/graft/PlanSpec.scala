@@ -221,6 +221,27 @@ class PlanSpec extends SparkSpec {
       s"centroid side must be the checkpointed fixed point:\n${ims.head.cacheBuilder.cachedPlan}")
   }
 
+  test("q62 topic labels: corpus join+tokenize runs once — score join, cluster-df and cluster count share the tf cache") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = graft.ext.TopicLabel.q62(spark, sf0001)
+    val withCache = df.queryExecution.withCachedData
+    val ims = withCache.collect { case r: InMemoryRelation => r }
+    assert(ims.length == 3,
+      s"score join, cluster-df and cluster count should all read the tf cache:\n$withCache")
+    assert(ims.map(_.cacheBuilder).distinct.length == 1,
+      "cache reads must share ONE materialization, not three")
+    assert(withCache.collect { case l: LogicalRelation => l }.isEmpty,
+      s"a corpus scan escaped the persisted tf frame:\n$withCache")
+    // inside the cache: one documents scan + one assignment pass over the
+    // embeddings scan, against the CHECKPOINTED k-row centroids
+    val cached = executedPortion(ims.head.cacheBuilder.cachedPlan.toString)
+    assert(countOccurrences(cached, "Scan parquet") == 2,
+      s"tf materialization must read documents + embeddings exactly once each:\n${ims.head.cacheBuilder.cachedPlan}")
+    assert(cached.contains("Scan ExistingRDD"),
+      s"centroid side must be the checkpointed fixed point:\n${ims.head.cacheBuilder.cachedPlan}")
+  }
+
   test("q51 kmeans: the final plan reads the corpus once — the Lloyd fixed point is a checkpointed leaf") {
     val df = graft.ext.KMeans.kmeans(spark, sf0001)
     val p = executedPortion(plan(df))
