@@ -84,7 +84,9 @@ object PlanDump {
     "q61_vector_curation" ->
       "The composed embedding DAG (q52's vector-side counterpart): TWO keyed materializations - the assignment cache feeds census/pair-sides/threshold-agg/flag-attach, the thin flagged cache (which embeds the pair join, the dominant stage) feeds the survivor rollup and the final attach, so the pairing executes once. Thinning rates come from SURVIVOR counts, broadcast back with the thresholds; the final keep is map-side md5 arithmetic.",
     "q62_cluster_topics" ->
-      "Cluster labeling in cluster-x-vocab space: ONE corpus equi-join (text -> cid, co-keyed on id over the checkpointed fixed point) feeds a map-side-partial (cid, term) count, persisted once and read three ways (score join, cluster-df rollup, cluster count - the count crosses back in as a broadcast 1-row aggregate, no driver collect). Ranking is the bounded TopTerms aggregator: <= topN rows per cluster-x-partition reach the exchange, never a corpus-wide window sort."
+      "Cluster labeling in cluster-x-vocab space: ONE corpus equi-join (text -> cid, co-keyed on id over the checkpointed fixed point) feeds a map-side-partial (cid, term) count, persisted once and read three ways (score join, cluster-df rollup, cluster count - the count crosses back in as a broadcast 1-row aggregate, no driver collect). Ranking is the bounded TopTerms aggregator: <= topN rows per cluster-x-partition reach the exchange, never a corpus-wide window sort.",
+    "q63_substring_scrub" ->
+      "Span-level exact dedup: the tokenized corpus + in-row stride-1 window hashes persist ONCE; the n_words-row occurrence stream makes the single corpus-wide exchange (hash-keyed count, map-side partials), dup hashes join BACK co-keyed on the same hash (linear - m occurrences contribute m rows, never m^2 pairs), per-doc start lists collapse doc-keyed, and coverage + scrub are in-row higher-order functions. No corpus window, no cartesian."
   )
 
   def main(args: Array[String]): Unit = {

@@ -55,6 +55,25 @@ class ExtOpsSpec extends SparkSpec {
       (1L, 1L, "car", expectedTop), (1L, 2L, "banana", 0.0)), rows.mkString(", "))
   }
 
+  test("q63 substring scrub: cross-doc spans, within-doc repeats and overlap-merge all covered; short docs untouched") {
+    import spark.implicits._
+    // docs 0/1 share a 7-word span (3 overlapping dup windows at L=5 —
+    // coverage must merge them into one 7-word region); doc 2 is shorter
+    // than L; doc 3 repeats one word 10 times (within-doc dup windows)
+    val docs = Seq(
+      (0L, "a b c d e f g x y"),
+      (1L, "q r a b c d e f g z"),
+      (2L, "short one"),
+      (3L, "m m m m m m m m m m")).toDF("doc_id", "text")
+    val rows = graft.ext.SubstrScrub.substrScrubOf(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5)))).toMap
+    assert(rows(0L) == ((9L, 3L, 7L, 0.7777, "x y")))
+    assert(rows(1L) == ((10L, 3L, 7L, 0.7, "q r z")))
+    assert(rows(2L) == ((2L, 0L, 0L, 0.0, "short one")), "below-L docs pass through")
+    assert(rows(3L) == ((10L, 6L, 10L, 1.0, "")), "a fully-duplicated doc scrubs to empty")
+  }
+
   test("q53 semdedup: over-full cells are dropped by maxCell (the quadratic-row kill switch)") {
     import spark.implicits._
     // 301 identical embeddings collapse into ONE k-means cell — the

@@ -242,6 +242,23 @@ class PlanSpec extends SparkSpec {
       s"centroid side must be the checkpointed fixed point:\n${ims.head.cacheBuilder.cachedPlan}")
   }
 
+  test("q63 substring scrub: ONE corpus scan — occurrence rollup, dup join-back and attach share the window cache") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = graft.ext.SubstrScrub.q63(spark, sf0001)
+    val withCache = df.queryExecution.withCachedData
+    val ims = withCache.collect { case r: InMemoryRelation => r }
+    assert(ims.length == 3,
+      s"dup rollup, join-back side and final attach should all read the window cache:\n$withCache")
+    assert(ims.map(_.cacheBuilder).distinct.length == 1,
+      "cache reads must share ONE materialization, not three")
+    assert(withCache.collect { case l: LogicalRelation => l }.isEmpty,
+      s"a corpus scan escaped the persisted window base:\n$withCache")
+    val cached = executedPortion(ims.head.cacheBuilder.cachedPlan.toString)
+    assert(countOccurrences(cached, "Scan parquet") == 1,
+      s"window base must be a single corpus scan:\n${ims.head.cacheBuilder.cachedPlan}")
+  }
+
   test("q51 kmeans: the final plan reads the corpus once — the Lloyd fixed point is a checkpointed leaf") {
     val df = graft.ext.KMeans.kmeans(spark, sf0001)
     val p = executedPortion(plan(df))
