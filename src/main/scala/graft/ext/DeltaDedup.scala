@@ -1,0 +1,176 @@
+package graft.ext
+
+import graft.oracle.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental delta dedup (q64) — dedup an INCOMING batch against an
+  * EXISTING corpus plus itself, the production ingestion shape: the
+  * nightly crawl lands next to a 100 TB corpus and only the newcomers
+  * need verdicts. Two detectors share one pass, mirroring the batch
+  * family exactly so delta verdicts cannot drift from full-corpus ones:
+  * exact (q11's sha-256 content hash) and MinHash+LSH near-dup (q12's
+  * 12-hash Carter-Wegman signatures, 4×3 bands, shingle-Jaccard ≥ τ
+  * verification). An incoming doc is a dup if it matches ANY existing
+  * doc (no order among the settled corpus) or an EARLIER (lower-id)
+  * incoming doc (greedy-by-id within the batch, the q53 idiom — ids
+  * must be unique across both frames).
+  *
+  * Scale shape — the asymmetry IS the operator: existing×existing pairs
+  * are never generated. Both sides shingle+sign in ONE union pass,
+  * persisted once (keyed; the exact rollup, band stream and both verify
+  * sides read the cache). Band buckets collect the two sides into
+  * separate in-row arrays and expand only incoming×(existing ∪ earlier
+  * incoming) — for a bucket of E existing and I incoming members that is
+  * I·E + I(I−1)/2 pairs, not (E+I)(E+I−1)/2; with the typical delta
+  * (I ≪ E) the quadratic term in E vanishes. `maxBucket` still caps the
+  * degenerate bucket (the q12 guard); the candidate side stays small by
+  * LSH construction, so AQE broadcasts it into the verify joins. The
+  * exact detector is one hash-keyed aggregate carrying per-side min ids
+  * — newcomers join it co-keyed, never a corpus×corpus self-join.
+  *
+  * Determinism: verdicts are set-valued (min partner id, exact integer
+  * intersections, one IEEE division per verified pair), so the output
+  * is independent of partitioning and engine — hash-exact oracle.
+  */
+object DeltaDedup {
+
+  /** General form. Output: ONE row per incoming doc —
+    * (doc_id, dup_exact, dup_near, keep, matched_id) where matched_id =
+    * the smallest matching partner id across both detectors (NULL when
+    * the doc is kept). */
+  def deltaDedupOf(existing: DataFrame, incoming: DataFrame,
+                   maxBucket: Int = TextOps.DefaultMaxBucket,
+                   minJaccard: Double = 0.5): DataFrame = {
+    val tagged = existing.select(col("doc_id"), col("text")).withColumn("src", lit(0))
+      .unionByName(incoming.select(col("doc_id"), col("text")).withColumn("src", lit(1)))
+    val base = Tables.swapPersist("delta_base",
+      Tables.fanned(tagged)
+        .select(col("doc_id"), col("src"), sha2(col("text"), 256).as("ch"),
+          split(col("text"), " ").as("ws"))
+        .withColumn("sarr", expr(
+          "CASE WHEN size(ws) >= 3 THEN word_ngrams(ws, 3) ELSE CAST(array() AS ARRAY<STRING>) END"))
+        .select(col("doc_id"), col("src"), col("ch"),
+          array_distinct(col("sarr")).as("sset"),
+          expr("CASE WHEN size(sarr) > 0 THEN minhash_signatures(sarr, 12) END").as("sig")))
+    // exact: one hash-keyed aggregate carrying each side's min id;
+    // newcomers pick up their verdict co-keyed on the hash
+    val exg = base.groupBy(col("ch")).agg(
+      min(when(col("src") === 0, col("doc_id"))).as("min_ex"),
+      min(when(col("src") === 1, col("doc_id"))).as("min_in"))
+    // near: q12's band buckets, but the two sides collect into separate
+    // in-row arrays and only incoming×(existing ∪ earlier-incoming)
+    // pairs expand — existing×existing never materializes
+    val bandCols = (0 until 4).map(b =>
+      s"$b, concat_ws('|', sig[${3 * b}], sig[${3 * b + 1}], sig[${3 * b + 2}])").mkString(", ")
+    val cand = base.filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("src"), size(col("sset")).as("n"),
+        expr(s"stack(4, $bandCols)").as(Seq("band", "bk")))
+      .groupBy(col("band"), col("bk"))
+      .agg(
+        sort_array(collect_list(when(col("src") === 0, struct(col("doc_id"), col("n"))))).as("exs"),
+        sort_array(collect_list(when(col("src") === 1, struct(col("doc_id"), col("n"))))).as("ins"))
+      .filter(size(col("ins")) >= 1 &&
+        (size(col("exs")) + size(col("ins"))).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(ins, (t, i) ->
+          |  transform(concat(exs, slice(ins, 1, i)),
+          |            p -> struct(t.doc_id AS tid, t.n AS tn,
+          |                        p.doc_id AS pid, p.n AS pn))))""".stripMargin)).as("c"))
+      .select(col("c.tid"), col("c.tn"), col("c.pid"), col("c.pn"))
+      .distinct()
+    val sets = base.select(col("doc_id"), col("sset"))
+    val near = cand
+      .join(sets.as("st"), col("tid") === col("st.doc_id"))
+      .join(sets.as("sp"), col("pid") === col("sp.doc_id"))
+      .select(col("tid"), col("pid"),
+        size(array_intersect(col("st.sset"), col("sp.sset"))).as("inter"),
+        col("tn"), col("pn"))
+      .filter(col("inter") / (col("tn") + col("pn") - col("inter")) >= minJaccard)
+      .groupBy(col("tid").as("doc_id"))
+      .agg(min(col("pid")).as("near_partner"))
+    base.filter(col("src") === 1).select(col("doc_id"), col("ch"))
+      .join(exg, "ch")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("min_ex").isNotNull || col("doc_id") > col("min_in")).cast("int").as("dup_exact"),
+        col("near_partner").isNotNull.cast("int").as("dup_near"),
+        (col("min_ex").isNull && col("doc_id") <= col("min_in") &&
+          col("near_partner").isNull).cast("int").as("keep"),
+        least(col("min_ex"), when(col("min_in") < col("doc_id"), col("min_in")),
+          col("near_partner")).as("matched_id"))
+  }
+
+  // ---------------------------------------------------------------- q64
+  // Fixture split by id parity: evens are the settled corpus, odds the
+  // incoming batch — near-dup fixture pairs land on both sides of the
+  // split, so cross-side AND within-batch verdicts are exercised.
+  // maxBucket bound at q12's non-default fixture cap (symmetric HAVING).
+  def q64(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    deltaDedupOf(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      maxBucket = TextOps.FixtureMaxBucket)
+  }
+
+  private def q64Sql(maxBucket: Int = TextOps.FixtureMaxBucket,
+                     minJaccard: Double = 0.5): String = {
+    val p = 2147483647L
+    val sigCols = (0 until 12)
+      .map(i => s"min((h1 + $i * h2) % $p) AS mh$i").mkString(",\n       |        ")
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT doc_id, src, $b AS band, mh${3 * b} || '|' || mh${3 * b + 1} || '|' || mh${3 * b + 2} AS bk FROM sig")
+      .mkString("\n       |          UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, doc_id % 2 AS src, sha256(text) AS ch,
+       |             string_split(text, ' ') AS ws FROM documents),
+       |exg AS (SELECT ch, min(CASE WHEN src = 0 THEN doc_id END) AS min_ex,
+       |               min(CASE WHEN src = 1 THEN doc_id END) AS min_in
+       |        FROM d GROUP BY ch),
+       |shraw AS (
+       |  SELECT doc_id, src, unnest(list_transform(range(1, len(ws) - 1),
+       |         i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS s
+       |  FROM d WHERE len(ws) >= 3),
+       |shing AS (SELECT DISTINCT doc_id, s FROM shraw),
+       |shcnt AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+       |hv AS (SELECT doc_id, src, ${TextOps.hexVal("m", 1, duck = true)} AS h1,
+       |               ${TextOps.hexVal("m", 9, duck = true)} AS h2
+       |       FROM (SELECT doc_id, src, md5(s) AS m FROM shraw)),
+       |sig AS (SELECT doc_id, any_value(src) AS src,
+       |        $sigCols
+       |        FROM hv GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |bsz AS (SELECT band, bk FROM bands GROUP BY band, bk
+       |        HAVING count(*) BETWEEN 2 AND $maxBucket
+       |           AND sum(CASE WHEN src = 1 THEN 1 ELSE 0 END) >= 1),
+       |cand AS (SELECT DISTINCT t.doc_id AS tid, p.doc_id AS pid
+       |         FROM bands t JOIN bands p
+       |           ON t.band = p.band AND t.bk = p.bk AND t.src = 1
+       |          AND (p.src = 0 OR p.doc_id < t.doc_id)
+       |         JOIN bsz ON bsz.band = t.band AND bsz.bk = t.bk),
+       |inter AS (SELECT tid, pid, count(*) AS inter
+       |          FROM cand
+       |          JOIN shing sa ON sa.doc_id = tid
+       |          JOIN shing sb ON sb.doc_id = pid AND sb.s = sa.s
+       |          GROUP BY tid, pid),
+       |near AS (SELECT tid AS doc_id, min(pid) AS near_partner
+       |         FROM inter
+       |         JOIN shcnt ca ON ca.doc_id = tid
+       |         JOIN shcnt cb ON cb.doc_id = pid
+       |         WHERE inter / (ca.n + cb.n - inter) >= $minJaccard
+       |         GROUP BY tid)
+       |SELECT i.doc_id,
+       |       CASE WHEN min_ex IS NOT NULL OR i.doc_id > min_in THEN 1 ELSE 0 END AS dup_exact,
+       |       CASE WHEN near_partner IS NOT NULL THEN 1 ELSE 0 END AS dup_near,
+       |       CASE WHEN min_ex IS NULL AND i.doc_id <= min_in
+       |             AND near_partner IS NULL THEN 1 ELSE 0 END AS keep,
+       |       least(min_ex, CASE WHEN min_in < i.doc_id THEN min_in END,
+       |             near_partner) AS matched_id
+       |FROM (SELECT doc_id, ch FROM d WHERE src = 1) i
+       |JOIN exg USING (ch)
+       |LEFT JOIN near USING (doc_id)""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q64_delta_dedup", q64, Some(q64Sql()))
+  )
+}

@@ -86,7 +86,9 @@ object PlanDump {
     "q62_cluster_topics" ->
       "Cluster labeling in cluster-x-vocab space: ONE corpus equi-join (text -> cid, co-keyed on id over the checkpointed fixed point) feeds a map-side-partial (cid, term) count, persisted once and read three ways (score join, cluster-df rollup, cluster count - the count crosses back in as a broadcast 1-row aggregate, no driver collect). Ranking is the bounded TopTerms aggregator: <= topN rows per cluster-x-partition reach the exchange, never a corpus-wide window sort.",
     "q63_substring_scrub" ->
-      "Span-level exact dedup: the tokenized corpus + in-row stride-1 window hashes persist ONCE; the n_words-row occurrence stream makes the single corpus-wide exchange (hash-keyed count, map-side partials), dup hashes join BACK co-keyed on the same hash (linear - m occurrences contribute m rows, never m^2 pairs), per-doc start lists collapse doc-keyed, and coverage + scrub are in-row higher-order functions. No corpus window, no cartesian."
+      "Span-level exact dedup: the tokenized corpus + in-row stride-1 window hashes persist ONCE; the n_words-row occurrence stream makes the single corpus-wide exchange (hash-keyed count, map-side partials), dup hashes join BACK co-keyed on the same hash (linear - m occurrences contribute m rows, never m^2 pairs), per-doc start lists collapse doc-keyed, and coverage + scrub are in-row higher-order functions. No corpus window, no cartesian.",
+    "q64_delta_dedup" ->
+      "Incremental ingestion dedup - the asymmetry IS the operator: both sides shingle+sign in ONE persisted union pass (5 readers share the cache); band buckets collect existing and incoming into SEPARATE in-row arrays and expand only incoming x (existing + earlier incoming) - I*E + I(I-1)/2 pairs, never the settled corpus against itself; the exact detector is one hash-keyed aggregate carrying per-side min ids. Candidates stay small by LSH construction, so AQE broadcasts them into the verify joins."
   )
 
   def main(args: Array[String]): Unit = {

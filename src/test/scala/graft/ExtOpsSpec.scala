@@ -74,6 +74,36 @@ class ExtOpsSpec extends SparkSpec {
     assert(rows(3L) == ((10L, 6L, 10L, 1.0, "")), "a fully-duplicated doc scrubs to empty")
   }
 
+  test("q64 delta dedup: exact/near verdicts vs existing and earlier-incoming; settled corpus never self-pairs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then naps in warm golden afternoon sun"
+    val nearA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma"
+    val existing = Seq(
+      (0L, base),
+      (2L, nearA),
+      (4L, nearA + " tau")).toDF("doc_id", "text") // existing near-dup PAIR (2,4): must NOT emit a verdict
+    val incoming = Seq(
+      (1L, base),                        // exact copy of existing 0
+      (3L, nearA + " upsilon"),          // near-dup of existing 2/4
+      (5L, base),                        // exact copy of 0 AND earlier incoming 1 -> min partner 0
+      (7L, "completely different words that no other document in this corpus shares at all honestly"),
+      (9L, "too short"),                 // below shingle length, no exact match -> kept
+      (11L, "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen"),
+      (13L, "one two three four five six seven eight nine ten eleven twelve thirteen fourteen sixteen")
+    ).toDF("doc_id", "text")             // (11,13): within-batch-only near pair, greedy-by-id
+    val rows = graft.ext.DeltaDedup.deltaDedupOf(existing, incoming).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(rows.keySet == Set(1L, 3L, 5L, 7L, 9L, 11L, 13L), "verdicts for incoming docs ONLY")
+    assert(rows(1L) == ((1, 1, 0, 0L)), s"exact copy of existing: ${rows(1L)}")
+    assert(rows(3L)._2 == 1 && rows(3L)._4 == 2L, s"near-dup of existing, min partner: ${rows(3L)}")
+    assert(rows(5L) == ((1, 1, 0, 0L)), s"matched_id is the min over existing AND earlier incoming: ${rows(5L)}")
+    assert(rows(7L) == ((0, 0, 1, -1L)), "unique doc kept, matched_id NULL")
+    assert(rows(9L) == ((0, 0, 1, -1L)), "below-shingle-length doc kept")
+    assert(rows(11L)._3 == 1, "earlier member of a within-batch pair is kept (greedy-by-id)")
+    assert(rows(13L) == ((0, 1, 0, 11L)), s"later member dups onto the earlier: ${rows(13L)}")
+  }
+
   test("q53 semdedup: over-full cells are dropped by maxCell (the quadratic-row kill switch)") {
     import spark.implicits._
     // 301 identical embeddings collapse into ONE k-means cell — the

@@ -259,6 +259,25 @@ class PlanSpec extends SparkSpec {
       s"window base must be a single corpus scan:\n${ims.head.cacheBuilder.cachedPlan}")
   }
 
+  test("q64 delta dedup: exact rollup, band stream, both verify sides and the verdict attach share ONE cache") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = graft.ext.DeltaDedup.q64(spark, sf0001)
+    val withCache = df.queryExecution.withCachedData
+    val ims = withCache.collect { case r: InMemoryRelation => r }
+    assert(ims.length == 5,
+      s"exg, bands, verify-target, verify-partner and the incoming attach should all read the cache:\n$withCache")
+    assert(ims.map(_.cacheBuilder).distinct.length == 1,
+      "cache reads must share ONE materialization, not five")
+    assert(withCache.collect { case l: LogicalRelation => l }.isEmpty,
+      s"a corpus scan escaped the persisted signature base:\n$withCache")
+    // the fixture splits ONE table by parity, so the cached union holds
+    // two scans — one per side (production: one per source table)
+    val cached = executedPortion(ims.head.cacheBuilder.cachedPlan.toString)
+    assert(countOccurrences(cached, "Scan parquet") == 2,
+      s"signature base must scan each side exactly once:\n${ims.head.cacheBuilder.cachedPlan}")
+  }
+
   test("q51 kmeans: the final plan reads the corpus once — the Lloyd fixed point is a checkpointed leaf") {
     val df = graft.ext.KMeans.kmeans(spark, sf0001)
     val p = executedPortion(plan(df))
