@@ -88,7 +88,9 @@ object PlanDump {
     "q63_substring_scrub" ->
       "Span-level exact dedup: the tokenized corpus + in-row stride-1 window hashes persist ONCE; the n_words-row occurrence stream makes the single corpus-wide exchange (hash-keyed count, map-side partials), dup hashes join BACK co-keyed on the same hash (linear - m occurrences contribute m rows, never m^2 pairs), per-doc start lists collapse doc-keyed, and coverage + scrub are in-row higher-order functions. No corpus window, no cartesian.",
     "q64_delta_dedup" ->
-      "Incremental ingestion dedup - the asymmetry IS the operator: both sides shingle+sign in ONE persisted union pass (5 readers share the cache); band buckets collect existing and incoming into SEPARATE in-row arrays and expand only incoming x (existing + earlier incoming) - I*E + I(I-1)/2 pairs, never the settled corpus against itself; the exact detector is one hash-keyed aggregate carrying per-side min ids. Candidates stay small by LSH construction, so AQE broadcasts them into the verify joins."
+      "Incremental ingestion dedup - the asymmetry IS the operator: both sides shingle+sign in ONE persisted union pass (5 readers share the cache); band buckets collect existing and incoming into SEPARATE in-row arrays and expand only incoming x (existing + earlier incoming) - I*E + I(I-1)/2 pairs, never the settled corpus against itself; the exact detector is one hash-keyed aggregate carrying per-side min ids. Candidates stay small by LSH construction, so AQE broadcasts them into the verify joins.",
+    "q65_mad_outliers" ->
+      "Robust stats without corpus shuffles: the thin feature frame persists once (single parquet scan inside the cache); median and MAD are source-keyed partial-buffer aggregations whose <= |sources|-row results are localCheckpoint'ed (eager tiny jobs - the aggregate never re-executes per reference) and broadcast back; the verdict is map-side integer arithmetic. Corpus never shuffles, no window over the corpus."
   )
 
   def main(args: Array[String]): Unit = {

@@ -104,6 +104,27 @@ class ExtOpsSpec extends SparkSpec {
     assert(rows(13L) == ((0, 1, 0, 11L)), s"later member dups onto the earlier: ${rows(13L)}")
   }
 
+  test("q65 MAD outliers: robust to the outlier itself (50% breakdown); MAD=0 sources flag any deviation") {
+    import spark.implicits._
+    def doc(id: Long, src: String, n: Int) = (id, src, Seq.fill(n)("w").mkString(" "))
+    // source a: four docs of length 10 + one 100-word page. med=10, MAD=0
+    // (over half identical) -> ONLY the page flags, and it flags even
+    // though it is 22% of a mean-based stddev... the point of MAD.
+    // source b: lengths 5..9 plus 50 and 60 — med=8, MAD=2, so the gate
+    // sits at dev > 6: exactly the two planted monsters flag, the honest
+    // spread (dev <= 3) survives.
+    val docs = (Seq(10, 10, 10, 10, 100).zipWithIndex.map { case (n, i) => doc(i, "a", n) } ++
+      Seq(5, 6, 7, 8, 9, 50, 60).zipWithIndex.map { case (n, i) => doc(10 + i, "b", n) })
+      .toDF("doc_id", "source", "text")
+    val rows = graft.ext.RobustOutlier.madOutliersOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(5), r.getInt(6)))).toMap
+    assert(rows(4L) == ((10L, 0L, 1)), s"MAD=0: the deviant flags: ${rows(4L)}")
+    assert((0L to 3L).forall(rows(_) == ((10L, 0L, 0))), "identical docs never flag")
+    assert(rows(13L) == ((8L, 2L, 0)), s"median/MAD unmoved by the monsters: ${rows(13L)}")
+    assert(rows(15L)._3 == 1 && rows(16L)._3 == 1, "both planted monsters flag")
+    assert((10L to 14L).forall(rows(_)._3 == 0), "the honest spread survives")
+  }
+
   test("q53 semdedup: over-full cells are dropped by maxCell (the quadratic-row kill switch)") {
     import spark.implicits._
     // 301 identical embeddings collapse into ONE k-means cell — the

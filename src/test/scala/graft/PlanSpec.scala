@@ -278,6 +278,26 @@ class PlanSpec extends SparkSpec {
       s"signature base must scan each side exactly once:\n${ims.head.cacheBuilder.cachedPlan}")
   }
 
+  test("q65 MAD outliers: one corpus scan in the cache; med/mad are checkpointed broadcast leaves") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = graft.ext.RobustOutlier.q65(spark, sf0001)
+    val withCache = df.queryExecution.withCachedData
+    val ims = withCache.collect { case r: InMemoryRelation => r }
+    assert(ims.nonEmpty && ims.map(_.cacheBuilder).distinct.length == 1,
+      s"every corpus reference must read ONE shared feature cache:\n$withCache")
+    assert(withCache.collect { case l: LogicalRelation => l }.isEmpty,
+      s"a corpus scan escaped the persisted feature frame:\n$withCache")
+    val cached = executedPortion(ims.head.cacheBuilder.cachedPlan.toString)
+    assert(countOccurrences(cached, "Scan parquet") == 1,
+      s"feature frame must be a single corpus scan:\n${ims.head.cacheBuilder.cachedPlan}")
+    val p = executedPortion(plan(df))
+    assert(p.contains("Scan ExistingRDD"),
+      s"med/mad must be checkpointed leaves, not re-executed aggregates:\n$p")
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 2,
+      s"both stat tables must broadcast back, never shuffle the corpus:\n$p")
+  }
+
   test("q51 kmeans: the final plan reads the corpus once — the Lloyd fixed point is a checkpointed leaf") {
     val df = graft.ext.KMeans.kmeans(spark, sf0001)
     val p = executedPortion(plan(df))
