@@ -42,6 +42,7 @@ object DeltaDedup {
   def deltaDedupOf(existing: DataFrame, incoming: DataFrame,
                    maxBucket: Int = TextOps.DefaultMaxBucket,
                    minJaccard: Double = 0.5): DataFrame = {
+    graft.functions.TextExprs.register(existing.sparkSession)
     val tagged = existing.select(col("doc_id"), col("text")).withColumn("src", lit(0))
       .unionByName(incoming.select(col("doc_id"), col("text")).withColumn("src", lit(1)))
     val base = Tables.swapPersist("delta_base",
@@ -99,6 +100,73 @@ object DeltaDedup {
           col("near_partner").isNull).cast("int").as("keep"),
         least(col("min_ex"), when(col("min_in") < col("doc_id"), col("min_in")),
           col("near_partner")).as("matched_id"))
+  }
+
+  /** One probe key per static doc artifact: the exact content key
+    * (`e|sha256`) plus the four LSH band keys (`b<i>|mh|mh|mh`) — both
+    * detectors' keys share one bitmap (the prefixes keep them from
+    * colliding semantically; bloom FPs remain). Docs below shingle
+    * length contribute only their exact key. */
+  private def staticKeys(docs: DataFrame): DataFrame = {
+    val bandKeys = (0 until 4).map(b =>
+      s"CASE WHEN sig IS NOT NULL THEN concat('b$b|', " +
+        s"concat_ws('|', sig[${3 * b}], sig[${3 * b + 1}], sig[${3 * b + 2}])) END")
+    docs.select(sha2(col("text"), 256).as("ch"), split(col("text"), " ").as("ws"))
+      .withColumn("sarr", expr(
+        "CASE WHEN size(ws) >= 3 THEN word_ngrams(ws, 3) ELSE CAST(array() AS ARRAY<STRING>) END"))
+      .withColumn("sig", expr("CASE WHEN size(sarr) > 0 THEN minhash_signatures(sarr, 12) END"))
+      .select(explode(expr(
+        s"filter(array(concat('e|', ch), ${bandKeys.mkString(", ")}), k -> k IS NOT NULL)")).as("k"))
+      .withColumn("m", md5(col("k")))
+      .withColumn("h1", expr(TextOps.hexVal("m", 1, duck = false)))
+      .withColumn("h2", expr(TextOps.hexVal("m", 9, duck = false)))
+  }
+
+  /** Stream-static delta-dedup gate — the ingestion-time face of q64: the
+    * settled corpus's exact + band keys pack ONCE into a bloom bitset
+    * (eager 1-row leaf, the OutlierPrune threshold precedent), and
+    * arriving docs probe it entirely MAP-SIDE: shingle+sign in-row, five
+    * O(1) shift-mask probes against the broadcast words. No join, no
+    * state, no watermark — a pure append-mode projection, so it composes
+    * anywhere in a curation chain.
+    *
+    * Verdict semantics are the production staging contract: `exact_hit` /
+    * `near_candidate` are bloom-or-LSH POSITIVE SIGNALS (false positives
+    * at the bloom rate; band collision is itself only a candidate) that
+    * route the doc to the batch [[deltaDedupOf]] verify at the next
+    * compaction, while `guaranteed_new` = no key hit anywhere has NO
+    * false negatives — those docs skip the expensive path entirely.
+    * Works identically on a batch frame (the spec's stream==batch
+    * contract). */
+  def deltaGateStreamStatic(streamDocs: DataFrame, staticDocs: DataFrame,
+                            mBits: Int = 1 << 14): DataFrame = {
+    graft.functions.TextExprs.register(staticDocs.sparkSession)
+    val bitmap = CurationOps.bloomBitmap(staticKeys(staticDocs), mBits).localCheckpoint()
+    def keyProbe(mCol: String): org.apache.spark.sql.Column = {
+      val h1 = TextOps.hexVal(mCol, 1, duck = false)
+      val h2 = TextOps.hexVal(mCol, 9, duck = false)
+      (0 until 4).map { i =>
+        val p = s"pmod($h1 + $i * $h2, ${mBits}L)"
+        expr(s"(shiftright(element_at(bits, CAST($p div 64 AS INT) + 1), " +
+          s"CAST($p % 64 AS INT)) & 1) = 1")
+      }.reduce(_ && _)
+    }
+    val bandMd5 = (0 until 4).map(b => expr(
+      s"CASE WHEN sig IS NOT NULL THEN md5(concat('b$b|', " +
+        s"concat_ws('|', sig[${3 * b}], sig[${3 * b + 1}], sig[${3 * b + 2}]))) END").as(s"m$b"))
+    streamDocs.select(col("doc_id"), col("text"))
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("sarr", expr(
+        "CASE WHEN size(ws) >= 3 THEN word_ngrams(ws, 3) ELSE CAST(array() AS ARRAY<STRING>) END"))
+      .withColumn("sig", expr("CASE WHEN size(sarr) > 0 THEN minhash_signatures(sarr, 12) END"))
+      .select(Seq(col("doc_id"), md5(concat(lit("e|"), sha2(col("text"), 256))).as("me"),
+        col("sig")) ++ bandMd5: _*)
+      .crossJoin(broadcast(bitmap))
+      .withColumn("exact_hit", keyProbe("me"))
+      .withColumn("near_candidate",
+        (0 until 4).map(b => coalesce(keyProbe(s"m$b"), lit(false))).reduce(_ || _))
+      .select(col("doc_id"), col("exact_hit"), col("near_candidate"),
+        (!col("exact_hit") && !col("near_candidate")).as("guaranteed_new"))
   }
 
   // ---------------------------------------------------------------- q64

@@ -441,6 +441,37 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains(21L), "fresh doc must flow through the gate")
   }
 
+  test("delta-dedup gate on a stream: exact and band keys probe map-side; guaranteed_new has no false negatives") {
+    import spark.implicits._
+    val textA = "the quick brown fox jumps over the lazy dog and naps in warm golden sun"
+    val textB = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val staticCorpus = Seq((0L, textA), (2L, textB)).toDF("doc_id", "text")
+    def gate(docs: org.apache.spark.sql.DataFrame) =
+      graft.ext.DeltaDedup.deltaGateStreamStatic(docs, staticCorpus)
+    val incoming = Seq(
+      (1L, textA),                       // exact replay -> exact + near hit
+      (3L, textB.replace("xi", "pi")),   // near-dup -> band hit, no exact
+      (5L, "entirely novel sentence with words shared by no settled document anywhere today"),
+      (7L, "too short"))                 // below shingle length, unseen hash -> new
+    val stream = MemoryStream[(Long, String)]
+    val sq = gate(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("delta_gate")
+      .outputMode("append").start()
+    try {
+      stream.addData(incoming)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = spark.table("delta_gate").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(streamed(1L) == ((true, true, false)), s"exact replay must hit both: ${streamed(1L)}")
+    assert(streamed(3L) == ((false, true, false)), s"near-dup must band-hit only: ${streamed(3L)}")
+    assert(streamed(5L) == ((false, false, true)), s"fresh doc must be guaranteed_new: ${streamed(5L)}")
+    assert(streamed(7L) == ((false, false, true)), s"short unseen doc must be guaranteed_new: ${streamed(7L)}")
+    val batch = gate(incoming.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
+
   test("streaming curation chain: bloom gate -> PII scrub -> quality gate == batch composition") {
     import graft.ext.{CurationOps, ScrubOps, TextOps}
     import spark.implicits._
