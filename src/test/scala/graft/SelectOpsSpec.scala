@@ -115,4 +115,36 @@ class SelectOpsSpec extends SparkSpec {
       .collect().map(_.getLong(1))
     assert(mass.forall(_ <= 500L))
   }
+
+  // ---------------------------------------------------------------- q66
+
+  test("q66: survivors are exactly the per-source (quality desc, id asc) top-N prefix, rank = position") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val scored = graft.ext.TextOps.scoredDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(r.fieldIndex("quality_score"))))
+    val got = graft.ext.DomainCap.domainCapOf(docs, maxPerSource = 15).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 20 * 15, "20 sources x 25 docs, cap 15 -> the cut is live")
+    for ((src, members) <- scored.groupBy(_._2)) {
+      val expect = members.sortBy(m => (-m._3, m._1)).take(15)
+      val mine = got.filter(_._1 == src).sortBy(_._2)
+      assert(mine.map(_._3).toSeq == expect.map(_._1).toSeq, s"$src: kept ids/order diverge")
+      assert(mine.map(_._2).toSeq == (1L to mine.length).toSeq, s"$src: ranks not 1..n")
+      assert(mine.map(_._4).toSeq == expect.map(_._3).toSeq, s"$src: scores diverge")
+    }
+  }
+
+  test("q66: a cap above every source size keeps all docs; ties break to the lower doc_id") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    assert(graft.ext.DomainCap.domainCapOf(docs, maxPerSource = 1000).count() == 500)
+    // four identical docs: identical quality -> survivors are the two LOWEST ids
+    val tied = Seq(7L, 3L, 9L, 5L).map(i => (i, "s", "same words every time here"))
+      .toDF("doc_id", "source", "text")
+    val kept = graft.ext.DomainCap.domainCapOf(tied, maxPerSource = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(kept.toSeq == Seq((1L, 3L), (2L, 5L)), s"tie-break must be id asc: ${kept.toSeq}")
+  }
 }
