@@ -90,7 +90,9 @@ object PlanDump {
     "q64_delta_dedup" ->
       "Incremental ingestion dedup - the asymmetry IS the operator: both sides shingle+sign in ONE persisted union pass (5 readers share the cache); band buckets collect existing and incoming into SEPARATE in-row arrays and expand only incoming x (existing + earlier incoming) - I*E + I(I-1)/2 pairs, never the settled corpus against itself; the exact detector is one hash-keyed aggregate carrying per-side min ids. Candidates stay small by LSH construction, so AQE broadcasts them into the verify joins.",
     "q65_mad_outliers" ->
-      "Robust stats without corpus shuffles: the thin feature frame persists once (single parquet scan inside the cache); median and MAD are source-keyed partial-buffer aggregations whose <= |sources|-row results are localCheckpoint'ed (eager tiny jobs - the aggregate never re-executes per reference) and broadcast back; the verdict is map-side integer arithmetic. Corpus never shuffles, no window over the corpus."
+      "Robust stats without corpus shuffles: the thin feature frame persists once (single parquet scan inside the cache); median and MAD are source-keyed partial-buffer aggregations whose <= |sources|-row results are localCheckpoint'ed (eager tiny jobs - the aggregate never re-executes per reference) and broadcast back; the verdict is map-side integer arithmetic. Corpus never shuffles, no window over the corpus.",
+    "q66_domain_cap" ->
+      "Per-source hard cap WITHOUT a corpus window: scoring is in-row over the scan; the per-source top-N is the bounded TopK aggregator, so at most cap x partitions (score, id) pairs per source reach the single low-cardinality source exchange - a row_number() window would shuffle and sort EVERY scored doc of a billion-doc domain first. Rank is the buffer's array position (posexplode), no second sort."
   )
 
   def main(args: Array[String]): Unit = {
