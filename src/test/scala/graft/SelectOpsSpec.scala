@@ -147,4 +147,104 @@ class SelectOpsSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(kept.toSeq == Seq((1L, 3L), (2L, 5L)), s"tie-break must be id asc: ${kept.toSeq}")
   }
+
+  // ---------------------------------------------------------------- q67
+
+  test("q67: keeper is the cluster's argmax quality, singletons keep themselves (brute-force closure)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val pairs = graft.ext.TextOps.ngramJaccard(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val roots = pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(v => v -> find(v)).toMap
+    val q = graft.ext.TextOps.scoredDocs(docs)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val keeperOf = roots.groupBy(_._2).map { case (root, m) =>
+      root -> m.keys.toSeq.sortBy(v => (-q(v), v)).head
+    }
+    val out = graft.ext.Canonical.q67(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.length == 500)
+    for ((id, root, keep) <- out) {
+      val expRoot = roots.getOrElse(id, id)
+      assert(root == expRoot, s"doc $id: root $root != closure root $expRoot")
+      val expKeep = if (!roots.contains(id) || keeperOf(expRoot) == id) 1 else 0
+      assert(keep == expKeep, s"doc $id: keep $keep != $expKeep")
+    }
+    assert(out.exists(_._3 == 0), "clusters exist, so some member must be dropped")
+  }
+
+  test("q67: a better-quality later doc beats the min-id member; identical copies tie to the lower id") {
+    import spark.implicits._
+    // cluster {1,2,3}: doc 2 is clearly richest; cluster {5,6}: identical
+    // text -> identical score -> keeper must be the LOWER id; 4 is alone
+    val docs = Seq(
+      (1L, "common words common words common words"),
+      (2L, "common words plus varied rich distinctive vocabulary everywhere today"),
+      (3L, "common words common words"),
+      (4L, "a singleton document"),
+      (5L, "identical twin text"),
+      (6L, "identical twin text")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = graft.ext.Canonical.canonicalKeepers(docs, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out(1L) == ((1L, 0)) && out(3L) == ((1L, 0)), "cluster {1,2,3} roots at 1, drops 1 and 3")
+    assert(out(2L) == ((1L, 1)), "doc 2 is the quality argmax, not the min id")
+    assert(out(4L) == ((4L, 1)), "singleton keeps itself")
+    assert(out(5L) == ((5L, 1)) && out(6L) == ((5L, 0)), "score tie breaks to the lower id")
+  }
+
+  // ---------------------------------------------------------------- q68
+
+  test("q68: per-source keep counts and basis points match a brute-force sweep; the grid cuts live") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val scored = graft.ext.TextOps.scoredDocs(docs).collect()
+      .map(r => (r.getString(r.fieldIndex("source")), r.getLong(r.fieldIndex("n_words")),
+        r.getDouble(r.fieldIndex("quality_score"))))
+    val grid = graft.ext.ThresholdSweep.defaultGrid
+    val out = graft.ext.ThresholdSweep.thresholdSweepOf(docs).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out.size == 20 * grid.size, "20 sources x grid")
+    for ((src, members) <- scored.groupBy(_._1); t <- grid) {
+      val docsTotal = members.length.toLong
+      val tokensTotal = members.map(_._2).sum
+      val kept = members.filter(_._3 >= t)
+      val exp = (kept.length.toLong, kept.length.toLong * 10000 / docsTotal,
+        kept.map(_._2).sum, kept.map(_._2).sum * 10000 / tokensTotal)
+      assert(out((src, t)) == exp, s"$src@$t: ${out((src, t))} != $exp")
+    }
+    // the grid must actually separate: some cut keeps everything somewhere,
+    // no threshold keeps everything everywhere
+    assert(out.values.exists(_._2 < 10000L), "top thresholds must cut at fixture scale")
+    assert(grid.forall(t => out.exists { case ((_, tt), v) => tt == t }), "every grid row present")
+  }
+
+  test("q68: kept mass is non-increasing along the grid; a floor threshold keeps everything") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val rows = graft.ext.ThresholdSweep.thresholdSweepOf(docs).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(4)))
+    for ((_, bySrc) <- rows.groupBy(_._1)) {
+      val ordered = bySrc.sortBy(_._2)
+      assert(ordered.sliding(2).forall(p => p(0)._3 >= p(1)._3), "docs_kept must fall")
+      assert(ordered.sliding(2).forall(p => p(0)._4 >= p(1)._4), "tokens_kept must fall")
+    }
+    val all = graft.ext.ThresholdSweep.thresholdSweepOf(docs, Seq(0.0)).collect()
+    assert(all.forall(r => r.getLong(3) == 10000L && r.getLong(5) == 10000L))
+    intercept[IllegalArgumentException] {
+      graft.ext.ThresholdSweep.thresholdSweepOf(docs, Seq(0.6, 0.5))
+    }
+  }
 }
