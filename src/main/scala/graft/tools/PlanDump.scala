@@ -92,7 +92,11 @@ object PlanDump {
     "q65_mad_outliers" ->
       "Robust stats without corpus shuffles: the thin feature frame persists once (single parquet scan inside the cache); median and MAD are source-keyed partial-buffer aggregations whose <= |sources|-row results are localCheckpoint'ed (eager tiny jobs - the aggregate never re-executes per reference) and broadcast back; the verdict is map-side integer arithmetic. Corpus never shuffles, no window over the corpus.",
     "q66_domain_cap" ->
-      "Per-source hard cap WITHOUT a corpus window: scoring is in-row over the scan; the per-source top-N is the bounded TopK aggregator, so at most cap x partitions (score, id) pairs per source reach the single low-cardinality source exchange - a row_number() window would shuffle and sort EVERY scored doc of a billion-doc domain first. Rank is the buffer's array position (posexplode), no second sort."
+      "Per-source hard cap WITHOUT a corpus window: scoring is in-row over the scan; the per-source top-N is the bounded TopK aggregator, so at most cap x partitions (score, id) pairs per source reach the single low-cardinality source exchange - a row_number() window would shuffle and sort EVERY scored doc of a billion-doc domain first. Rank is the buffer's array position (posexplode), no second sort.",
+    "q67_canonical_keeper" ->
+      "Keeper election after clustering: the CC label table (docs in near-dup pairs only - corpus-fraction = dup rate) BROADCASTS twice (score attach, root attach); quality is computed only inside that join, never corpus-wide; the per-cluster argmax is a (quality, -id) struct-max with map-side partials. The corpus scan itself never shuffles - its only non-map work is the two broadcast hash joins.",
+    "q68_threshold_sweep" ->
+      "Gate calibration in ONE corpus pass: each grid threshold is a pair of conditional partial aggregates (docs-kept, tokens-kept) inside the single per-source hash aggregation - the map side emits one grid-wide row per source x partition, never corpus x grid exploded rows; the |sources|-row result unpivots in-row (stack) after the exchange. Shares are integer basis points (div), engine-exact."
   )
 
   def main(args: Array[String]): Unit = {
