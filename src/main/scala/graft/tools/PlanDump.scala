@@ -96,7 +96,11 @@ object PlanDump {
     "q67_canonical_keeper" ->
       "Keeper election after clustering: the CC label table (docs in near-dup pairs only - corpus-fraction = dup rate) BROADCASTS twice (score attach, root attach); quality is computed only inside that join, never corpus-wide; the per-cluster argmax is a (quality, -id) struct-max with map-side partials. The corpus scan itself never shuffles - its only non-map work is the two broadcast hash joins.",
     "q68_threshold_sweep" ->
-      "Gate calibration in ONE corpus pass: each grid threshold is a pair of conditional partial aggregates (docs-kept, tokens-kept) inside the single per-source hash aggregation - the map side emits one grid-wide row per source x partition, never corpus x grid exploded rows; the |sources|-row result unpivots in-row (stack) after the exchange. Shares are integer basis points (div), engine-exact."
+      "Gate calibration in ONE corpus pass: each grid threshold is a pair of conditional partial aggregates (docs-kept, tokens-kept) inside the single per-source hash aggregation - the map side emits one grid-wide row per source x partition, never corpus x grid exploded rows; the |sources|-row result unpivots in-row (stack) after the exchange. Shares are integer basis points (div), engine-exact.",
+    "q69_doc_chunks" ->
+      "Long-doc windowing as a pure map-side generate: split once, in-row sequence of stride starts, ONE explode, in-row slice+array_join per chunk. ZERO exchanges at any corpus size - every chunk is produced where its document was read, and the doc is tokenized once, not once per chunk.",
+    "q70_bpe_pairs" ->
+      "Tokenizer-induction census: the corpus compresses to its word VOCABULARY first (one exchange on word - vocab << corpus by Zipf), character pairs explode over vocab rows x word length only, pair counts are a second exchange on an alphabet^2-bounded key, and the ranking window runs over THAT tiny aggregate - the corpus-token stream is never exploded to characters."
   )
 
   def main(args: Array[String]): Unit = {
