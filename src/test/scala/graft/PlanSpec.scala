@@ -508,4 +508,61 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("value") && !readSchema.contains("\"ts\""),
       s"scan reads columns q07 never uses: $readSchema")
   }
+
+  test("q66 domain cap: bounded top-k with map-side partials — one source exchange, no window sort") {
+    val p = plan(Registry.byName("q66_domain_cap").run(spark, sf0001))
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1,
+      s"expected only the source top-k exchange:\n$p")
+    assert(p.contains("partial_topk"),
+      s"per-source cap must reduce map-side (the TopK aggregator):\n$p")
+    assert(!p.contains("Window") && !p.contains("Exchange rangepartitioning"),
+      s"a corpus-wide window/sort crept into the cap:\n$p")
+  }
+
+  test("q67 canonical keeper: docs scanned once per face; label reads share the adopted CC cache; attaches broadcast") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = Registry.byName("q67_canonical_keeper").run(spark, sf0001)
+    val withCache = df.queryExecution.withCachedData
+    // the pair chain ran eagerly inside the CC loop (the q48 contract);
+    // THIS plan reads documents twice (winner scoring, root attach) and
+    // the label table twice through ONE adopted materialization
+    assert(withCache.collect { case l: LogicalRelation => l }.length == 2,
+      s"expected one docs scan per face (winner scoring, root attach):\n$withCache")
+    val ims = withCache.collect { case r: InMemoryRelation => r }
+    assert(ims.length == 2 && ims.map(_.cacheBuilder).distinct.length == 1,
+      s"both cluster-label reads must share the adopted CC cache:\n$withCache")
+    // top-of-tree joins (above the cache leaves): all three are broadcast
+    val p = plan(df)
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 3,
+      s"score attach, root attach and winner attach must broadcast:\n$p")
+  }
+
+  test("q68 threshold sweep: one corpus scan, one source exchange — the grid never explodes the corpus") {
+    val p = plan(Registry.byName("q68_threshold_sweep").run(spark, sf0001))
+    assert(countOccurrences(p, "Scan parquet") == 1,
+      s"the whole sweep should share one corpus scan:\n$p")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1,
+      s"expected only the per-source aggregation exchange:\n$p")
+    assert(!p.contains("Expand"),
+      s"grid must be conditional aggregates, not an Expand/explode of the corpus:\n$p")
+  }
+
+  test("q69 doc chunks: pure map-side generate — zero exchanges of any kind") {
+    val p = plan(Registry.byName("q69_doc_chunks").run(spark, sf0001))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle or broadcast:\n$p")
+    assert(p.contains("Generate explode"), s"chunk starts should explode in-row:\n$p")
+    assert(countOccurrences(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
+  }
+
+  test("q70 bpe pairs: vocab-compressed census — two hash exchanges, window only over the tiny pair table") {
+    val p = plan(Registry.byName("q70_bpe_pairs").run(spark, sf0001))
+    assert(countOccurrences(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
+    // word-vocab aggregation + pair aggregation; the ranking's
+    // SinglePartition exchange carries the alphabet²-bounded aggregate only
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 2,
+      s"expected word-vocab + pair-count exchanges only:\n$p")
+    assert(countOccurrences(p, "Exchange SinglePartition") <= 1,
+      s"only the tiny pair ranking may single-partition:\n$p")
+  }
 }
