@@ -516,6 +516,38 @@ class StreamingSpec extends SparkSpec {
     assert(byId(11L) == 1L && byId(13L) == 1L, s"PII not counted: $byId")
   }
 
+  test("streaming chunk fan-out: scrub -> window explode runs in-flight == batch (stateless, append mode)") {
+    import graft.ext.{Chunker, ScrubOps}
+    import spark.implicits._
+    // chunking is a pure map-side generate (PlanSpec pins zero exchanges),
+    // so it composes into the ingestion chain with no aggregation state:
+    // each arriving doc fans out into its training windows in the same
+    // micro-batch. Same function, same rows as batch == same chunks.
+    def chain(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      Chunker.chunkOf(
+        docs.select(col("doc_id"), ScrubOps.piiCleanCol(col("text")).as("text")),
+        chunkWords = 4, strideWords = 3)
+    val incoming = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "short doc only"),
+      (3L, "mail bob@example.com about w1 w2 w3 w4 w5 w6"))
+    val stream = MemoryStream[(Long, String)]
+    val sq = chain(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(incoming)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = spark.table("chunk_stream").collect().map(_.toSeq).toSet
+    val batch = chain(incoming.toDF("doc_id", "text")).collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty, s"stream $streamed != batch $batch")
+    // 10 words at chunk 4 / stride 3: starts 0,3,6,9 -> 4 windows
+    assert(spark.table("chunk_stream").filter(col("doc_id") === 1L).count() == 4)
+    // the scrub ran before windowing: no chunk of doc 3 carries the address
+    assert(spark.table("chunk_stream").filter(col("chunk_text").contains("@")).count() == 0)
+  }
+
   test("stream-static kmeans assignment: streaming points labeled against the static fixed point == batch") {
     import spark.implicits._
     // ingestion-time clustering: the model is fit ONCE on the already-
