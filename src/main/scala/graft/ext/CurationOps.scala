@@ -63,6 +63,66 @@ object CurationOps {
         round(col("n_overlap") / col("n_shingles"), 4).as("overlap_ratio"))
   }
 
+  // ---------------------------------------------------------------- q71
+  /** Contamination ATTRIBUTION — q39's actionable follow-up: q39 flags a
+    * training doc as contaminated; the reviewer's next question is "by
+    * WHICH eval doc?". For every training doc sharing ≥ `minOverlap`
+    * distinct shingles with some eval doc, report its strongest eval match
+    * (most shared shingles, ties to the lower eval id) and how many eval
+    * docs it hits at all — the evidence row an exclusion-list audit needs.
+    *
+    * Scale shape: the eval side's (shingle, eval_id) pairs are BROADCAST
+    * (eval sets are ~10⁴ docs regardless of corpus size — the q39
+    * precondition); the corpus is scanned once and never shuffled by
+    * shingle. Only OVERLAPPING (train, eval) rows — a corpus-fraction ≈
+    * contamination rate — reach the two keyed aggregations (pair counts,
+    * then the per-doc struct-argmax with map-side partials). */
+  def contaminationAttributionAgainst(trainDocs: DataFrame, benchDocs: DataFrame,
+                                      minOverlap: Int = 3): DataFrame = {
+    val bench = TextOps.shingleArr(benchDocs, distinct = true)
+      .select(col("doc_id").as("eval_id"), explode(col("sarr")).as("s"))
+    TextOps.shingleArr(trainDocs, distinct = true)
+      .select(col("doc_id"), size(col("sarr")).cast("long").as("n_shingles"),
+        explode(col("sarr")).as("s"))
+      .join(broadcast(bench), "s")
+      .groupBy(col("doc_id"), col("n_shingles"), col("eval_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(max(struct(col("n_overlap").as("no"), (-col("eval_id")).as("ne"))).as("w"),
+        count(lit(1)).as("n_eval_hits"))
+      .select(col("doc_id"), col("n_shingles"),
+        (-col("w.ne")).as("top_eval_id"), col("w.no").as("n_overlap"),
+        col("n_eval_hits"),
+        round(col("w.no") / col("n_shingles"), 4).as("overlap_ratio"))
+  }
+
+  def contaminationAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    contaminationAttributionAgainst(
+      docs.filter(col("doc_id") % 20 =!= 7),
+      docs.filter(col("doc_id") % 20 === 7))
+  }
+
+  private def q71Sql(minOverlap: Int = 3): String =
+    s"""WITH ${TextOps.shingleCte},
+       |bench AS (SELECT DISTINCT doc_id AS eval_id, s FROM shing WHERE doc_id % 20 = 7),
+       |ov AS (SELECT sh.doc_id, c.n AS n_shingles, b.eval_id, count(*) AS n_overlap
+       |       FROM shing sh
+       |       JOIN shcnt c ON c.doc_id = sh.doc_id
+       |       JOIN bench b ON b.s = sh.s
+       |       WHERE sh.doc_id % 20 != 7
+       |       GROUP BY 1, 2, 3
+       |       HAVING count(*) >= $minOverlap),
+       |r AS (SELECT doc_id, n_shingles, eval_id, n_overlap,
+       |        row_number() OVER (PARTITION BY doc_id
+       |                           ORDER BY n_overlap DESC, eval_id) AS rn,
+       |        count(*) OVER (PARTITION BY doc_id) AS n_eval_hits
+       |      FROM ov)
+       |SELECT doc_id, n_shingles, eval_id AS top_eval_id, n_overlap, n_eval_hits,
+       |       round(n_overlap / n_shingles, 4) AS overlap_ratio
+       |FROM r WHERE rn = 1""".stripMargin
+
   def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.table(spark, sfDir, "documents")
     // The 5%-of-corpus residue slice STANDS IN for a real eval table, whose
@@ -518,6 +578,7 @@ object CurationOps {
     QueryDef("q41_bloom_dedup", bloomDedup(_, _), Some(q41Sql)),
     QueryDef("q42_mixture_resample", mixtureResample, Some(q42Sql)),
     QueryDef("q43_surprisal_score", surprisalScore, Some(q43Sql)),
-    QueryDef("q44_source_divergence", sourceDivergence, Some(q44Sql))
+    QueryDef("q44_source_divergence", sourceDivergence, Some(q44Sql)),
+    QueryDef("q71_contamination_attr", contaminationAttribution, Some(q71Sql()))
   )
 }

@@ -206,6 +206,55 @@ class CurationOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("q71: strongest eval match, hit count and tie-break match a brute-force recomputation") {
+    val texts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val evalSh = texts.collect { case (id, t) if id % 20 == 7 => id -> shingles(t) }
+    val expected = texts.collect { case (id, t) if id % 20 != 7 =>
+      val sh = shingles(t)
+      val hits = evalSh.map { case (eid, es) => eid -> (sh & es).size }
+        .filter(_._2 >= 3).toSeq
+      id -> (sh.size, hits)
+    }.filter(_._2._2.nonEmpty).map { case (id, (n, hits)) =>
+      val (topEval, topN) = hits.sortBy { case (eid, c) => (-c, eid) }.head
+      (id, n.toLong, topEval, topN.toLong, hits.length.toLong)
+    }.toSet
+    val got = CurationOps.contaminationAttribution(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected, s"attribution diverges: got ${got.size} vs ${expected.size} rows")
+    assert(got.nonEmpty, "fixture contamination must attribute")
+  }
+
+  test("q71: every q39-contaminated doc attributes at minOverlap=1; planted copy attributes to its source") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val flagged = CurationOps.decontaminationAgainst(
+      docs.filter(col("doc_id") % 20 =!= 7), docs.filter(col("doc_id") % 20 === 7))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val attributed = CurationOps.contaminationAttributionAgainst(
+      docs.filter(col("doc_id") % 20 =!= 7), docs.filter(col("doc_id") % 20 === 7),
+      minOverlap = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.subsetOf(attributed),
+      s"q39-flagged docs missing from attribution: ${flagged -- attributed}")
+    // planted: train doc 1 copies eval doc 7's text, shares one 3-gram with
+    // eval doc 27; the top match must be 7, with both evals counted as hits
+    val eval7 = "alpha beta gamma delta epsilon zeta eta theta"
+    val train = Seq((1L, eval7 + " tail words here"), (2L, "nothing shared at all obviously"))
+      .toDF("doc_id", "text")
+    val bench = Seq((7L, eval7), (27L, "alpha beta gamma UNRELATED ending")).toDF("doc_id", "text")
+    val out = CurationOps.contaminationAttributionAgainst(train, bench, minOverlap = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(out.keySet == Set(1L), s"only the copying doc attributes: $out")
+    assert(out(1L) == ((7L, 2L)), s"top match must be the copied eval doc, 2 evals hit: $out")
+  }
+
   test("q42: deterministic under re-execution (hash-threshold, not rand)") {
     val a = CurationOps.mixtureResample(spark, sf0001).orderBy("source").collect().toSeq
     val b = CurationOps.mixtureResample(spark, sf0001).orderBy("source").collect().toSeq
