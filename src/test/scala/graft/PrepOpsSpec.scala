@@ -76,4 +76,51 @@ class PrepOpsSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == (1L to 50L))
     assert(BpePairs.bpePairsOf(docs, topN = 7).count() == 7)
   }
+
+  // ---------------------------------------------------------------- q72
+
+  test("q72: per-source card matches an in-memory recomputation (counts, exact quartiles, lang mix)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val scored = graft.ext.TextOps.scoredDocs(docs).collect()
+      .map(r => (r.getString(r.fieldIndex("source")), r.getString(r.fieldIndex("lang")),
+        r.getLong(r.fieldIndex("n_words")),
+        math.round(r.getDouble(r.fieldIndex("quality_score")) * 10000)))
+    val expected = scored.groupBy(_._1).map { case (src, ms) =>
+      val qs = ms.map(_._4).sorted
+      def pick(q: Double) = qs(math.floor(q * (qs.length - 1)).toInt)
+      val (lang, lc) = ms.groupBy(_._2).map { case (l, g) => (l, g.length) }
+        .toSeq.maxBy { case (l, c) => (c, l) }
+      (src, ms.length.toLong, ms.map(_._3).sum, pick(0.25), pick(0.5), pick(0.75),
+        lang, lc.toLong * 10000 / ms.length)
+    }.toSet
+    val got = graft.ext.DatasetCard.datasetCardOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6), r.getLong(7))).toSet
+    assert(got == expected, s"card diverges:\n got      $got\n expected $expected")
+    assert(got.size == 20)
+  }
+
+  test("q72: planted quartiles land on exact ranks; a lang tie breaks to the larger code") {
+    import spark.implicits._
+    // 5 docs, distinct quality by construction via word-count ramp; langs
+    // split 2/2/1 with 'en' and 'fr' tied -> top must be 'fr'
+    val docs = Seq(
+      (1L, "s", "en", "one two three four five six seven eight nine ten"),
+      (2L, "s", "fr", (1 to 20).map(i => s"mot$i").mkString(" ")),
+      (3L, "s", "en", (1 to 40).map(i => s"word$i word$i").mkString(" ")),
+      (4L, "s", "fr", (1 to 60).map(i => s"term$i").mkString(" ")),
+      (5L, "s", "de", "the a of and to in the a of and"))
+      .toDF("doc_id", "source", "lang", "text")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val card = graft.ext.DatasetCard.datasetCardOf(docs).collect()
+    assert(card.length == 1)
+    val r = card.head
+    val qs = graft.ext.TextOps.scoredDocs(docs).collect()
+      .map(x => math.round(x.getDouble(x.fieldIndex("quality_score")) * 10000)).sorted
+    // n=5: floor(q*(n-1)) ranks = 1, 2, 3 (0-indexed)
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) == ((qs(1), qs(2), qs(3))))
+    assert(r.getString(6) == "fr" && r.getLong(7) == 4000L,
+      s"lang tie must break to the larger code: ${r.getString(6)}")
+  }
 }
