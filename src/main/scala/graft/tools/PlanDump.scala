@@ -100,7 +100,11 @@ object PlanDump {
     "q69_doc_chunks" ->
       "Long-doc windowing as a pure map-side generate: split once, in-row sequence of stride starts, ONE explode, in-row slice+array_join per chunk. ZERO exchanges at any corpus size - every chunk is produced where its document was read, and the doc is tokenized once, not once per chunk.",
     "q70_bpe_pairs" ->
-      "Tokenizer-induction census: the corpus compresses to its word VOCABULARY first (one exchange on word - vocab << corpus by Zipf), character pairs explode over vocab rows x word length only, pair counts are a second exchange on an alphabet^2-bounded key, and the ranking window runs over THAT tiny aggregate - the corpus-token stream is never exploded to characters."
+      "Tokenizer-induction census: the corpus compresses to its word VOCABULARY first (one exchange on word - vocab << corpus by Zipf), character pairs explode over vocab rows x word length only, pair counts are a second exchange on an alphabet^2-bounded key, and the ranking window runs over THAT tiny aggregate - the corpus-token stream is never exploded to characters.",
+    "q71_contamination_attr" ->
+      "Attribution inherits q39's shape: the eval side's (shingle, eval_id) pairs BROADCAST (eval sets are fixed-size), the corpus is scanned once and never shuffled by shingle; only OVERLAPPING (train, eval) rows - corpus-fraction = contamination rate - reach the pair-count exchange and the per-doc struct-argmax with map-side partials. No window over anything corpus-sized.",
+    "q72_dataset_card" ->
+      "Card over ONE persisted thin frame (the single corpus scan lives in the cache): doc/token rollup, a bounded-domain quality HISTOGRAM - percentile state is O(sources x 10001), never corpus-sized, and the rank-to-value pick windows over the tiny histogram - and (source, lang)-grain mix with struct-argmax. Final assembly joins <= |sources| rows."
   )
 
   def main(args: Array[String]): Unit = {

@@ -555,6 +555,33 @@ class PlanSpec extends SparkSpec {
     assert(countOccurrences(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
   }
 
+  test("q71 attribution: eval shingle-doc pairs broadcast — the corpus is never shuffled by shingle") {
+    val p = plan(Registry.byName("q71_contamination_attr").run(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"the overlap join must be a broadcast of the eval side:\n$p")
+    // pair counts on (doc, n, eval) + the per-doc argmax — both carry only
+    // overlapping rows, never the corpus shingle stream
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 2,
+      s"expected the pair-count + argmax exchanges only:\n$p")
+  }
+
+  test("q72 dataset card: one corpus scan in the cache — stats, histogram and lang mix share it") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = Registry.byName("q72_dataset_card").run(spark, sf0001)
+    val withCache = df.queryExecution.withCachedData
+    val ims = withCache.collect { case r: InMemoryRelation => r }
+    assert(ims.length == 3,
+      s"doc rollup, quality histogram and lang mix should all read the cached base:\n$withCache")
+    assert(ims.map(_.cacheBuilder).distinct.length == 1,
+      "cache reads must share ONE materialization")
+    assert(withCache.collect { case l: LogicalRelation => l }.isEmpty,
+      s"a corpus scan escaped the persisted base:\n$withCache")
+    assert(countOccurrences(executedPortion(ims.head.cacheBuilder.cachedPlan.toString),
+        "Scan parquet") == 1,
+      s"persisted base must be a single corpus scan:\n${ims.head.cacheBuilder.cachedPlan}")
+  }
+
   test("q70 bpe pairs: vocab-compressed census — two hash exchanges, window only over the tiny pair table") {
     val p = plan(Registry.byName("q70_bpe_pairs").run(spark, sf0001))
     assert(countOccurrences(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
