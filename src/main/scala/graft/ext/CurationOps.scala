@@ -123,6 +123,38 @@ object CurationOps {
        |       round(n_overlap / n_shingles, 4) AS overlap_ratio
        |FROM r WHERE rn = 1""".stripMargin
 
+  /** Stream-static decontamination gate — q39's ingestion-time face: flag
+    * (and let the caller drop) eval-contaminated documents BEFORE they
+    * land in the corpus, instead of hunting them afterwards. Each arriving
+    * doc's distinct shingles intersect the eval vocabulary ENTIRELY
+    * map-side — the vocabulary travels as a broadcast literal array under
+    * the same eval-set-sized precondition as [[decontaminationAgainst]]'s
+    * `broadcastVocab` — so the gate composes into an append-mode streaming
+    * chain with zero aggregation state (the DeltaDedup/bloom-gate
+    * pattern). Same integer share predicate as q39; docs too short to
+    * shingle (< 3 words) pass, matching the batch form, which never emits
+    * them. */
+  def decontaminationGateStreamStatic(docs: DataFrame, benchDocs: DataFrame,
+                                      minShareNum: Int = 1,
+                                      minShareDen: Int = 2): DataFrame = {
+    graft.functions.TextExprs.register(benchDocs.sparkSession)
+    val vocab = TextOps.shingleArr(benchDocs, distinct = true)
+      .select(explode(col("sarr")).as("s")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("sarr", expr(
+        "CASE WHEN size(ws) >= 3 THEN array_distinct(word_ngrams(ws, 3)) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END"))
+      .withColumn("n_shingles", size(col("sarr")).cast("long"))
+      .withColumn("n_overlap",
+        size(array_intersect(col("sarr"), typedLit(vocab))).cast("long"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        (col("n_shingles") > 0 &&
+          col("n_overlap") * minShareDen >= col("n_shingles") * minShareNum)
+          .as("contaminated"))
+  }
+
   def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.table(spark, sfDir, "documents")
     // The 5%-of-corpus residue slice STANDS IN for a real eval table, whose

@@ -548,6 +548,48 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("chunk_stream").filter(col("chunk_text").contains("@")).count() == 0)
   }
 
+  test("stream-static decontamination gate: in-flight flags match the batch q39 verdicts") {
+    import graft.ext.CurationOps
+    import spark.implicits._
+    // eval doc 7's text is the static vocabulary; incoming: a verbatim
+    // copy (contaminated), a half-copy straddling the share boundary, a
+    // fresh doc, and a too-short doc (must pass — q39 never emits those)
+    val eval7 = (1 to 12).map(i => s"bench$i").mkString(" ")
+    val bench = Seq((7L, eval7)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, eval7),                                               // ratio 1.0
+      (11L, (1 to 6).map(i => s"bench$i").mkString(" ") + " " +
+            (1 to 6).map(i => s"own$i").mkString(" ")),           // partial
+      (12L, "completely fresh material with no bench trigrams inside"),
+      (13L, "two words"))
+    val stream = MemoryStream[(Long, String)]
+    val sq = CurationOps.decontaminationGateStreamStatic(
+        stream.toDF().toDF("doc_id", "text"), bench)
+      .writeStream.format("memory").queryName("decontam_gate")
+      .outputMode("append").start()
+    try {
+      stream.addData(incoming)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = spark.table("decontam_gate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(streamed.length == 4, "the gate flags, it does not drop")
+    val byId = streamed.map(t => t._1 -> t).toMap
+    assert(byId(10L)._4 && !byId(12L)._4 && !byId(13L)._4, s"verdicts wrong: $byId")
+    assert(byId(13L)._2 == 0L, "short doc has no shingles")
+    // batch equivalence: the gate's flagged set == q39's emitted set, and
+    // the overlap numbers agree row-for-row on the flagged docs
+    val batchGate = CurationOps.decontaminationGateStreamStatic(
+      incoming.toDF("doc_id", "text"), bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(streamed.toSet == batchGate.toSet, "stream != batch gate")
+    val q39rows = CurationOps.decontaminationAgainst(
+      incoming.toDF("doc_id", "text"), bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.filter(_._4).map(t => (t._1, t._2, t._3)).toSet == q39rows,
+      s"gate flags diverge from batch q39: $q39rows vs ${streamed.toSeq}")
+  }
+
   test("stream-static kmeans assignment: streaming points labeled against the static fixed point == batch") {
     import spark.implicits._
     // ingestion-time clustering: the model is fit ONCE on the already-
