@@ -225,11 +225,75 @@ object Similarity {
        |       CASE WHEN round(sqrt(d32) / sqrt(d64), 6) >= 0.72 THEN 1 ELSE 0 END AS trunc32
        |FROM d""".stripMargin
 
+  // ---------------------------------------------------------------- q73
+  /** ANN recall audit — measure, don't guess: recall@k of the IVF path
+    * (q20's cell-pruned search) against the exact brute-force top-k (q19's
+    * formulation at the same k), per query. The number that decides
+    * whether an ANN index's speed is worth its misses — run it on a QUERY
+    * SAMPLE whenever the cell assignment or k changes.
+    *
+    * Scale shape: both scoring passes broadcast the sampled query set
+    * (queries ≪ corpus — the audit precondition) and reduce through the
+    * bounded TopK aggregator, so each pass ships ≤ k·queries·partitions
+    * tuples; the recall join then runs over two queries×k row sets —
+    * trivially small. The exact pass costs one full corpus scan per audit
+    * BY DEFINITION (it is the ground truth); that is the price of the
+    * measurement, not a plan defect. */
+  def annRecall(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val e = emb(spark, sfDir)
+    def topNeighbors(cellPruned: Boolean): DataFrame = {
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label").as("qlabel"))
+      val cond =
+        if (cellPruned) col("qlabel") === col("label") && col("query_id") =!= col("vec_id")
+        else col("query_id") =!= col("vec_id")
+      e.join(broadcast(q), cond)
+        .withColumn("sim", round(expr("cosine_sim(qv, v)"), 6))
+        .groupBy(col("query_id"))
+        .agg(TopK(k)(col("sim"), col("vec_id")).as("top"))
+        .select(col("query_id"), explode(col("top")).as("t"))
+        .select(col("query_id"), col("t.id").as("neighbor_id"))
+    }
+    topNeighbors(cellPruned = false)
+      .join(topNeighbors(cellPruned = true).withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hits"))
+      .select(col("query_id"), col("n_exact"), col("n_hits"),
+        expr("(n_hits * 10000) div n_exact").as("recall_bp"))
+  }
+
+  private def q73Sql(k: Int = 5): String =
+    s"""WITH $embCte,
+       |q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel FROM emb WHERE vec_id < 20),
+       |pe AS (SELECT query_id, vec_id,
+       |              round(list_dot_product(qv, v) /
+       |                    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS sim
+       |       FROM q JOIN emb ON query_id != vec_id),
+       |ex AS (SELECT query_id, vec_id AS neighbor_id FROM (
+       |         SELECT query_id, vec_id,
+       |                row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |         FROM pe) WHERE rank <= $k),
+       |pi AS (SELECT query_id, vec_id,
+       |              round(list_dot_product(qv, v) /
+       |                    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS sim
+       |       FROM q JOIN emb ON qlabel = label AND query_id != vec_id),
+       |iv AS (SELECT query_id, vec_id AS neighbor_id FROM (
+       |         SELECT query_id, vec_id,
+       |                row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |         FROM pi) WHERE rank <= $k)
+       |SELECT ex.query_id, count(*) AS n_exact,
+       |       count(iv.neighbor_id) AS n_hits,
+       |       (count(iv.neighbor_id) * 10000) // count(*) AS recall_bp
+       |FROM ex LEFT JOIN iv USING (query_id, neighbor_id)
+       |GROUP BY ex.query_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q19_cosine_topk", cosineTopK, Some(q19Sql)),
     QueryDef("q20_ann_ivf", annIvf, Some(q20Sql)),
     QueryDef("q21_embed_neardup_lsh", embedNearDup(_, _), Some(q21Sql)),
     QueryDef("q36_embed_quantize", q36, Some(q36Sql)),
-    QueryDef("q45_matryoshka_energy", matryoshkaEnergy, Some(q45Sql))
+    QueryDef("q45_matryoshka_energy", matryoshkaEnergy, Some(q45Sql)),
+    QueryDef("q73_ann_recall", annRecall(_, _), Some(q73Sql()))
   )
 }

@@ -250,6 +250,32 @@ class ExtOpsSpec extends SparkSpec {
       graft.oracle.Tables.table(s, sf0001, "embeddings").select(col("vec_id"), col("label"))
   }
 
+  test("q73 ANN recall: per-query recall matches a brute-force exact-vs-cell recomputation") {
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def rnd6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      rnd6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val queries = rows.filter(_._1 < 20)
+    val expected = queries.map { case (qid, qv, qlabel) =>
+      def top5(cands: Seq[(Long, Array[Double], Int)]) =
+        cands.map { case (id, v, _) => (id, cos(qv, v)) }
+          .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+      val exact = top5(rows.filter(_._1 != qid).toSeq)
+      val cell = top5(rows.filter(r => r._1 != qid && r._3 == qlabel).toSeq)
+      val hits = (exact & cell).size.toLong
+      (qid, 5L, hits, hits * 10000 / 5)
+    }.toSet
+    val got = graft.ext.Similarity.annRecall(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, s"recall diverges:\n got      $got\n expected $expected")
+    assert(got.exists(_._4 < 10000L), "cell pruning must miss somewhere at fixture scale")
+    assert(got.forall(t => t._4 >= 0L && t._4 <= 10000L))
+  }
+
   test("q45 matryoshka energy: fractions nested and bounded, exact vs Scala recompute") {
     import spark.implicits._
     val got = Similarity.matryoshkaEnergy(spark, sf0001)
