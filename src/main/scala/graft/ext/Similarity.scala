@@ -254,8 +254,11 @@ object Similarity {
         .select(col("query_id"), explode(col("top")).as("t"))
         .select(col("query_id"), col("t.id").as("neighbor_id"))
     }
+    // the recall join compares two queries×k row sets — broadcast the
+    // pruned side so the tiny compare never sort-merges (stats on an
+    // aggregate output are unknown, so Spark would otherwise SMJ it)
     topNeighbors(cellPruned = false)
-      .join(topNeighbors(cellPruned = true).withColumn("hit", lit(1L)),
+      .join(broadcast(topNeighbors(cellPruned = true).withColumn("hit", lit(1L))),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hits"))

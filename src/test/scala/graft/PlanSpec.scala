@@ -582,6 +582,26 @@ class PlanSpec extends SparkSpec {
       s"persisted base must be a single corpus scan:\n${ims.head.cacheBuilder.cachedPlan}")
   }
 
+  test("q73 ann recall: both passes broadcast the query sample and reduce through bounded TopK; the recall compare broadcasts") {
+    val p = plan(Registry.byName("q73_ann_recall").run(spark, sf0001))
+    // three broadcasts: the exact pass is all-pairs by definition (BNLJ
+    // over the broadcast query sample), the pruned pass equi-joins on the
+    // cell label, and the recall compare broadcasts the pruned queries×k
+    // set — nothing sort-merges
+    assert(countOccurrences(p, "BroadcastHashJoin") == 2 &&
+      countOccurrences(p, "BroadcastNestedLoopJoin") == 1 && !p.contains("SortMergeJoin"),
+      s"expected query-sample + recall-compare broadcasts, no SMJ:\n$p")
+    // per pass: partial_topk caps each exchange at k·queries·partitions
+    assert(countOccurrences(p, "partial_topk") == 2,
+      s"both scoring passes must map-side-reduce through TopK:\n$p")
+    // corpus scanned once per pass (the exact pass IS the ground truth),
+    // query sample once per pass — never more
+    assert(countOccurrences(p, "Scan parquet") == 4,
+      s"expected 2 corpus + 2 pushed-down query-sample scans:\n$p")
+    assert(countOccurrences(p, "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,20)") >= 1,
+      s"query-sample filter must reach the scan:\n$p")
+  }
+
   test("q70 bpe pairs: vocab-compressed census — two hash exchanges, window only over the tiny pair table") {
     val p = plan(Registry.byName("q70_bpe_pairs").run(spark, sf0001))
     assert(countOccurrences(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
