@@ -1,0 +1,139 @@
+package graft.ext
+
+import graft.agg.TopK
+import graft.oracle.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BM25 top-k retrieval (q74) — score every document against a small
+  * query set and keep the k best per query. The retrieval face of the
+  * text stack: q29 ranks terms WITHIN a document (TF-IDF feature
+  * extraction); this ranks documents ACROSS the corpus for a query — the
+  * primitive behind "find the training docs most relevant to X" audits
+  * and retrieval-based curation (the reference has no retrieval surface;
+  * this generalizes its wordcount/top-n analytics to scored search).
+  *
+  * Two corpus passes, both bounded:
+  *   1. stats: ONE scan → a (≤ |query terms| + 1)-row aggregate (term
+  *      document frequencies via an in-row `array_intersect` against the
+  *      broadcast query vocabulary, plus a NULL-sentinel row carrying
+  *      (N, total token length) — no per-token shuffle, the exchange is
+  *      vocabulary-bounded). Collected to the driver: the census
+  *      pattern, ≤ a handful of rows at any corpus size.
+  *   2. scoring: ONE scan, BNLJ against the ≤ |queries|-row broadcast
+  *      (each query carries its df-annotated term list), the BM25 sum is
+  *      an in-row fold, and per-query top-k reduces through the bounded
+  *      [[TopK]] aggregator — the exchange carries ≤ k·queries·partitions
+  *      tuples, never a scored-corpus window.
+  *
+  * Determinism: contributions fold in ASCENDING term order in both
+  * engines (the query's term list is sorted before broadcast), every
+  * arithmetic step mirrors the DuckDB formulation textually (ln and
+  * division on identical doubles), and the score is floor-truncated to
+  * 6 dp BEFORE ranking/filtering so tie-breaks (score desc, doc_id asc)
+  * compare identical values cross-engine — the scoredDocs idiom.
+  */
+object Bm25 {
+
+  /** Fixture queries: one rare term ('dup', df ≈ 5% of docs) for idf
+    * contrast, two all-common-term queries for length-normalization
+    * coverage. */
+  val defaultQueries: Seq[(Long, String)] = Seq(
+    (1L, "spark window dup"),
+    (2L, "slow scan filter"),
+    (3L, "hash join merge"))
+
+  private case class QTerm(term: String, df: Long)
+
+  /** General form over any (doc_id, text) frame. Output: one row per
+    * (query, kept doc) — (query_id, rank, doc_id, score), rank 1..k by
+    * (score desc, doc_id asc), zero-score docs dropped. */
+  def bm25TopKOf(docs: DataFrame, queries: Seq[(Long, String)] = defaultQueries,
+                 k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms: Seq[String] = queries.flatMap(_._2.split(' ')).distinct.sorted
+    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+
+    // -- pass 1: corpus stats, vocabulary-bounded ------------------------
+    val qtermsLit = array(qterms.map(lit): _*)
+    val hits = array_distinct(array_intersect(col("toks"), qtermsLit))
+    val statRows = tok.select(explode(concat(
+        array(struct(lit(null).cast("string").as("term"),
+          size(col("toks")).cast("long").as("len"))),
+        transform(hits, t => struct(t.as("term"), lit(0L).as("len"))))).as("s"))
+      .groupBy(col("s.term").as("term"))
+      .agg(count(lit(1)).as("c"), sum(col("s.len")).as("l"))
+      .collect()
+    val sentinel = statRows.find(_.isNullAt(0))
+    val nDocs = sentinel.map(_.getLong(1)).getOrElse(0L)
+    val totLen = sentinel.map(_.getLong(2)).getOrElse(0L)
+    val dfMap = statRows.filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // empty corpus: any avgdl makes the scoring pass vacuously empty —
+    // keep the operator total (the EmptyInputSpec contract)
+    val avgdl = if (nDocs == 0) 1.0 else totLen.toDouble / nDocs
+
+    // -- pass 2: broadcast scoring + bounded top-k -----------------------
+    val qDf = queries.map { case (qid, text) =>
+      (qid, text.split(' ').distinct.sorted
+        .map(t => QTerm(t, dfMap.getOrElse(t, 0L))).toSeq)
+    }.toDF("query_id", "qts")
+    def contrib(q: Column, tfC: Column, dl: Column): Column =
+      log(lit(1.0) + (lit(nDocs.toDouble) - q.getField("df") + lit(0.5)) /
+            (q.getField("df") + lit(0.5))) *
+        (tfC * lit(k1 + 1.0)) /
+        (tfC + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / lit(avgdl)))
+    tok.crossJoin(broadcast(qDf))
+      .withColumn("dl", size(col("toks")).cast("double"))
+      .withColumn("score", floor(aggregate(col("qts"), lit(0.0), (acc, q) =>
+        acc + contrib(q,
+          size(filter(col("toks"), w => w === q.getField("term"))).cast("double"),
+          col("dl"))) * 1e6) / 1e6)
+      .filter(col("score") > 0)
+      .groupBy(col("query_id"))
+      .agg(TopK(k)(col("score"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("query_id"), (col("i") + 1).cast("long").as("rank"),
+        col("t.id").as("doc_id"), col("t.score").as("score"))
+  }
+
+  // ---------------------------------------------------------------- q74
+  def q74(spark: SparkSession, sfDir: String): DataFrame =
+    bm25TopKOf(Tables.table(spark, sfDir, "documents"))
+
+  private def q74Sql(k: Int = 5): String = {
+    val values = defaultQueries
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |st AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS tl FROM docs),
+       |q(query_id, qtext) AS (VALUES $values),
+       |qt AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term FROM q),
+       |df AS (SELECT t.term, count(*) AS df
+       |       FROM (SELECT DISTINCT term FROM qt) t
+       |       JOIN docs d ON list_contains(d.toks, t.term) GROUP BY t.term),
+       |qts AS (SELECT query_id,
+       |               list(struct_pack(term := qt.term, df := coalesce(df.df, 0))
+       |                    ORDER BY qt.term) AS qts
+       |        FROM qt LEFT JOIN df USING (term) GROUP BY query_id),
+       |scored AS (
+       |  SELECT q.query_id, d.doc_id,
+       |         floor(list_sum(list_transform(q.qts, x ->
+       |           ln(1 + (st.n - x.df + 0.5) / (x.df + 0.5)) *
+       |           (len(list_filter(d.toks, w -> w = x.term)) * (1.2 + 1)) /
+       |           (len(list_filter(d.toks, w -> w = x.term)) +
+       |            1.2 * (1 - 0.75 + 0.75 * len(d.toks) / (CAST(st.tl AS DOUBLE) / st.n)))
+       |         )) * 1000000.0) / 1000000.0 AS score
+       |  FROM docs d CROSS JOIN st CROSS JOIN qts q),
+       |r AS (SELECT query_id, doc_id, score,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |      FROM scored WHERE score > 0)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       |       doc_id, score
+       |FROM r WHERE rank <= $k""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q74_bm25_topk", q74, Some(q74Sql()))
+  )
+}

@@ -105,6 +105,8 @@ object PlanDump {
       "Attribution inherits q39's shape: the eval side's (shingle, eval_id) pairs BROADCAST (eval sets are fixed-size), the corpus is scanned once and never shuffled by shingle; only OVERLAPPING (train, eval) rows - corpus-fraction = contamination rate - reach the pair-count exchange and the per-doc struct-argmax with map-side partials. No window over anything corpus-sized.",
     "q72_dataset_card" ->
       "Card over ONE persisted thin frame (the single corpus scan lives in the cache): doc/token rollup, a bounded-domain quality HISTOGRAM - percentile state is O(sources x 10001), never corpus-sized, and the rank-to-value pick windows over the tiny histogram - and (source, lang)-grain mix with struct-argmax. Final assembly joins <= |sources| rows.",
+    "q74_bm25_topk" ->
+      "Retrieval: the stats pass ran EAGERLY at construction (one corpus scan -> a query-vocabulary-bounded aggregate collected to the driver, the census pattern); the dumped plan is the scoring pass - one corpus scan BNLJ'd against the <= |queries|-row broadcast (each query ships its df-annotated sorted term list), the BM25 sum an in-row fold, per-query top-k through the bounded TopK aggregator so the only exchange carries <= k x queries x partitions tuples. No window over scored rows anywhere.",
     "q73_ann_recall" ->
       "Recall audit: both scoring passes broadcast the sampled query set against the corpus and reduce through the bounded TopK aggregator (<= k x queries x partitions tuples at each exchange); the recall join runs over two queries-x-k row sets. The exact pass's full corpus scan is the ground-truth price of the measurement, on a query SAMPLE by construction."
   )

@@ -276,6 +276,35 @@ class ExtOpsSpec extends SparkSpec {
     assert(got.forall(t => t._4 >= 0L && t._4 <= 10000L))
   }
 
+  test("q74 BM25: rare-term doc ranks first, zero-score docs dropped, non-default k/k1/b honored") {
+    import spark.implicits._
+    // 'needle' appears in exactly one doc (max idf); 'common' is in every
+    // scoring doc (min idf); doc 4 shares no query term and must vanish.
+    // doc 2 repeats 'common' but is LONGER — with b=1 full length
+    // normalization its advantage shrinks vs doc 3's short doc.
+    val docs = Seq(
+      (1L, "needle common filler filler"),
+      (2L, "common common common filler filler filler filler filler"),
+      (3L, "common filler"),
+      (4L, "filler filler filler")).toDF("doc_id", "text")
+    val out = graft.ext.Bm25.bm25TopKOf(docs, Seq((7L, "needle common")),
+        k = 2, k1 = 1.5, b = 1.0)
+      .orderBy(col("rank")).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(7L), "query_id carried through")
+    assert(out.length == 2, s"k=2 must cap the result: ${out.mkString(",")}")
+    assert(out.head.getLong(2) == 1L,
+      s"the needle doc must outrank any common-only doc: ${out.mkString(",")}")
+    assert(!out.map(_.getLong(2)).contains(4L), "zero-score docs must be dropped")
+    // BM25 contract vs a direct recompute of doc 1's score
+    val n = 4.0; val avgdl = (4 + 8 + 2 + 3) / 4.0
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def w(tf: Double, dl: Double) =
+      (tf * 2.5) / (tf + 1.5 * (1.0 - 1.0 + 1.0 * dl / avgdl))
+    val exp1 = math.floor((idf(3) * w(1, 4) + idf(1) * w(1, 4)) * 1e6) / 1e6
+    assert(out.head.getDouble(3) == exp1,
+      s"doc 1 score ${out.head.getDouble(3)} != recomputed $exp1")
+  }
+
   test("q45 matryoshka energy: fractions nested and bounded, exact vs Scala recompute") {
     import spark.implicits._
     val got = Similarity.matryoshkaEnergy(spark, sf0001)

@@ -602,6 +602,22 @@ class PlanSpec extends SparkSpec {
       s"query-sample filter must reach the scan:\n$p")
   }
 
+  test("q74 bm25: scoring plan is one corpus scan BNLJ'd with the broadcast queries, reduced through bounded TopK") {
+    // the stats pass ran eagerly at construction (driver census, ≤
+    // |terms|+1 rows); THIS plan is the scoring pass only
+    val p = plan(Registry.byName("q74_bm25_topk").run(spark, sf0001))
+    assert(countOccurrences(p, "Scan parquet") == 1,
+      s"scoring must read the corpus exactly once:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"),
+      s"queries must broadcast into the corpus scan:\n$p")
+    assert(countOccurrences(p, "partial_topk") == 1,
+      s"per-query top-k must map-side-reduce through TopK:\n$p")
+    assert(!p.contains("Window"),
+      s"ranking must never window over the scored corpus:\n$p")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1,
+      s"only the k-bounded TopK exchange may shuffle:\n$p")
+  }
+
   test("q70 bpe pairs: vocab-compressed census — two hash exchanges, window only over the tiny pair table") {
     val p = plan(Registry.byName("q70_bpe_pairs").run(spark, sf0001))
     assert(countOccurrences(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
