@@ -107,6 +107,8 @@ object PlanDump {
       "Card over ONE persisted thin frame (the single corpus scan lives in the cache): doc/token rollup, a bounded-domain quality HISTOGRAM - percentile state is O(sources x 10001), never corpus-sized, and the rank-to-value pick windows over the tiny histogram - and (source, lang)-grain mix with struct-argmax. Final assembly joins <= |sources| rows.",
     "q74_bm25_topk" ->
       "Retrieval: the stats pass ran EAGERLY at construction (one corpus scan -> a query-vocabulary-bounded aggregate collected to the driver, the census pattern); the dumped plan is the scoring pass - one corpus scan BNLJ'd against the <= |queries|-row broadcast (each query ships its df-annotated sorted term list), the BM25 sum an in-row fold, per-query top-k through the bounded TopK aggregator so the only exchange carries <= k x queries x partitions tuples. No window over scored rows anywhere.",
+    "q75_pca_projection" ->
+      "Spectral audit: the Gram census ran EAGERLY at construction (one corpus scan, one explode of dim(dim+1)/2+dim+1 integer structs per row - upper triangle only, symmetry halves the volume - into a single hash aggregation: integer sums are exact at any ordering, the exchange is bounded at ~2145 x partitions rows, the collect <= 2145 rows) and the power iteration is driver-side over the tiny matrix; the dumped plan is the projection pass - one scan, zero exchanges, an in-row fold against the literal eigenvector.",
     "q73_ann_recall" ->
       "Recall audit: both scoring passes broadcast the sampled query set against the corpus and reduce through the bounded TopK aggregator (<= k x queries x partitions tuples at each exchange); the recall join runs over two queries-x-k row sets. The exact pass's full corpus scan is the ground-truth price of the measurement, on a query SAMPLE by construction."
   )

@@ -305,6 +305,28 @@ class ExtOpsSpec extends SparkSpec {
       s"doc 1 score ${out.head.getDouble(3)} != recomputed $exp1")
   }
 
+  test("q75 PCA: planted dominant axis recovered — projections affine in the axis coordinate, centered") {
+    import spark.implicits._
+    // variance concentrated on axis 1 (spread 0..0.4), axis 2 carries a
+    // tiny alternating wiggle, axes 3-4 are dead: the principal direction
+    // is e1 up to sign, so pc1 must be monotone in the axis-1 coordinate
+    // (either direction - the eigenvector sign is not canonical)
+    val vecs = (0 until 5).map { i =>
+      (i.toLong, Array(0.1f * i, if (i % 2 == 0) 0.001f else -0.001f, 0f, 0f).toSeq)
+    }
+    val out = graft.ext.Pca.pc1ProjectionOf(vecs.toDF("vec_id", "embedding"),
+        dim = 4, iters = 50)
+      .orderBy(col("vec_id")).collect().map(_.getDouble(1))
+    assert(out.length == 5)
+    val diffs = out.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(diffs.forall(_ > 50) || diffs.forall(_ < -50),
+      s"pc1 must be monotone in the planted axis coordinate: ${out.mkString(",")}")
+    // spacing ~ 100 milli-units per step (|v1| ~ 1), and mean-centered
+    assert(math.abs(out.sum) < 0.01, s"projections must center at 0: ${out.sum}")
+    assert(diffs.forall(d => math.abs(d) > 95 && math.abs(d) < 105),
+      s"steps should track the planted 0.1 spacing in milli-units: $diffs")
+  }
+
   test("q45 matryoshka energy: fractions nested and bounded, exact vs Scala recompute") {
     import spark.implicits._
     val got = Similarity.matryoshkaEnergy(spark, sf0001)

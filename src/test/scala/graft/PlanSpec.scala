@@ -618,6 +618,14 @@ class PlanSpec extends SparkSpec {
       s"only the k-bounded TopK exchange may shuffle:\n$p")
   }
 
+  test("q75 pca: projection plan is one scan, zero exchanges — the census and iteration ran at construction") {
+    val p = plan(Registry.byName("q75_pca_projection").run(spark, sf0001))
+    assert(countOccurrences(p, "Scan parquet") == 1,
+      s"projection must read the corpus exactly once:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"projection against the literal eigenvector must be pure map-side:\n$p")
+  }
+
   test("q70 bpe pairs: vocab-compressed census — two hash exchanges, window only over the tiny pair table") {
     val p = plan(Registry.byName("q70_bpe_pairs").run(spark, sf0001))
     assert(countOccurrences(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
