@@ -64,18 +64,18 @@ object AsOfJoin {
   /** Each click joined to the user's most recent prior-or-simultaneous
     * purchase. */
   def q31(spark: SparkSession, sfDir: String): DataFrame = {
-    val clicks = Tables.table(spark, sfDir, "events")
-      .filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("ts").as("t"))
-    val purchases = Tables.table(spark, sfDir, "events")
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("t"), col("value"))
-    // join at full nano precision; OUTPUT micros — DuckDB reads parquet
-    // TIMESTAMP(NANOS) at micro precision, so the comparable grain is µs
+    val ev = Tables.table(spark, sfDir, "events")
+    // epoch-micros up front — the fixture's ts encoding varies (see
+    // Tables.tsMicros); µs is the grain DuckDB's epoch_us compares at
+    val tUs = Tables.tsMicros(ev)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), tUs.as("t"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), tUs.as("t"), col("value"))
     asOfJoin(clicks, purchases, key = "user_id", timeCol = "t", carry = Seq("t", "value"))
       .select(
-        col("event_id"), col("user_id"), expr("t div 1000").as("ts_us"),
-        expr("asof_t div 1000").as("purchase_ts_us"), col("asof_value").as("purchase_value"))
+        col("event_id"), col("user_id"), col("t").as("ts_us"),
+        col("asof_t").as("purchase_ts_us"), col("asof_value").as("purchase_value"))
   }
 
   private val q31Sql =

@@ -49,16 +49,19 @@ object RangeJoin {
   // ---------------------------------------------------------------- q32
   /** Every click inside the 10-minute attribution window opened by any
     * purchase (keyless: windows from all users apply). Micros grain — the
-    * precision DuckDB reads parquet nano timestamps at. */
+    * cross-engine comparison precision (DuckDB `epoch_us`). */
   private val WindowUs = 600000000L // 10 minutes
 
   def q32(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")
+    // epoch-micros schema-adaptively (see Tables.tsMicros) — the grain
+    // DuckDB's epoch_us compares at for every fixture encoding so far
+    val tUs = Tables.tsMicros(ev)
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), expr("ts div 1000").as("t"))
+      .select(col("event_id").as("click_id"), tUs.as("t"))
     val windows = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), expr("ts div 1000").as("lo"),
-        (expr("ts div 1000") + WindowUs).as("hi"))
+      .select(col("event_id").as("purchase_id"), tUs.as("lo"),
+        (tUs + WindowUs).as("hi"))
     rangeJoin(clicks, windows, pointCol = "t", loCol = "lo", hiCol = "hi",
         granule = WindowUs)
       .select(col("click_id"), col("purchase_id"), col("t").as("ts_us"), col("lo").as("lo_us"))

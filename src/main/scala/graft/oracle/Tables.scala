@@ -1,6 +1,6 @@
 package graft.oracle
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,11 +8,16 @@ import org.apache.spark.sql.types._
   * canonical events→raw-log mapping used by every batch formulation of the
   * reference's streaming operators (SURVEY §5.3).
   *
-  * `events.parquet` is Parquet TIMESTAMP(NANOS); Spark reads it only with
-  * `spark.sql.legacy.parquet.nanosAsLong=true`, yielding `ts: bigint` nanos
-  * (verified on Spark 4.1.2). The DuckDB oracle sees the same instants via
-  * `epoch_ns(ts)` — both sides floor-divide to epoch seconds, so the window
-  * math is bit-identical.
+  * `events.parquet`'s `ts` encoding has CHANGED across fixture
+  * regenerations (TIMESTAMP(NANOS) → read as bigint nanos under
+  * `spark.sql.legacy.parquet.nanosAsLong=true`; currently
+  * TIMESTAMP_MICROS isAdjustedToUTC=0 → read as TIMESTAMP_NTZ), so
+  * [[logs]] derives epoch seconds schema-adaptively instead of assuming
+  * either encoding. The DuckDB oracle sees the same instants via
+  * `epoch_ns(ts)` (valid for DuckDB TIMESTAMP of any unit) — both sides
+  * floor-divide to epoch seconds, so the window math is bit-identical.
+  * Sessions run with `spark.sql.session.timeZone=UTC`, which makes the
+  * NTZ→epoch interpretation match DuckDB's naive-as-UTC reading.
   */
 object Tables {
 
@@ -88,23 +93,53 @@ object Tables {
   private val propsSchema = new StructType().add("k", IntegerType)
 
   /** `events` mapped onto the reference's raw-log stream (FIXTURES.md §B):
-    * service := event_type, event time := ts (nanos→seconds), latency :=
+    * service := event_type, event time := ts (→ epoch seconds), latency :=
     * value, level := ERROR iff props.k < 10 (~10% — mirrors the producer's
     * error-rate mix, kafka/log_producer.py:18-23,59). The JSON parse of
     * `props` plays the role of P1 (`from_json`) on the hot path.
     *
-    * NB `ts div 1000000000` must stay integer division: epoch-nanos
-    * (~1.7e18) exceeds a double's 2^53 exact range.
+    * `ts_s` is derived from whatever the current fixture encodes:
+    *  - bigint nanos (legacy NANOS files under `nanosAsLong`):
+    *    `ts div 1000000000` — integer division, because epoch-nanos
+    *    (~1.7e18) exceeds a double's 2^53 exact range;
+    *  - TIMESTAMP / TIMESTAMP_NTZ (current micros files):
+    *    `unix_seconds(ts)` — NTZ is first cast to TIMESTAMP under the
+    *    session's UTC zone, matching DuckDB's naive-as-UTC `epoch_ns`.
     */
-  def logs(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events")
+  def logs(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = table(spark, sfDir, "events")
+    val tsS = events.schema("ts").dataType match {
+      case LongType => expr("ts div 1000000000")
+      case TimestampType => unix_seconds(col("ts"))
+      case TimestampNTZType => unix_seconds(col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — adapt Tables.logs/LOGS_CTE")
+    }
+    events
       .select(
         col("event_id"),
-        expr("ts div 1000000000").as("ts_s"),
+        tsS.as("ts_s"),
         col("event_type").as("service"),
         col("value").as("latency_ms"),
         from_json(col("props"), propsSchema).getField("k").as("k"))
       .withColumn("level", when(col("k") < 10, "ERROR").otherwise("INFO"))
+  }
+
+  /** Epoch-microseconds Column for an `events` frame's `ts`, adaptive to
+    * the same encodings as [[logs]] (bigint nanos / TIMESTAMP /
+    * TIMESTAMP_NTZ). Micros is the cross-engine comparison grain: DuckDB's
+    * `epoch_us(ts)` yields the identical integer for every encoding the
+    * fixture has shipped. Integer division for the nanos case (epoch-nanos
+    * exceed a double's 2^53 exact range). */
+  def tsMicros(events: DataFrame): Column = events.schema("ts").dataType match {
+    case LongType => expr("ts div 1000")
+    case TimestampType => unix_micros(col("ts"))
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case other =>
+      throw new IllegalStateException(
+        s"events.ts has unsupported type $other — adapt Tables.tsMicros")
+  }
 
   /** Matching DuckDB CTE — keep in lockstep with [[logs]]. */
   val LOGS_CTE: String =
