@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): times every registered query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
@@ -18,8 +18,54 @@ import org.apache.spark.sql.SparkSession
   * plan, so a re-invocation of a self-materializing query (the CC loop's
   * adopted labels, q12/q53's persisted bases) would otherwise silently
   * reuse the first execution's materialization and the min would report
-  * a warm number as the query's floor. */
+  * a warm number as the query's floor.
+  *
+  * Failure honesty: a query whose execution throws is reported under
+  * "errors", NEVER as a timing — the elapsed time of a fast analysis
+  * failure (~0.05 s) is indistinguishable from a best-in-repo number, so
+  * a regression would otherwise read as a speedup (this happened: a
+  * fixture re-encoding broke 13 queries and their fast-fail latencies
+  * were recorded as floors). */
 object Bench {
+
+  /** Time each query: min of `reps` fully-cold executions. Any throwing
+    * execution disqualifies the query from timings and lands it in the
+    * error list instead (name → first failure's message). */
+  def timeQueries(
+      spark: SparkSession, sfDir: String,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)],
+      reps: Int = 2): (Seq[(String, Double)], Seq[(String, String)]) = {
+    val timings = Seq.newBuilder[(String, Double)]
+    val errors = Seq.newBuilder[(String, String)]
+    queries.foreach { case (name, fn) =>
+      val attempts: Seq[Either[String, Double]] = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val r =
+          try { fn(spark, sfDir).count(); None }
+          catch { case t: Throwable => Some(s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).linesIterator.take(1).mkString.take(300)}") }
+        val t = (System.nanoTime() - t0) / 1e9
+        // full isolation after every execution: no keyed-registry frame or
+        // cache entry survives for the next execution to reuse
+        graft.oracle.Tables.releasePersisted()
+        spark.catalog.clearCache()
+        r.toLeft(t)
+      }
+      attempts.collectFirst { case Left(e) => e } match {
+        case Some(e) => errors += name -> e
+        case None => timings += name -> attempts.collect { case Right(t) => t }.min
+      }
+    }
+    (timings.result(), errors.result())
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -37,24 +83,18 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
     }
+    graft.oracle.Tables.releasePersisted()
     spark.catalog.clearCache() // drop warmup-pass caches
-    val results = queries.map { case (name, fn) =>
-      val dt = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val t = (System.nanoTime() - t0) / 1e9
-        // full isolation after every execution: no keyed-registry frame or
-        // cache entry survives for the next execution to reuse
-        graft.oracle.Tables.releasePersisted()
-        spark.catalog.clearCache()
-        t
-      }.min
-      name -> dt
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val (timings, errors) = timeQueries(spark, sfDir, queries)
+    val qs = timings.map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson =
+      if (errors.isEmpty) ""
+      else ",\"errors\":" + errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+        .mkString("{", ",", "}")
+    errors.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }
+    val total = if (timings.nonEmpty) timings.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
