@@ -45,17 +45,12 @@ object Bm25 {
 
   private case class QTerm(term: String, df: Long)
 
-  /** General form over any (doc_id, text) frame. Output: one row per
-    * (query, kept doc) — (query_id, rank, doc_id, score), rank 1..k by
-    * (score desc, doc_id asc), zero-score docs dropped. */
-  def bm25TopKOf(docs: DataFrame, queries: Seq[(Long, String)] = defaultQueries,
-                 k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val qterms: Seq[String] = queries.flatMap(_._2.split(' ')).distinct.sorted
-    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-
-    // -- pass 1: corpus stats, vocabulary-bounded ------------------------
+  /** Corpus census for BM25 (pass 1): ONE scan → (N, avgdl, df per query
+    * term). The aggregate is vocabulary-bounded (≤ |query terms| + 1 rows
+    * at ANY corpus size) so the collect is a census, never data. */
+  private def corpusStats(docs: DataFrame, qterms: Seq[String])
+      : (Long, Double, Map[String, Long]) = {
+    val tok = docs.select(split(col("text"), " ").as("toks"))
     val qtermsLit = array(qterms.map(lit): _*)
     val hits = array_distinct(array_intersect(col("toks"), qtermsLit))
     val statRows = tok.select(explode(concat(
@@ -73,12 +68,25 @@ object Bm25 {
     // empty corpus: any avgdl makes the scoring pass vacuously empty —
     // keep the operator total (the EmptyInputSpec contract)
     val avgdl = if (nDocs == 0) 1.0 else totLen.toDouble / nDocs
+    (nDocs, avgdl, dfMap)
+  }
 
-    // -- pass 2: broadcast scoring + bounded top-k -----------------------
-    val qDf = queries.map { case (qid, text) =>
+  /** df-annotated query list for the broadcast side of the scoring pass. */
+  private def queryFrame(spark: SparkSession, queries: Seq[(Long, String)],
+                         dfMap: Map[String, Long]): DataFrame = {
+    import spark.implicits._
+    queries.map { case (qid, text) =>
       (qid, text.split(' ').distinct.sorted
         .map(t => QTerm(t, dfMap.getOrElse(t, 0L))).toSeq)
     }.toDF("query_id", "qts")
+  }
+
+  /** Scoring pass (pass 2) over any tokenized frame: BNLJ against the
+    * ≤ |queries|-row broadcast, BM25 summed as an in-row fold, truncated
+    * to 6 dp before any downstream rank/filter. Entirely map-side — works
+    * identically on a batch frame and on a streaming micro-batch. */
+  private def scoredAgainst(tok: DataFrame, qDf: DataFrame, nDocs: Long,
+                            avgdl: Double, k1: Double, b: Double): DataFrame = {
     def contrib(q: Column, tfC: Column, dl: Column): Column =
       log(lit(1.0) + (lit(nDocs.toDouble) - q.getField("df") + lit(0.5)) /
             (q.getField("df") + lit(0.5))) *
@@ -90,12 +98,53 @@ object Bm25 {
         acc + contrib(q,
           size(filter(col("toks"), w => w === q.getField("term"))).cast("double"),
           col("dl"))) * 1e6) / 1e6)
+  }
+
+  /** General form over any (doc_id, text) frame. Output: one row per
+    * (query, kept doc) — (query_id, rank, doc_id, score), rank 1..k by
+    * (score desc, doc_id asc), zero-score docs dropped. */
+  def bm25TopKOf(docs: DataFrame, queries: Seq[(Long, String)] = defaultQueries,
+                 k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    val qterms: Seq[String] = queries.flatMap(_._2.split(' ')).distinct.sorted
+    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val (nDocs, avgdl, dfMap) = corpusStats(docs, qterms)
+    val qDf = queryFrame(spark, queries, dfMap)
+    scoredAgainst(tok, qDf, nDocs, avgdl, k1, b)
       .filter(col("score") > 0)
       .groupBy(col("query_id"))
       .agg(TopK(k)(col("score"), col("doc_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("i", "t")))
       .select(col("query_id"), (col("i") + 1).cast("long").as("rank"),
         col("t.id").as("doc_id"), col("t.score").as("score"))
+  }
+
+  /** Stream-static BM25 scoring gate — q74's ingestion-time face (the
+    * q39/q64 gate pattern): the corpus statistics (N, avgdl, per-term df)
+    * are fit ONCE on the already-ingested static corpus (the bounded
+    * census above, eager at construction), then every ARRIVING document
+    * is scored against the df-annotated broadcast queries entirely
+    * map-side — zero streaming aggregation state, so the gate composes
+    * into an append-mode curation chain. Emits (doc_id, query_id, score)
+    * for each positive-scoring (doc, query) pair — the same pre-TopK
+    * scored set the batch operator ranks — letting the caller route/tag
+    * relevant arrivals at ingest (no per-stream top-k: a global rank is
+    * a batch question; the stream's job is the scoring verdict).
+    *
+    * Frozen-stats semantics, by design: arriving docs do NOT update
+    * N/avgdl/df (same trade as the bloom/decontamination gates' frozen
+    * reference side — re-fit periodically at corpus checkpoints). */
+  def bm25GateStreamStatic(streamDocs: DataFrame, staticDocs: DataFrame,
+                           queries: Seq[(Long, String)] = defaultQueries,
+                           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = staticDocs.sparkSession
+    val qterms: Seq[String] = queries.flatMap(_._2.split(' ')).distinct.sorted
+    val (nDocs, avgdl, dfMap) = corpusStats(staticDocs, qterms)
+    val qDf = queryFrame(spark, queries, dfMap)
+    val tok = streamDocs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    scoredAgainst(tok, qDf, nDocs, avgdl, k1, b)
+      .filter(col("score") > 0)
+      .select(col("doc_id"), col("query_id"), col("score"))
   }
 
   // ---------------------------------------------------------------- q74

@@ -622,6 +622,46 @@ class StreamingSpec extends SparkSpec {
     assert(cids == Map(100L -> 0, 101L -> 1, 102L -> 0), s"labels wrong: $cids")
   }
 
+  test("stream-static bm25 gate: arriving docs scored against frozen corpus stats == batch, agrees with q74 scores") {
+    import graft.ext.Bm25
+    import spark.implicits._
+    // static corpus: rare term 'needle' in one doc, common filler in all
+    val corpus = Seq(
+      (1L, "filler words all over needle here"),
+      (2L, "filler words all over again twice filler"),
+      (3L, "filler and more filler padding out this one"),
+      (4L, "words words words filler")).toDF("doc_id", "text")
+    val queries = Seq((1L, "needle filler"), (2L, "absent"))
+    def gate(docs: DataFrame) = Bm25.bm25GateStreamStatic(docs, corpus, queries)
+    val incoming = Seq(
+      (10L, "needle needle filler"),     // hits both terms of query 1
+      (11L, "filler only material"),     // common term only
+      (12L, "nothing relevant at all"))  // no overlap -> no rows
+    val stream = MemoryStream[(Long, String)]
+    val sq = gate(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("bm25_gate")
+      .outputMode("append").start()
+    try {
+      stream.addData(incoming)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = spark.table("bm25_gate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = gate(incoming.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty, s"stream $streamed != batch $batch")
+    assert(streamed.map(_._1) == Set(10L, 11L), "doc 12 has no positive score")
+    assert(streamed.forall(_._2 == 1L), "query 'absent' (df=0, tf=0) scores nothing")
+    // cross-check the gate's arithmetic against the batch ranking operator:
+    // score the SAME docs the stats were fit on — the gate must reproduce
+    // q74's (query, doc) scores exactly (k large enough to keep all)
+    val ranked = Bm25.bm25TopKOf(corpus, queries, k = 10).collect()
+      .map(r => (r.getLong(2), r.getLong(0), r.getDouble(3))).toSet
+    val gateOnCorpus = gate(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gateOnCorpus == ranked, s"gate scores diverge: $gateOnCorpus vs $ranked")
+  }
+
   test("generator: deterministic for a seed, spike seconds carry elevated error rate") {
     val a = LogGenerator.logs(spark, T0, 120, seed = 1).collect()
     val b = LogGenerator.logs(spark, T0, 120, seed = 1).collect()
