@@ -110,7 +110,11 @@ object PlanDump {
     "q75_pca_projection" ->
       "Spectral audit: the Gram census ran EAGERLY at construction (one corpus scan, one explode of dim(dim+1)/2+dim+1 integer structs per row - upper triangle only, symmetry halves the volume - into a single hash aggregation: integer sums are exact at any ordering, the exchange is bounded at ~2145 x partitions rows, the collect <= 2145 rows) and the power iteration is driver-side over the tiny matrix; the dumped plan is the projection pass - one scan, zero exchanges, an in-row fold against the literal eigenvector.",
     "q73_ann_recall" ->
-      "Recall audit: both scoring passes broadcast the sampled query set against the corpus and reduce through the bounded TopK aggregator (<= k x queries x partitions tuples at each exchange); the recall join runs over two queries-x-k row sets. The exact pass's full corpus scan is the ground-truth price of the measurement, on a query SAMPLE by construction."
+      "Recall audit: both scoring passes broadcast the sampled query set against the corpus and reduce through the bounded TopK aggregator (<= k x queries x partitions tuples at each exchange); the recall join runs over two queries-x-k row sets. The exact pass's full corpus scan is the ground-truth price of the measurement, on a query SAMPLE by construction.",
+    "q76_dsir_resample" ->
+      "DSIR importance resampling: the corpus explodes its unigram+bigram stream ONCE into the persisted (doc, md5-bucket, count) tf table (the keyed persist is load-bearing - without it, filter pushdown specializes the stats and scoring consumers into separate corpus explodes); bucket stats are a <= numBuckets-row aggregation off that cache, the smoothed log-ratio table broadcasts (~KB), scoring is a map-side broadcast join + one exchange of the compressed per-doc rollup, and AQE reuses that stage for the corpus-average census. Integer-microbit weights - exact at any summation order on both engines.",
+    "q77_score_calibration" ->
+      "Per-source ECDF calibration WITHOUT a corpus window: the 4-dp-quantized score makes the per-source distribution an exact histogram over <= 10^4+1 integer cells, so ONE corpus aggregation builds it, the cumulative window runs over the BOUNDED histogram (|sources| x domain rows - kilobytes at any corpus size), and docs broadcast-join back on (source, cell). The shape survives a trillion-row source because histogram size tracks the score DOMAIN, not the row count."
   )
 
   def main(args: Array[String]): Unit = {
