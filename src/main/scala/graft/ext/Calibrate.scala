@@ -29,32 +29,73 @@ import org.apache.spark.sql.functions._
   */
 object Calibrate {
 
+  /** (doc_id, source, q10k) — the score quantized to its exact integer
+    * cell. Pure map-side (streaming-safe): quality_score is
+    * floor(x·10⁴)/10⁴, so ·10⁴ rounds to the integer it was floored to
+    * (round, not cast: the division can land a hair below the integer in
+    * binary). */
+  private[ext] def scoredCells(docs: DataFrame): DataFrame =
+    TextOps.scoredDocs(docs)
+      .select(col("doc_id"), col("source"),
+        expr("CAST(round(quality_score * 10000) AS BIGINT)").as("q10k"))
+
+  /** Per-source inclusive ECDF of the score histogram:
+    * (source, q10k, cum_le, n_source) — ≤ |sources|·(10⁴+1) rows by
+    * construction (score DOMAIN, not corpus size). */
+  private[ext] def ecdfOf(docs: DataFrame): DataFrame = {
+    val hist = scoredCells(docs).groupBy(col("source"), col("q10k"))
+      .agg(count(lit(1)).as("c"))
+    // cumulative windows run over the bounded histogram only
+    val wCum = Window.partitionBy(col("source"))
+      .orderBy(col("q10k")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    hist
+      .withColumn("cum_le", sum(col("c")).over(wCum))
+      .withColumn("n_source", sum(col("c")).over(wAll))
+      .select(col("source"), col("q10k"), col("cum_le"), col("n_source"))
+  }
+
   /** (doc_id, source, q10k, n_source, cum_le, calib) for every doc:
     * `q10k` = the 4-dp score as an integer, `cum_le` = docs in this
     * source scoring ≤ mine, `calib` = inclusive ECDF floor-truncated to
     * 4 dp. */
-  def calibrateBySource(docs: DataFrame): DataFrame = {
-    val scored = TextOps.scoredDocs(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), col("quality_score"))
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      // exact integer cell: quality_score is floor(x·10⁴)/10⁴, so ·10⁴
-      // rounds to the integer it was floored to (round, not cast: the
-      // division can land a hair below the integer in binary)
-      .withColumn("q10k", expr("CAST(round(quality_score * 10000) AS BIGINT)"))
-    val hist = scored.groupBy(col("source"), col("q10k"))
-      .agg(count(lit(1)).as("c"))
-    // cumulative ECDF over the bounded histogram (window input is
-    // ≤ |sources|·(10⁴+1) rows by construction — never corpus-scale)
-    val wCum = Window.partitionBy(col("source"))
-      .orderBy(col("q10k")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("source"))
-    val ecdf = hist
-      .withColumn("cum_le", sum(col("c")).over(wCum))
-      .withColumn("n_source", sum(col("c")).over(wAll))
-      .select(col("source"), col("q10k"), col("cum_le"), col("n_source"))
-    scored.join(broadcast(ecdf), Seq("source", "q10k"))
+  def calibrateBySource(docs: DataFrame): DataFrame =
+    scoredCells(docs).join(broadcast(ecdfOf(docs)), Seq("source", "q10k"))
       .select(col("doc_id"), col("source"), col("q10k"), col("n_source"),
         col("cum_le"),
+        (floor(col("cum_le") * 10000.0 / col("n_source")) / 10000.0).as("calib"))
+
+  /** Stream-static calibration gate — q77's ingestion-time face (the
+    * q39/q74 gate pattern): the per-source ECDF is fit ONCE on the static
+    * corpus, collected (it is domain-bounded: ≤ |sources|·(10⁴+1) cells —
+    * the same literal-size precondition as the decontamination gate's
+    * broadcast vocabulary), and every ARRIVING doc is scored and ranked
+    * against the frozen reference entirely map-side — zero streaming
+    * aggregation state, append-mode composable. Because an arrival's
+    * exact cell need not exist in the reference histogram, the rank is
+    * the reference ECDF evaluated AT the arrival's cell (largest
+    * reference cell ≤ mine — a fold over the source's cell array), which
+    * on the fitting corpus itself reproduces [[calibrateBySource]]
+    * exactly. Docs from sources absent in the reference emit
+    * known_source=false with null rank (the caller routes them to a
+    * cold-start path). Frozen-reference semantics by design — re-fit at
+    * corpus checkpoints, as with the other gates. */
+  def calibrateGateStreamStatic(streamDocs: DataFrame, staticDocs: DataFrame): DataFrame = {
+    val ref = ecdfOf(staticDocs).collect()
+    val cells: Map[String, Seq[(Long, Long)]] = ref.groupBy(_.getString(0))
+      .map { case (s, rs) =>
+        s -> rs.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq }
+    val ns: Map[String, Long] =
+      ref.map(r => r.getString(0) -> r.getLong(3)).toMap
+    val cellsLit = typedLit(cells)
+    val nsLit = typedLit(ns)
+    scoredCells(streamDocs)
+      .withColumn("_cells", element_at(cellsLit, col("source")))
+      .withColumn("n_source", element_at(nsLit, col("source")))
+      .withColumn("cum_le", expr(
+        "aggregate(filter(_cells, c -> c._1 <= q10k), 0L, (acc, c) -> greatest(acc, c._2))"))
+      .select(col("doc_id"), col("source"), col("q10k"),
+        col("_cells").isNotNull.as("known_source"), col("n_source"), col("cum_le"),
         (floor(col("cum_le") * 10000.0 / col("n_source")) / 10000.0).as("calib"))
   }
 

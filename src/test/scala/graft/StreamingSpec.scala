@@ -662,6 +662,46 @@ class StreamingSpec extends SparkSpec {
     assert(gateOnCorpus == ranked, s"gate scores diverge: $gateOnCorpus vs $ranked")
   }
 
+  test("stream-static calibration gate: arrivals ranked against the frozen ECDF == batch, reproduces q77 on the fitting corpus") {
+    import graft.ext.Calibrate
+    import spark.implicits._
+    val mk = (n: Int) => (1 to n).map(i => s"w$i").mkString(" ")
+    // reference corpus: two sources with different score distributions
+    val corpus = Seq(
+      (1L, mk(4), "srcA"), (2L, mk(8), "srcA"), (3L, mk(16), "srcA"),
+      (10L, mk(6), "srcB"), (11L, mk(24), "srcB")).toDF("doc_id", "text", "source")
+    def gate(docs: org.apache.spark.sql.DataFrame) =
+      Calibrate.calibrateGateStreamStatic(docs, corpus)
+    val incoming = Seq(
+      (20L, mk(8), "srcA"),   // exact cell hit: ranks like doc 2
+      (21L, mk(12), "srcA"),  // between cells: ECDF at the largest cell <= its score
+      (22L, mk(2), "srcA"),   // below every reference cell -> cum 0
+      (23L, mk(6), "srcX"))   // unknown source -> cold-start flag
+    val stream = MemoryStream[(Long, String, String)]
+    val sq = gate(stream.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName("calib_gate")
+      .outputMode("append").start()
+    try {
+      stream.addData(incoming)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = spark.table("calib_gate").collect().map(_.toSeq).toSet
+    val batch = gate(incoming.toDF("doc_id", "text", "source")).collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty, s"stream $streamed != batch $batch")
+    val byId = spark.table("calib_gate").collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(20L).getBoolean(3) && byId(20L).getLong(5) == 2, s"exact-cell rank: ${byId(20L)}")
+    assert(byId(21L).getLong(5) == 2, s"between-cells rank floors to the cell below: ${byId(21L)}")
+    assert(byId(22L).getLong(5) == 0, s"below-all rank 0: ${byId(22L)}")
+    assert(!byId(23L).getBoolean(3) && byId(23L).isNullAt(6), s"unknown source flagged: ${byId(23L)}")
+    // self-consistency: the gate run over the fitting corpus reproduces
+    // the batch calibrator exactly
+    val viaGate = gate(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(5), r.getDouble(6))).toSet
+    val viaBatch = Calibrate.calibrateBySource(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getDouble(5))).toSet
+    assert(viaGate == viaBatch, s"gate diverges from q77: $viaGate vs $viaBatch")
+  }
+
   test("generator: deterministic for a seed, spike seconds carry elevated error rate") {
     val a = LogGenerator.logs(spark, T0, 120, seed = 1).collect()
     val b = LogGenerator.logs(spark, T0, 120, seed = 1).collect()
