@@ -115,6 +115,8 @@ object PlanDump {
       "DSIR importance resampling: the corpus explodes its unigram+bigram stream ONCE into the persisted (doc, md5-bucket, count) tf table (the keyed persist is load-bearing - without it, filter pushdown specializes the stats and scoring consumers into separate corpus explodes); bucket stats are a <= numBuckets-row aggregation off that cache, the smoothed log-ratio table broadcasts (~KB), scoring is a map-side broadcast join + one exchange of the compressed per-doc rollup, and AQE reuses that stage for the corpus-average census. Integer-microbit weights - exact at any summation order on both engines.",
     "q77_score_calibration" ->
       "Per-source ECDF calibration WITHOUT a corpus window: the 4-dp-quantized score makes the per-source distribution an exact histogram over <= 10^4+1 integer cells, so ONE corpus aggregation builds it, the cumulative window runs over the BOUNDED histogram (|sources| x domain rows - kilobytes at any corpus size), and docs broadcast-join back on (source, cell). The shape survives a trillion-row source because histogram size tracks the score DOMAIN, not the row count.",
+    "q79_curriculum_shards" ->
+      "Curriculum layout: q43's single-explode surprisal pipeline computes integer-millibit difficulty, then ONE hash exchange into N shards + a shard-local sort by (difficulty, id) - identical cost to q54's epoch shuffle with a semantic sort key; shard assignment stays the md5 of (epoch, id) so every reader sees the full difficulty spectrum easy->hard and re-keying the epoch re-deals shards. No global sort: the curriculum contract is per-READER order.",
     "q78_context_sweep" ->
       "Context-length selection in ONE corpus pass (the q68 grid-in-agg trick): token counts are an in-row fold (no explode), every candidate L is a triple of conditional partial aggregates inside the single global hash aggregation - the map side emits one grid-wide row per partition, never corpus x grid rows - and the stack unpivot runs over the ONE aggregated row (PlanSpec-level pin: the only Generate sits ABOVE the aggregate). All derived measures are integer basis points - engine-exact."
   )
