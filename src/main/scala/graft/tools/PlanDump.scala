@@ -115,6 +115,8 @@ object PlanDump {
       "DSIR importance resampling: the corpus explodes its unigram+bigram stream ONCE into the persisted (doc, md5-bucket, count) tf table (the keyed persist is load-bearing - without it, filter pushdown specializes the stats and scoring consumers into separate corpus explodes); bucket stats are a <= numBuckets-row aggregation off that cache, the smoothed log-ratio table broadcasts (~KB), scoring is a map-side broadcast join + one exchange of the compressed per-doc rollup, and AQE reuses that stage for the corpus-average census. Integer-microbit weights - exact at any summation order on both engines.",
     "q77_score_calibration" ->
       "Per-source ECDF calibration WITHOUT a corpus window: the 4-dp-quantized score makes the per-source distribution an exact histogram over <= 10^4+1 integer cells, so ONE corpus aggregation builds it, the cumulative window runs over the BOUNDED histogram (|sources| x domain rows - kilobytes at any corpus size), and docs broadcast-join back on (source, cell). The shape survives a trillion-row source because histogram size tracks the score DOMAIN, not the row count.",
+    "q81_cluster_dispersion" ->
+      "Pairwise statistic WITHOUT pairs: mean pairwise squared distance per cluster via the moment identity sum_{i<j}||xi-xj||^2 = n*sum||xi||^2 - ||sum xi||^2 - ONE corpus scan, ONE explode into the (label, dim) integer census (<= labels x dims groups, the q75 family), a labels-row combine, and int64 arithmetic end-to-end until the final division (order-free: distributed agg order cannot flip a bit). The naive formulation is an O(n^2) self-join; this is O(n d).",
     "q80_dedup_sweep" ->
       "Dedup-cutoff calibration: q14's df-capped inverted-index pair table (never all-pairs) persists ONCE and feeds both grid consumers - per-threshold pair counts and the per-doc max-similarity rollup (pair-table-sized, corpus-fraction = dup rate); similarities quantize to integer 1e4 cells so threshold compares are engine-exact; the token attach is a keyed equi-join of the corpus against the small doc-max table; every per-threshold measure is a conditional sum inside ONE aggregation per input (the q68/q78 grid-in-agg family - the grid never multiplies rows).",
     "q79_curriculum_shards" ->
