@@ -33,14 +33,20 @@ object Dispersion {
     * with uniform dimensionality: n_vecs, mean ‖x‖², ‖mean x‖², and the
     * mean pairwise squared distance (0 for singleton clusters), all
     * floor-truncated to 6 dp. */
-  def dispersionOf(embeds: DataFrame): DataFrame = {
-    val census = embeds
+  /** The (label, dim) integer census both q81 and q82 reduce:
+    * c = cluster size, sd = Σ component, ss = Σ component² — all int64
+    * on the 1e-6 quantization grid. */
+  private[ext] def censusOf(embeds: DataFrame): DataFrame =
+    embeds
       .select(col("label"), posexplode(expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"))
         .as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
       .agg(count(lit(1)).as("c"), sum(col("x")).as("sd"),
         sum(expr("x * x")).as("ss"))
+
+  def dispersionOf(embeds: DataFrame): DataFrame = {
+    val census = censusOf(embeds)
     census.groupBy(col("label"))
       .agg(max(col("c")).as("n"), sum(col("ss")).as("s"),
         sum(expr("sd * sd")).as("p"))
@@ -56,8 +62,10 @@ object Dispersion {
   def q81(spark: SparkSession, sfDir: String): DataFrame =
     dispersionOf(Tables.table(spark, sfDir, "embeddings"))
 
-  private val q81Sql =
-    """WITH v AS (
+  /** DuckDB mirror of [[censusOf]], shared by q81/q82 (CTE `cen`:
+    * label, pos, c, sd, ss). */
+  private[ext] val censusSqlCte: String =
+    """v AS (
       |  SELECT label,
       |         list_transform(embedding::DOUBLE[],
       |                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vq
@@ -65,14 +73,17 @@ object Dispersion {
       |e AS (SELECT label,
       |             unnest(list_transform(vq, (x, i) -> struct_pack(p := i, x := x))) AS u
       |      FROM v),
-      |c AS (SELECT label, u.p AS pos, count(*) AS c,
-      |             CAST(sum(u.x) AS BIGINT) AS sd,
-      |             CAST(sum(u.x * u.x) AS BIGINT) AS ss
-      |      FROM e GROUP BY 1, 2),
+      |cen AS (SELECT label, u.p AS pos, count(*) AS c,
+      |               CAST(sum(u.x) AS BIGINT) AS sd,
+      |               CAST(sum(u.x * u.x) AS BIGINT) AS ss
+      |        FROM e GROUP BY 1, 2)""".stripMargin
+
+  private val q81Sql =
+    s"""WITH $censusSqlCte,
       |l AS (SELECT label, CAST(max(c) AS BIGINT) AS n,
       |             CAST(sum(ss) AS BIGINT) AS s,
       |             CAST(sum(sd * sd) AS BIGINT) AS p
-      |      FROM c GROUP BY label)
+      |      FROM cen GROUP BY label)
       |SELECT label, n AS n_vecs,
       |       floor(s / (n * 1e6)) / 1e6 AS mean_sq_norm,
       |       floor(p / (n * n * 1e6)) / 1e6 AS centroid_sq_norm,

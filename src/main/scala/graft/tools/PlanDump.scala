@@ -115,6 +115,8 @@ object PlanDump {
       "DSIR importance resampling: the corpus explodes its unigram+bigram stream ONCE into the persisted (doc, md5-bucket, count) tf table (the keyed persist is load-bearing - without it, filter pushdown specializes the stats and scoring consumers into separate corpus explodes); bucket stats are a <= numBuckets-row aggregation off that cache, the smoothed log-ratio table broadcasts (~KB), scoring is a map-side broadcast join + one exchange of the compressed per-doc rollup, and AQE reuses that stage for the corpus-average census. Integer-microbit weights - exact at any summation order on both engines.",
     "q77_score_calibration" ->
       "Per-source ECDF calibration WITHOUT a corpus window: the 4-dp-quantized score makes the per-source distribution an exact histogram over <= 10^4+1 integer cells, so ONE corpus aggregation builds it, the cumulative window runs over the BOUNDED histogram (|sources| x domain rows - kilobytes at any corpus size), and docs broadcast-join back on (source, cell). The shape survives a trillion-row source because histogram size tracks the score DOMAIN, not the row count.",
+    "q82_cluster_separation" ->
+      "Between-cluster audit off the SAME persisted (label, dim) census as q81 (corpus scanned+exploded once, five cache consumers share one materialization): centroid scatter per label, pairwise centroid distances on labels^2 x dims AUDIT-sized rows with ORDER-PINNED dim folds (sorted-array aggregate - the only double summation), Davies-Bouldin terms on the <= labels-row side. sqrt/div are IEEE-correctly-rounded on identical inputs, so engines agree bit-for-bit.",
     "q81_cluster_dispersion" ->
       "Pairwise statistic WITHOUT pairs: mean pairwise squared distance per cluster via the moment identity sum_{i<j}||xi-xj||^2 = n*sum||xi||^2 - ||sum xi||^2 - ONE corpus scan, ONE explode into the (label, dim) integer census (<= labels x dims groups, the q75 family), a labels-row combine, and int64 arithmetic end-to-end until the final division (order-free: distributed agg order cannot flip a bit). The naive formulation is an O(n^2) self-join; this is O(n d).",
     "q80_dedup_sweep" ->
