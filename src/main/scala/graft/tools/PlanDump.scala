@@ -115,6 +115,8 @@ object PlanDump {
       "DSIR importance resampling: the corpus explodes its unigram+bigram stream ONCE into the persisted (doc, md5-bucket, count) tf table (the keyed persist is load-bearing - without it, filter pushdown specializes the stats and scoring consumers into separate corpus explodes); bucket stats are a <= numBuckets-row aggregation off that cache, the smoothed log-ratio table broadcasts (~KB), scoring is a map-side broadcast join + one exchange of the compressed per-doc rollup, and AQE reuses that stage for the corpus-average census. Integer-microbit weights - exact at any summation order on both engines.",
     "q77_score_calibration" ->
       "Per-source ECDF calibration WITHOUT a corpus window: the 4-dp-quantized score makes the per-source distribution an exact histogram over <= 10^4+1 integer cells, so ONE corpus aggregation builds it, the cumulative window runs over the BOUNDED histogram (|sources| x domain rows - kilobytes at any corpus size), and docs broadcast-join back on (source, cell). The shape survives a trillion-row source because histogram size tracks the score DOMAIN, not the row count.",
+    "q84_feature_hash" ->
+      "Hashing-trick featurizer: ONE explode of the word stream into the (doc, signed md5 bucket) grain, map-side partial aggregation compresses to <= min(words, dim) rows per doc, one per-doc combine. NO vocabulary table and NO join - the hash is the vocabulary, memory O(dim) at any corpus size. The graded face is the q36 audit contract: nnz/L1/L2^2/index-weighted checksum, all integer sums (order-free, engine-exact); the general form returns the bucket-sorted sparse vector for the classifier/embedding stacks.",
     "q83_weighted_sample" ->
       "Exact-size weighted sampling (Efraimidis-Spirakis): key = ln(u)/w with u an md5-derived per-doc uniform and w the quality score, floor-quantized to integer nanos BEFORE ranking (the microbit-family defense against last-ulp ln divergence); the per-source top-k reduces through the bounded TopK aggregator so the one exchange carries <= k x partitions rows per source - never a corpus window. The exact-k cousin of the Bernoulli md5-threshold samplers (q26/q42/q58).",
     "q82_cluster_separation" ->
