@@ -115,6 +115,8 @@ object PlanDump {
       "DSIR importance resampling: the corpus explodes its unigram+bigram stream ONCE into the persisted (doc, md5-bucket, count) tf table (the keyed persist is load-bearing - without it, filter pushdown specializes the stats and scoring consumers into separate corpus explodes); bucket stats are a <= numBuckets-row aggregation off that cache, the smoothed log-ratio table broadcasts (~KB), scoring is a map-side broadcast join + one exchange of the compressed per-doc rollup, and AQE reuses that stage for the corpus-average census. Integer-microbit weights - exact at any summation order on both engines.",
     "q77_score_calibration" ->
       "Per-source ECDF calibration WITHOUT a corpus window: the 4-dp-quantized score makes the per-source distribution an exact histogram over <= 10^4+1 integer cells, so ONE corpus aggregation builds it, the cumulative window runs over the BOUNDED histogram (|sources| x domain rows - kilobytes at any corpus size), and docs broadcast-join back on (source, cell). The shape survives a trillion-row source because histogram size tracks the score DOMAIN, not the row count.",
+    "q85_bigram_surprisal" ->
+      "Sequence-aware perplexity filter: the token stream explodes ONCE with in-row (prev, cur) pairing - no self-join to form bigrams - and compresses immediately to the (doc, prev, cur, tf) grain; bigram/history/unigram model tables all derive FROM that compressed table and attach back by gram keys (vocabulary-sized exchanges, never corpus-token-sized); per-doc sums are integer millibits (order-free). Separates boilerplate from fluent-but-rare text where the unigram q43 cannot.",
     "q84_feature_hash" ->
       "Hashing-trick featurizer: ONE explode of the word stream into the (doc, signed md5 bucket) grain, map-side partial aggregation compresses to <= min(words, dim) rows per doc, one per-doc combine. NO vocabulary table and NO join - the hash is the vocabulary, memory O(dim) at any corpus size. The graded face is the q36 audit contract: nnz/L1/L2^2/index-weighted checksum, all integer sums (order-free, engine-exact); the general form returns the bucket-sorted sparse vector for the classifier/embedding stacks.",
     "q83_weighted_sample" ->
