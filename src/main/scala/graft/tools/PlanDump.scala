@@ -115,6 +115,10 @@ object PlanDump {
       "DSIR importance resampling: the corpus explodes its unigram+bigram stream ONCE into the persisted (doc, md5-bucket, count) tf table (the keyed persist is load-bearing - without it, filter pushdown specializes the stats and scoring consumers into separate corpus explodes); bucket stats are a <= numBuckets-row aggregation off that cache, the smoothed log-ratio table broadcasts (~KB), scoring is a map-side broadcast join + one exchange of the compressed per-doc rollup, and AQE reuses that stage for the corpus-average census. Integer-microbit weights - exact at any summation order on both engines.",
     "q77_score_calibration" ->
       "Per-source ECDF calibration WITHOUT a corpus window: the 4-dp-quantized score makes the per-source distribution an exact histogram over <= 10^4+1 integer cells, so ONE corpus aggregation builds it, the cumulative window runs over the BOUNDED histogram (|sources| x domain rows - kilobytes at any corpus size), and docs broadcast-join back on (source, cell). The shape survives a trillion-row source because histogram size tracks the score DOMAIN, not the row count.",
+    "q86_conversion_funnel" ->
+      "Ordered funnel as ONE window pass: min(CASE purchase THEN t END) over (partition user order by t RANGE 1..gap FOLLOWING) attaches each click's next purchase in-frame - no self-join, no per-user collect; cost is one hash exchange on user_id + per-user sort (the q31 as-of shape), rollup a single global aggregate. The ordered counterpart of q32's containment range join; integer micros keep gap arithmetic exact.",
+    "q87_cohort_retention" ->
+      "Retention matrix: activity compresses to DISTINCT (user, day) first (one exchange - day count per user is calendar-bounded), the first-day aggregate REUSES that partitioning, the cohort attach is a co-partitioned self-join on user_id, and the final aggregate is calendar^2 rows. Integer epoch-day arithmetic.",
     "q85_bigram_surprisal" ->
       "Sequence-aware perplexity filter: the token stream explodes ONCE with in-row (prev, cur) pairing - no self-join to form bigrams - and compresses immediately to the (doc, prev, cur, tf) grain; bigram/history/unigram model tables all derive FROM that compressed table and attach back by gram keys (vocabulary-sized exchanges, never corpus-token-sized); per-doc sums are integer millibits (order-free). Separates boilerplate from fluent-but-rare text where the unigram q43 cannot.",
     "q84_feature_hash" ->
