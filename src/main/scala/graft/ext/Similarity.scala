@@ -291,6 +291,52 @@ object Similarity {
        |FROM ex LEFT JOIN iv USING (query_id, neighbor_id)
        |GROUP BY ex.query_id""".stripMargin
 
+  /** Stream-static ANN alert gate — q20's ingestion-time face (the gate
+    * family): the static corpus' cell structure is summarized ONCE as
+    * exact integer label-centroids (the q81 census — a ≤ |labels|·dims
+    * collect at any corpus size), every ARRIVING vector is assigned to
+    * its nearest centroid cell map-side against the broadcast literal,
+    * and a stateless stream-static equi-join on the cell prunes the
+    * corpus to in-cell candidates before the exact cosine verify — the
+    * IVF recipe, live. Emits (query_id, cell, neighbor_id, sim) for
+    * matches ≥ `minSim`: "this arrival near-duplicates corpus item X" at
+    * ingest, before the arrival lands. Zero streaming aggregation state,
+    * append-composable. At scale the static side should be bucketed by
+    * cell on storage so each micro-batch's join prunes to matching
+    * buckets; frozen-centroid semantics as with every gate (re-fit at
+    * corpus checkpoints). */
+  def annGateStreamStatic(streamEmbeds: DataFrame, staticEmbeds: DataFrame,
+                          minSim: Double = 0.8): DataFrame = {
+    val spark = staticEmbeds.sparkSession
+    CosineSim.register(spark)
+    val census = Dispersion.censusOf(staticEmbeds).collect()
+    val cents: Seq[(Int, Seq[Double])] = census.groupBy(_.getInt(0)).toSeq
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1))
+          .map(r => r.getLong(3).toDouble / r.getLong(2) / 1e6).toSeq }
+      .sortBy(_._1)
+    val corpus = staticEmbeds.select(col("vec_id").as("neighbor_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"), col("label"))
+    val sqDist =
+      "aggregate(zip_with(qv, c._2, (x, y) -> (x - y) * (x - y)), cast(0 AS double), (s, e) -> s + e)"
+    streamEmbeds
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("qv"))
+      .withColumn("_cents", typedLit(cents))
+      // strict < keeps the FIRST minimum; _cents is label-sorted, so ties
+      // break toward the lowest label — deterministic
+      .withColumn("cell", expr(
+        s"""aggregate(_cents, named_struct('l', -1, 'd', cast('Infinity' AS double)),
+           |  (acc, c) -> CASE WHEN $sqDist < acc.d
+           |                   THEN named_struct('l', c._1, 'd', $sqDist)
+           |                   ELSE acc END).l""".stripMargin))
+      .drop("_cents")
+      .join(corpus, col("cell") === col("label"))
+      .withColumn("sim", round(expr("cosine_sim(qv, v)"), 6))
+      .filter(col("sim") >= minSim)
+      .select(col("query_id"), col("cell"), col("neighbor_id"), col("sim"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q19_cosine_topk", cosineTopK, Some(q19Sql)),
     QueryDef("q20_ann_ivf", annIvf, Some(q20Sql)),

@@ -702,6 +702,37 @@ class StreamingSpec extends SparkSpec {
     assert(viaGate == viaBatch, s"gate diverges from q77: $viaGate vs $viaBatch")
   }
 
+  test("stream-static ann gate: arrivals matched against in-cell corpus only == batch, threshold respected") {
+    import graft.ext.Similarity
+    import spark.implicits._
+    // static corpus: cluster 0 near (+1,+1,..), cluster 1 near (-1,-1,..)
+    val corpus = (
+      (1L to 3L).map(i => (i, Array.fill(8)(1.0f), 0)) ++
+      (4L to 6L).map(i => (i, Array.fill(8)(-1.0f), 1))).toDF("vec_id", "embedding", "label")
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      Similarity.annGateStreamStatic(df, corpus, minSim = 0.9)
+    val incoming = Seq(
+      (100L, Array.fill(8)(0.99f)),                     // near-dup of cluster 0 -> 3 alerts
+      (101L, Array(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f)) // orthogonal -> assigned a cell, sim ~0, no alert
+    )
+    val stream = MemoryStream[(Long, Array[Float])]
+    val sq = gate(stream.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("ann_gate")
+      .outputMode("append").start()
+    try {
+      stream.addData(incoming)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = spark.table("ann_gate").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = gate(incoming.toDF("vec_id", "embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed.map(_._1) == Set(100L), s"only the near-dup alerts: $streamed")
+    assert(streamed.size == 3 && streamed.forall(t => t._2 == 0 && t._4 >= 0.9),
+      s"all three cluster-0 neighbors, in-cell only: $streamed")
+  }
+
   test("generator: deterministic for a seed, spike seconds carry elevated error rate") {
     val a = LogGenerator.logs(spark, T0, 120, seed = 1).collect()
     val b = LogGenerator.logs(spark, T0, 120, seed = 1).collect()
