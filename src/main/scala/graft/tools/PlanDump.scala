@@ -115,6 +115,8 @@ object PlanDump {
       "DSIR importance resampling: the corpus explodes its unigram+bigram stream ONCE into the persisted (doc, md5-bucket, count) tf table (the keyed persist is load-bearing - without it, filter pushdown specializes the stats and scoring consumers into separate corpus explodes); bucket stats are a <= numBuckets-row aggregation off that cache, the smoothed log-ratio table broadcasts (~KB), scoring is a map-side broadcast join + one exchange of the compressed per-doc rollup, and AQE reuses that stage for the corpus-average census. Integer-microbit weights - exact at any summation order on both engines.",
     "q77_score_calibration" ->
       "Per-source ECDF calibration WITHOUT a corpus window: the 4-dp-quantized score makes the per-source distribution an exact histogram over <= 10^4+1 integer cells, so ONE corpus aggregation builds it, the cumulative window runs over the BOUNDED histogram (|sources| x domain rows - kilobytes at any corpus size), and docs broadcast-join back on (source, cell). The shape survives a trillion-row source because histogram size tracks the score DOMAIN, not the row count.",
+    "q93_phrase_mining" ->
+      "word2phrase collocations: ONE token explode with in-row (prev, cur) pairing (q85's no-self-join trick), bigram + unigram counts at vocabulary grain off the same stream, PMI as integer microbits from one ln of an exact product-quotient, minCount floor against hapax-PMI noise; the final rank sorts the BOUNDED minCount survivors (vocabulary-scale, never corpus). Word-grain sibling of q70's char-grain BPE census.",
     "q92_event_transitions" ->
       "Markov transition matrix: one user-keyed lag() window pass (the q31/q86 cost class - the per-user ordered traversal IS the semantics, ties broken by (t, event_id) so both engines see the same sequence), then a |types|^2-bounded aggregation; the outgoing-share window runs over THAT bounded table. Summarizes every ordered edge the q86 funnel asks about one at a time.",
     "q91_events_profile" ->
