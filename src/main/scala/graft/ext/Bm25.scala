@@ -43,8 +43,6 @@ object Bm25 {
     (2L, "slow scan filter"),
     (3L, "hash join merge"))
 
-  private case class QTerm(term: String, df: Long)
-
   /** Corpus census for BM25 (pass 1): ONE scan → (N, avgdl, df per query
     * term). The aggregate is vocabulary-bounded (≤ |query terms| + 1 rows
     * at ANY corpus size) so the collect is a census, never data. */
@@ -71,15 +69,21 @@ object Bm25 {
     (nDocs, avgdl, dfMap)
   }
 
-  /** df-annotated query list for the broadcast side of the scoring pass. */
+  /** df-annotated query list for the broadcast side of the scoring pass.
+    * Built as literal `array(struct(term, df))` columns — NOT a case-class
+    * product encoder: an encoder-backed nested type leaks the private class
+    * into the scoring stage's generated code, where Janino cannot resolve
+    * it and the |queries|×corpus hot loop silently falls back to
+    * interpreted evaluation (observed: `CompileException ... QTerm.df()`).
+    * Literal structs deserialize to plain InternalRows, keeping the BNLJ
+    * scoring stage inside whole-stage codegen (CodegenCleanSpec pins it). */
   private def queryFrame(spark: SparkSession, queries: Seq[(Long, String)],
-                         dfMap: Map[String, Long]): DataFrame = {
-    import spark.implicits._
+                         dfMap: Map[String, Long]): DataFrame =
     queries.map { case (qid, text) =>
-      (qid, text.split(' ').distinct.sorted
-        .map(t => QTerm(t, dfMap.getOrElse(t, 0L))).toSeq)
-    }.toDF("query_id", "qts")
-  }
+      val qts = array(text.split(' ').distinct.sorted.map(t =>
+        struct(lit(t).as("term"), lit(dfMap.getOrElse(t, 0L)).as("df"))): _*)
+      spark.range(1).select(lit(qid).as("query_id"), qts.as("qts"))
+    }.reduce(_ unionAll _)
 
   /** Scoring pass (pass 2) over any tokenized frame: BNLJ against the
     * ≤ |queries|-row broadcast, BM25 summed as an in-row fold, truncated

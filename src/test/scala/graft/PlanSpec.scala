@@ -616,6 +616,18 @@ class PlanSpec extends SparkSpec {
       s"ranking must never window over the scored corpus:\n$p")
     assert(countOccurrences(p, "Exchange hashpartitioning") == 1,
       s"only the k-bounded TopK exchange may shuffle:\n$p")
+    // the scoring stage can never be a whole-stage-codegen span — the
+    // score is a higher-order `aggregate`/`filter` fold, and Spark's
+    // CollapseCodegenStages excludes any operator carrying a
+    // CodegenFallback expression. What IS pinnable is the r7 root cause:
+    // a case-class product encoder on the broadcast side leaked a private
+    // JVM class into the stage's generated projection code, Janino failed
+    // to resolve it, and the hot loop silently ran interpreted. The query
+    // frame is now literal array(struct(...)) columns — assert no
+    // encoder-backed deserializer (and no leaked class name) appears in
+    // the scoring plan. CodegenCleanSpec gates the compile itself.
+    assert(!p.contains("QTerm") && !p.contains("DeserializeToObject"),
+      s"broadcast query frame must be literal structs, not an encoder-backed class:\n$p")
   }
 
   test("q75 pca: projection plan is one scan, zero exchanges — the census and iteration ran at construction") {
