@@ -1,0 +1,48 @@
+package graft
+
+/** Checked-in per-query bench floors (seconds, sf0.1, local[32]) — the
+  * machine-readable mirror of BASELINE.md's floor records, keyed by query
+  * prefix. Bench reads this to emit its truncation-proof summary line
+  * (worst-vs-floor top-5), so the verdict-relevant facts survive a driver
+  * log-capture window that drops the long per-query JSON tail (BENCH_r07
+  * lost q01–q35 this way).
+  *
+  * Provenance: each value is the min across all recorded full-cold
+  * `graft.Bench` measurements in BASELINE.md (rounds 2–8); where a floor
+  * was re-adjudicated (q37 stale-floor note, q66 round-8 quiet-host run)
+  * the adjudicated value is used. A query missing here (newly added this
+  * round) simply doesn't participate in the ratio summary until its floor
+  * is recorded.
+  */
+object Floors {
+  val sf01: Map[String, Double] = Map(
+    "q01" -> 0.18, "q02" -> 0.44, "q03" -> 0.16, "q04" -> 0.31,
+    "q05" -> 0.34, "q06" -> 0.59, "q07" -> 0.13, "q08" -> 0.57,
+    "q09" -> 0.23, "q10" -> 0.67, "q11" -> 0.17, "q12" -> 0.64,
+    "q13" -> 0.20, "q14" -> 0.95, "q15" -> 0.21, "q16" -> 0.11,
+    "q17" -> 0.12, "q18" -> 0.09, "q19" -> 0.38, "q20" -> 0.40,
+    "q21" -> 0.25, "q22" -> 0.16, "q23" -> 0.14, "q24" -> 0.15,
+    "q25" -> 0.12, "q26" -> 0.18, "q27" -> 0.22, "q28" -> 0.27,
+    "q29" -> 0.50, "q30" -> 0.30, "q31" -> 0.16, "q32" -> 0.19,
+    "q33" -> 0.18, "q34" -> 0.13, "q35" -> 0.31, "q36" -> 0.17,
+    "q37" -> 1.04, "q38" -> 1.82, "q39" -> 0.74, "q40" -> 0.21,
+    "q41" -> 0.58, "q42" -> 0.35, "q43" -> 0.89, "q44" -> 0.94,
+    "q45" -> 0.18, "q46" -> 0.64, "q47" -> 0.30, "q48" -> 1.61,
+    "q49" -> 0.11, "q50" -> 0.61, "q51" -> 1.58, "q52" -> 4.65,
+    "q53" -> 1.54, "q54" -> 0.09, "q55" -> 1.44, "q56" -> 1.62,
+    "q57" -> 0.55, "q58" -> 0.15, "q59" -> 0.32, "q60" -> 1.62,
+    "q61" -> 3.63, "q62" -> 2.14, "q63" -> 0.54, "q64" -> 0.75,
+    "q65" -> 0.32, "q66" -> 0.30, "q67" -> 1.58, "q68" -> 0.23,
+    "q69" -> 0.10, "q70" -> 0.15, "q71" -> 0.57, "q72" -> 0.23,
+    "q73" -> 0.33, "q74" -> 1.11, "q75" -> 1.54, "q76" -> 2.53,
+    "q77" -> 0.52, "q78" -> 0.27, "q79" -> 1.33, "q80" -> 1.70,
+    "q81" -> 0.32, "q82" -> 0.69, "q83" -> 0.71, "q84" -> 0.75,
+    "q85" -> 1.66, "q86" -> 0.29, "q87" -> 0.43, "q88" -> 0.77,
+    "q89" -> 0.34, "q90" -> 1.14, "q91" -> 0.40, "q92" -> 0.55,
+    "q93" -> 1.55)
+
+  /** Floor for a full query name ("q44_source_divergence" → the "q44"
+    * prefix entry), if recorded. */
+  def forQuery(name: String): Option[Double] =
+    sf01.get(name.takeWhile(_ != '_'))
+}

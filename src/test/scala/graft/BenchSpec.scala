@@ -35,4 +35,25 @@ class BenchSpec extends SparkSpec {
       "a" -> ok, "b" -> ok))
     assert(timings.map(_._1) == Seq("a", "b") && errors.isEmpty)
   }
+
+  test("a failing query short-circuits its remaining reps") {
+    // construction-time counter: each rep invokes the builder once, so a
+    // 5-rep run that stops on the first failure builds exactly once
+    var builds = 0
+    val failAtBuild: (SparkSession, String) => DataFrame =
+      (s, _) => { builds += 1; s.range(1).select(col("no_such_column")) }
+    val (timings, errors) =
+      Bench.timeQueries(spark, sf0001, Seq("always_bad" -> failAtBuild), reps = 5)
+    assert(timings.isEmpty && errors.map(_._1) == Seq("always_bad"))
+    assert(builds == 1, s"expected 1 attempt before short-circuit, got $builds")
+  }
+
+  test("Floors covers every registered query prefix") {
+    // the summary line's ratio set silently skips unfloored queries — keep
+    // the table in lockstep with the registry so a new query without a
+    // recorded floor is a visible test failure, not a silent coverage gap
+    val missing = graft.oracle.Registry.all.map(_.name)
+      .filter(n => Floors.forQuery(n).isEmpty)
+    assert(missing.isEmpty, s"queries without a recorded floor: $missing")
+  }
 }
