@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
 object Containment {
 
   /** (doc_a, doc_b, inter, cont_a, cont_b): pairs with
-    * max(containment) ≥ minNum/minDen; cont_x = inter/|x| rounded 4 dp. */
+    * max(containment) ≥ minNum/minDen; cont_x = inter/|x| floor-truncated
+    * to 4 dp. */
   def containmentOf(docs: DataFrame, minNum: Int = 1, minDen: Int = 2,
                     dfCap: Int = TextOps.DefaultDfCap): DataFrame =
     TextOps.shingleArr(docs, distinct = true)
@@ -36,9 +37,14 @@ object Containment {
       .agg(count(lit(1)).as("inter"))
       // integer predicate: max containment = inter / min(na, nb)
       .filter(col("inter") * minDen >= least(col("na"), col("nb")) * minNum)
+      // floor-truncation, not round: inter/n can land exactly on a 4-dp
+      // half boundary (inter·10⁴ ≡ n/2 (mod n), reachable whenever n is
+      // even), where Spark's shortest-decimal HALF_UP and DuckDB's
+      // binary-double rounding may disagree; floor(x·1e4)/1e4 on the
+      // identical double is bit-deterministic (the quality_score idiom)
       .select(col("doc_a"), col("doc_b"), col("inter"),
-        round(col("inter") / col("na"), 4).as("cont_a"),
-        round(col("inter") / col("nb"), 4).as("cont_b"))
+        (floor(col("inter") / col("na") * 1e4) / 1e4).as("cont_a"),
+        (floor(col("inter") / col("nb") * 1e4) / 1e4).as("cont_b"))
 
   // ---------------------------------------------------------------- q90
   def q90(spark: SparkSession, sfDir: String): DataFrame =
@@ -52,8 +58,8 @@ object Containment {
        |          JOIN ok ON ok.s = a.s
        |          GROUP BY doc_a, doc_b)
        |SELECT doc_a, doc_b, inter,
-       |       round(inter / ca.n, 4) AS cont_a,
-       |       round(inter / cb.n, 4) AS cont_b
+       |       floor(inter / ca.n * 10000) / 10000 AS cont_a,
+       |       floor(inter / cb.n * 10000) / 10000 AS cont_b
        |FROM inter
        |JOIN shcnt ca ON ca.doc_id = doc_a
        |JOIN shcnt cb ON cb.doc_id = doc_b

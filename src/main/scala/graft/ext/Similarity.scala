@@ -323,13 +323,17 @@ object Similarity {
       .select(col("vec_id").as("query_id"),
         expr("transform(embedding, x -> cast(x AS double))").as("qv"))
       .withColumn("_cents", typedLit(cents))
-      // strict < keeps the FIRST minimum; _cents is label-sorted, so ties
-      // break toward the lowest label — deterministic
+      // distance computed ONCE per centroid (transform), then a cheap
+      // argmin fold — inlining the fold into both the CASE condition and
+      // its THEN branch would evaluate the full per-centroid distance
+      // twice per arriving vector on the streaming hot path. Strict <
+      // keeps the FIRST minimum; _cents is label-sorted, so ties break
+      // toward the lowest label — deterministic
       .withColumn("cell", expr(
-        s"""aggregate(_cents, named_struct('l', -1, 'd', cast('Infinity' AS double)),
-           |  (acc, c) -> CASE WHEN $sqDist < acc.d
-           |                   THEN named_struct('l', c._1, 'd', $sqDist)
-           |                   ELSE acc END).l""".stripMargin))
+        s"""aggregate(
+           |  transform(_cents, c -> named_struct('l', c._1, 'd', $sqDist)),
+           |  named_struct('l', -1, 'd', cast('Infinity' AS double)),
+           |  (acc, c) -> CASE WHEN c.d < acc.d THEN c ELSE acc END).l""".stripMargin))
       .drop("_cents")
       .join(corpus, col("cell") === col("label"))
       .withColumn("sim", round(expr("cosine_sim(qv, v)"), 6))
