@@ -733,6 +733,82 @@ class StreamingSpec extends SparkSpec {
       s"all three cluster-0 neighbors, in-cell only: $streamed")
   }
 
+  test("ST1 at scale: 100k-window shuffled multi-batch replay == one-shot batch (emissions identical)") {
+    // The §5.3 batch-replay property, hardened: 50 services × 2 000
+    // windows arriving over 10 micro-batches. Batches partition the
+    // timeline in order (per-key cross-batch monotonicity is the
+    // operator's contract — the lastWindowStart guard DROPS out-of-order
+    // replays by design), but arrival WITHIN each batch is fully shuffled
+    // across services and windows, so every micro-batch exercises the
+    // in-batch sort + state handoff across a 10 000-row slice. A sort or
+    // state regression that only shows under real interleaving volume
+    // fails here, not in the 9-row unit tests above.
+    import spark.implicits._
+    val services = (0 until 50).map(i => f"svc-$i%02d")
+    val nWin = 2000
+    val batches = 10
+    val rnd = new scala.util.Random(4242)
+    // ~55% breach rate: runs of 3+ are frequent, healthy resets interleave
+    val p95 = Array.tabulate(services.size, nWin)((_, _) =>
+      if (rnd.nextDouble() < 0.55) 150.0 else 50.0)
+    def win(s: Int, i: Int) =
+      P95Window(services(s), T0 + i * 60L, T0 + (i + 1) * 60L, p95(s)(i))
+    val stream = MemoryStream[P95Window]
+    val sq = BreachDetector.detect(stream.toDS())
+      .writeStream.format("memory").queryName("replay_st1").outputMode("update").start()
+    try {
+      val perBatch = nWin / batches
+      for (b <- 0 until batches) {
+        val slice = for (s <- services.indices; i <- b * perBatch until (b + 1) * perBatch)
+          yield win(s, i)
+        stream.addData(rnd.shuffle(slice))
+        sq.processAllAvailable() // one micro-batch per timeline slice
+      }
+    } finally sq.stop()
+    val streamed = spark.table("replay_st1").as[IncidentAlert].collect()
+    val all = for (s <- services.indices; i <- 0 until nWin) yield win(s, i)
+    val oneShot = BreachDetector.detect(rnd.shuffle(all).toDS()).collect()
+    assert(streamed.length == oneShot.length && streamed.toSet == oneShot.toSet,
+      s"streaming ${streamed.length} alerts != batch ${oneShot.length}")
+    // sanity: the volume actually produced emissions (not a vacuous pass)
+    assert(streamed.length > 1000, s"expected a dense alert stream, got ${streamed.length}")
+  }
+
+  test("ST2 at scale: 100k-alert shuffled multi-batch replay == one-shot batch (same alerts tagged)") {
+    // ST2's face of the same property: counters span 10 micro-batches of
+    // 10 000 shuffled alerts; the deterministic (window_start, incident_id)
+    // in-batch sort must tag EXACTLY the one-shot batch's every-3rd alerts.
+    import spark.implicits._
+    val services = (0 until 50).map(i => f"svc-$i%02d")
+    val nAlerts = 2000
+    val batches = 10
+    val rnd = new scala.util.Random(2424)
+    def mk(s: String, i: Int) = IncidentAlert(f"inc-$s-$i%04d", s, "ERROR_RATE_SPIKE",
+      "HIGH", None, None, T0 + i * 10L, T0 + i * 10L + 20, Some(0.05), Some(200L))
+    val stream = MemoryStream[IncidentAlert]
+    val sq = Escalator.escalate(stream.toDS(), ttlMs = None)
+      .writeStream.format("memory").queryName("replay_st2").outputMode("update").start()
+    try {
+      val perBatch = nAlerts / batches
+      for (b <- 0 until batches) {
+        val slice = for (s <- services; i <- b * perBatch until (b + 1) * perBatch)
+          yield mk(s, i)
+        stream.addData(rnd.shuffle(slice))
+        sq.processAllAvailable()
+      }
+    } finally sq.stop()
+    val streamed = spark.table("replay_st2").as[EscalationEvent].collect()
+    val all = for (s <- services; i <- 0 until nAlerts) yield mk(s, i)
+    val oneShot = Escalator.escalate(rnd.shuffle(all).toDS(), ttlMs = None).collect()
+    assert(streamed.length == services.size * nAlerts, "passthrough: every alert forwarded")
+    assert(streamed.toSet == oneShot.toSet, "streaming tags != batch tags")
+    val escalated = streamed.filter(_.severity == "ESCALATED")
+    // every 3rd alert per service, by construction of the counter
+    assert(escalated.length == services.size * (nAlerts / 3),
+      s"expected ${services.size * (nAlerts / 3)} escalations, got ${escalated.length}")
+    assert(escalated.forall(_.escalation_reason.contains("MULTIPLE_INCIDENTS")))
+  }
+
   test("generator: deterministic for a seed, spike seconds carry elevated error rate") {
     val a = LogGenerator.logs(spark, T0, 120, seed = 1).collect()
     val b = LogGenerator.logs(spark, T0, 120, seed = 1).collect()
