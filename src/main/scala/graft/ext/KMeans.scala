@@ -124,6 +124,11 @@ object KMeans {
     assign(pts, fit(pts, k, iters))
   }
 
+  /** [[assignments]] over a pre-quantized (vec_id, q) frame (PQ's
+    * per-subspace coder slices one shared quantized corpus). */
+  def assignmentsQuantized(pts: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    assign(pts, fit(pts, k, iters))
+
   /** General form over any (vec_id, embedding array<float>) frame:
     * k-means with `iters` Lloyd rounds from the deterministic seed
     * (the k smallest vec_ids — contiguity NOT required; labels are the
@@ -146,6 +151,15 @@ object KMeans {
     // one per call for the session lifetime (Tables.swapPersist scaladoc).
     val pts = if (cachePoints) Tables.swapPersist("kmeans_points", quantize(embeds))
               else quantize(embeds)
+    kmeansOfQuantized(pts, k, iters, checkpointEvery)
+  }
+
+  /** [[kmeansOf]] over an already-quantized (vec_id, q) frame — the entry
+    * point for callers that slice or cache the quantized corpus themselves
+    * (PQ fits one model PER SUBSPACE off one shared quantized frame; a
+    * per-fit cachePoints would thrash the single persist key). */
+  def kmeansOfQuantized(pts: DataFrame, k: Int = 8, iters: Int = 2,
+                        checkpointEvery: Int = 5): DataFrame = {
     val cents = fit(pts, k, iters, checkpointEvery)
     val checksums = cents.select(col("cid").as("ccid"), expr(
       "aggregate(zip_with(cvec, sequence(1L, CAST(size(cvec) AS BIGINT)), (x, i) -> x * i), 0L, (s, x) -> s + x)")
@@ -198,11 +212,12 @@ object KMeans {
     * vec_ids are dense, so `vec_id < k` ≡ the k smallest), `iters` Lloyd
     * rounds, and the final assignment `fin` (carrying q for per-cluster
     * consumers like q53). Used by q51Sql and SemDeDup's oracle. */
-  private[graft] def duckFitCtes(k: Int, iters: Int, dim: Int): String = {
+  private[graft] def duckFitCtes(k: Int, iters: Int, dim: Int,
+                                 srcExpr: String = "embedding"): String = {
     val rounds = (1 to iters).map(i => duckRound(i, if (i == 1) "c0" else s"c${i - 1}", dim))
     s"""pts AS (
        |  SELECT vec_id,
-       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+       |         list_transform($srcExpr, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
        |  FROM embeddings),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, q AS cvec FROM pts WHERE vec_id < $k),
        |${rounds.mkString(",\n")},

@@ -39,7 +39,14 @@ object TextOps {
 
   /** Same shingling over any (doc_id, text) frame — the reusable form the
     * curation operators bind to arbitrary corpora. */
-  def shingleArr(docs: DataFrame, distinct: Boolean): DataFrame = {
+  def shingleArr(docs: DataFrame, distinct: Boolean): DataFrame =
+    shingleArrWith(docs, distinct, Nil)
+
+  /** [[shingleArr]] with passthrough columns (e.g. `source` for the KMV
+    * cross-source sketches) — same map-side shape, no extra join to
+    * re-attach document metadata afterwards. */
+  def shingleArrWith(docs: DataFrame, distinct: Boolean,
+                     extra: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     // InferFiltersFromGenerate turns a downstream explode(sarr) into a
     // `size(sarr) > 0 AND isnotnull(sarr)` filter that predicate pushdown
@@ -58,11 +65,12 @@ object TextOps {
     // to the transform(sequence(...)) HOF chain it replaced, ~1 JVM call
     // per document instead of ~3 interpreted lambda evals per shingle
     val arr = "word_ngrams(ws, 3)"
+    val keep = col("doc_id") +: extra.map(col)
     Tables.fanned(docs)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select((keep :+ split(col("text"), " ").as("ws")): _*)
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"),
-        expr(if (distinct) s"array_distinct($arr)" else arr).as("sarr"))
+      .select((keep :+
+        expr(if (distinct) s"array_distinct($arr)" else arr).as("sarr")): _*)
   }
 
   /** Exploded distinct shingle rows (inverted-index feed). */

@@ -115,6 +115,12 @@ object PlanDump {
       "DSIR importance resampling: the corpus explodes its unigram+bigram stream ONCE into the persisted (doc, md5-bucket, count) tf table (the keyed persist is load-bearing - without it, filter pushdown specializes the stats and scoring consumers into separate corpus explodes); bucket stats are a <= numBuckets-row aggregation off that cache, the smoothed log-ratio table broadcasts (~KB), scoring is a map-side broadcast join + one exchange of the compressed per-doc rollup, and AQE reuses that stage for the corpus-average census. Integer-microbit weights - exact at any summation order on both engines.",
     "q77_score_calibration" ->
       "Per-source ECDF calibration WITHOUT a corpus window: the 4-dp-quantized score makes the per-source distribution an exact histogram over <= 10^4+1 integer cells, so ONE corpus aggregation builds it, the cumulative window runs over the BOUNDED histogram (|sources| x domain rows - kilobytes at any corpus size), and docs broadcast-join back on (source, cell). The shape survives a trillion-row source because histogram size tracks the score DOMAIN, not the row count.",
+    "q94_kmv_overlap" ->
+      "Sketch-based source overlap: the only corpus-sized work is map-side shingle hashing; the MinKDistinct aggregator's reduce runs per-partition, so the single exchange carries <= k longs per (source x partition) - de-dup happens INSIDE the bounded buffer (a duplicate is either still buffered -> skipped, or >= the buffer max after eviction -> skipped), no (source, hash) distinct shuffle exists. The pair matrix is a |sources|^2 census over <= k-element arrays (broadcast, array functions only). Integer Jaccard-bp + KMV union estimator - hash-exact vs DuckDB despite being an ESTIMATOR, because the estimate is a deterministic function of the deterministic sketch.",
+    "q95_zorder_layout" ->
+      "Multi-column skipping layout: quantize (1-row min/max census broadcast) + Morton shift/mask ladder are pure integer map-side work inside codegen; ONE exchange on the 64-key bucket grain with map-side partials. The audit grades the curve by per-bucket spans in BOTH dimensions - the single-key sort leaves dim 2 unconstrained (spec asserts z beats it); layoutBy is the write path (range-partition + sort on the SAME z value), so OPTIMIZE-ZORDER-style file clustering and its quality audit share one curve definition.",
+    "q98_pq_codebook" ->
+      "IVF-PQ memory side: the corpus quantizes ONCE behind a keyed persist; each of the M subspace Lloyd fits slices the CACHED frame (slice-of-quantize == quantize-of-slice), assignments stay map-side against k-row broadcast centroids, updates exchange (cid x subdim) partials - 1 scan + M*(iters+1) cache reads, never M re-scans. Census output is M x k rows. The integer-exact Lloyd kernel makes even this iterative codebook build hash-exact vs a 4-Lloyd-loop DuckDB oracle; pqCodesOf emits the M-code words (2 bytes/vector at the default geometry) that let a 100 TB index live in executor memory.",
     "q93_phrase_mining" ->
       "word2phrase collocations: ONE token explode with in-row (prev, cur) pairing (q85's no-self-join trick), bigram + unigram counts at vocabulary grain off the same stream, PMI as integer microbits from one ln of an exact product-quotient, minCount floor against hapax-PMI noise; the final rank sorts the BOUNDED minCount survivors (vocabulary-scale, never corpus). Word-grain sibling of q70's char-grain BPE census.",
     "q92_event_transitions" ->
