@@ -102,6 +102,54 @@ object KmvSketch {
           s"ELSE (CAST(k_used - 1 AS BIGINT) * ${1L << 52}) div kth END").as("union_est"))
   }
 
+  /** Global (all-source) bottom-k distinct sketch as one sorted array —
+    * exact: any member of the global bottom-k is within its own source's
+    * bottom-k (its source sees strictly fewer smaller hashes than the
+    * global set does), so one aggregation over the hash stream suffices. */
+  def corpusSketch(staticDocs: DataFrame, k: Int = K): Array[Long] = {
+    val sh = graft.ext.TextOps.shingleArr(staticDocs, distinct = true)
+    val hashed = sh.select(col("doc_id"), explode(col("sarr")).as("s"))
+      .select(expr(nibVal("md5(concat('kmv|', s))", 13, duck = false)).as("h"))
+    val mink = udaf(new MinKDistinct(k), Encoders.scalaLong)
+    hashed.agg(mink(col("h")).as("sk")).collect()(0).getAs[Seq[Long]]("sk").toArray
+  }
+
+  /** Stream-static KMV novelty gate — the ingestion-time face of q94:
+    * freeze the corpus' global bottom-k sketch once (k longs, a literal),
+    * then estimate each ARRIVING doc's containment in the corpus'
+    * distinct-shingle set entirely map-side: of the doc's hashes landing
+    * at or below the sketch max h_k, the fraction present in the sketch
+    * is an unbiased containment estimate (hashes ≤ h_k from the corpus
+    * ARE the sketch, by definition — so a fully-contained doc scores
+    * exactly 10000 bp, never approximately). No streaming state, no
+    * aggregation: composes into append-mode chains like the BM25/
+    * calibration/ANN gates.
+    *
+    * Verdict columns: n_shingles, n_low (hashes ≤ h_k — the evidence
+    * count; 0 = too small/too distinctive to judge → is_novel NULL),
+    * n_hit, containment_bp, is_novel (containment below `noveltyBp`). */
+  def kmvGateStreamStatic(streamDocs: DataFrame, staticDocs: DataFrame,
+                          k: Int = K, noveltyBp: Long = 5000): DataFrame = {
+    val sk = corpusSketch(staticDocs, k)
+    require(sk.nonEmpty, "static corpus produced an empty sketch")
+    val hmax = sk.last
+    graft.functions.TextExprs.register(streamDocs.sparkSession)
+    streamDocs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("sarr", expr("array_distinct(word_ngrams(ws, 3))"))
+      .withColumn("hs", expr(
+        s"transform(transform(sarr, s -> md5(concat('kmv|', s))), m -> ${nibVal("m", 13, duck = false)})"))
+      .withColumn("_sk", typedLit(sk.toSeq))
+      .withColumn("low", expr(s"filter(hs, h -> h <= ${hmax}L)"))
+      .withColumn("n_low", size(col("low")).cast("long"))
+      .withColumn("n_hit", expr("CAST(size(array_intersect(low, _sk)) AS BIGINT)"))
+      .select(col("doc_id"),
+        size(col("sarr")).cast("long").as("n_shingles"),
+        col("n_low"), col("n_hit"),
+        expr("CASE WHEN n_low = 0 THEN NULL ELSE (n_hit * 10000) div n_low END").as("containment_bp"),
+        expr(s"CASE WHEN n_low = 0 THEN NULL ELSE (n_hit * 10000) div n_low < $noveltyBp END").as("is_novel"))
+  }
+
   private val q94Sql = {
     val nib = nibVal("md5('kmv|' || s)", 13, duck = true)
     s"""WITH docsw AS (SELECT source, string_split(text, ' ') AS ws FROM documents),

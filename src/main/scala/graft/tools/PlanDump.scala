@@ -132,7 +132,7 @@ object PlanDump {
     "q89_latency_quantiles" ->
       "Percentiles that scale: exact discrete p50/p90/p99 on the 0.1ms-quantized grid from a BOUNDED histogram - one corpus aggregation into (service, cell) with map-side partials (the only corpus-sized exchange), then cumulative + pick windows over O(|grid|) rows per service. Completes the percentile story: q03 is exact-but-buffering (the reference's own memory hazard), q24 is mergeable-but-approximate, THIS is exact on a declared grid with state independent of row count.",
     "q88_decayed_counts" ->
-      "Exponential-decay ranking: one corpus scan into a 1-row newest-event census (broadcast back), per-event decay weights quantized to integer micro-units map-side (pow on identical doubles both engines, then order-free int64 sums), a |services|-bounded aggregation persisted once for its two consumers. No window, no corpus-keyed join - recency ranking at a flat two-scan cost.",
+      "Exponential-decay ranking: one corpus scan into a 1-row newest-event census (broadcast back), per-event decay weights computed map-side with NO libm - exponent quantized to milli-half-lives, weight = shared 1000-entry exp2 table lookup + integer right-shift, the table embedded as the SAME literal in both engines' plans - then order-free int64 sums into a |services|-bounded aggregation persisted once for its two consumers. No window, no corpus-keyed join - recency ranking at a flat two-scan cost.",
     "q86_conversion_funnel" ->
       "Ordered funnel as ONE window pass: min(CASE purchase THEN t END) over (partition user order by t RANGE 1..gap FOLLOWING) attaches each click's next purchase in-frame - no self-join, no per-user collect; cost is one hash exchange on user_id + per-user sort (the q31 as-of shape), rollup a single global aggregate. The ordered counterpart of q32's containment range join; integer micros keep gap arithmetic exact.",
     "q87_cohort_retention" ->

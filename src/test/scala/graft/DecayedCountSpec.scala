@@ -20,6 +20,22 @@ class DecayedCountSpec extends SparkSpec {
     assert(out("b") == (1L, 250000L, 1428L), s"service b: $out")     // 25e4; share 25/175
   }
 
+  test("q88: exp2 table boundary cells are pinned (no libm in the weight path)") {
+    val tab = DecayedCount.Exp2MicroTab
+    assert(tab.length == 1000)
+    assert(tab(0) == 1000000L)      // 2^0
+    assert(tab(500) == 707107L)     // round(2^-0.5 * 1e6) = round(707106.78)
+    assert(tab(999) == 500347L)     // one grid step above a full halving
+    assert(tab.zip(tab.tail).forall { case (a, b) => a > b }, "strictly decreasing")
+    // a non-multiple age runs through table + shift: age = 1.5 half-lives
+    val hl = 3600000000L
+    val out = DecayedCount.decayedCountsOf(ev(Seq(
+      ("a", 3 * hl / 2), ("b", 0L))), col("t"), halfLifeUs = hl).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("a") == 1000000L, s"anchor event: $out")
+    assert(out("b") == tab(500) / 2, s"1.5 half-lives = TAB(500) div 2: $out")
+  }
+
   test("q88: recency beats raw volume (a fresh burst outranks an old flood)") {
     val hl = 3600000000L
     // 10 old events (age 10 half-lives) vs 2 fresh ones

@@ -9,6 +9,8 @@ import org.scalacheck.{Gen, rng}
   * count hashes under any arrival order or partial-merge split. */
 class KmvSketchSpec extends SparkSpec {
 
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
   private def brute(xs: Seq[Long], k: Int): Seq[Long] =
     xs.distinct.sorted.take(k)
 
@@ -52,6 +54,39 @@ class KmvSketchSpec extends SparkSpec {
       assert(bp >= 0 && bp <= 10000)
       assert(r.getAs[Long]("union_est") >= 0)
     }
+  }
+
+  test("KMV novelty gate: stream == batch; corpus members score exactly 10000 bp") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val mk = (ws: Seq[String]) => ws.mkString(" ")
+    val corpus = Seq(
+      (1L, mk((1 to 30).map(i => s"w$i"))),
+      (2L, mk((20 to 60).map(i => s"w$i")))).toDF("doc_id", "text")
+    def gate(docs: org.apache.spark.sql.DataFrame) =
+      graft.ops.KmvSketch.kmvGateStreamStatic(docs, corpus)
+    val incoming = Seq(
+      (10L, mk((5 to 25).map(i => s"w$i"))),   // subset of corpus → 10000 bp
+      (11L, mk((1 to 30).map(i => s"x$i"))),   // disjoint vocabulary → novel
+      (12L, "a b"))                            // < 3 words → no evidence
+    val stream = MemoryStream[(Long, String)]
+    val sq = gate(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("kmv_gate")
+      .outputMode("append").start()
+    try {
+      stream.addData(incoming)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = spark.table("kmv_gate").collect().map(_.toSeq).toSet
+    val batch = gate(incoming.toDF("doc_id", "text")).collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty, s"stream $streamed != batch $batch")
+    val byId = batch.map(s => s.head.asInstanceOf[Long] -> s).toMap
+    // doc 10: every shingle is a corpus shingle → hashes ≤ h_k are exactly
+    // sketch members → containment is EXACTLY 10000 (if any evidence)
+    val d10 = byId(10L)
+    if (d10(2).asInstanceOf[Long] > 0) assert(d10(4) == 10000L, s"$d10")
+    assert(byId(11L)(5) == true, "disjoint doc must flag novel")
+    assert(byId(12L)(4) == null && byId(12L)(5) == null, "no-evidence doc stays NULL")
   }
 
   test("q94 sketch exchange carries bounded buffers (map-side partial agg)") {
