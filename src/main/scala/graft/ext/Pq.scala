@@ -68,6 +68,111 @@ object Pq {
         sum(col("dist")).as("distortion"))
   }
 
+  // ---------------------------------------------------------------- q99
+  /** IVF-PQ ANN search with asymmetric distance (ADC): candidates are
+    * pruned to the query's coarse cell (`label`, q20's convention — the
+    * offline coarse quantizer stand-in), but scored against the PQ
+    * COMPRESSED corpus: each candidate contributes only its M code ids,
+    * and the distance is Σ_s ‖q_s − codebook_s[code_s(v)]‖² — the
+    * query-side centroid distances play the role of the ADC lookup
+    * tables (table lookup ≡ direct centroid distance, and the latter is
+    * what the oracle can express). Top-3 per query by (adc, vec_id).
+    *
+    * This is the read path q98 builds the memory layout for: at 100 TB
+    * the scoring join carries (vec_id, label, 4 small ints) per
+    * candidate — never the 64-dim float vector — and the codebooks ride
+    * along as a 4×16×16-int literal (~4 KB). All-integer distances →
+    * hash-exact oracle despite five k-means models in the plan.
+    *
+    * Scale shape: one persisted quantized corpus; M fits (k-row
+    * checkpointed centroids); corpus codes form via M map-side
+    * assignments UNION'd into ONE (vec_id, subspace, cid) exchange;
+    * the 20-query frame broadcasts onto the label-pruned candidates;
+    * the ADC fold is in-row; the bounded TopK aggregator ships ≤ k rows
+    * per (query × partition). Centroid collects are ≤ Codes-row
+    * censuses. */
+  def q99(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.agg.TopK
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val p = Tables.swapPersist("q99_pts", KMeans.quantize(emb))
+    val labels = emb.select(col("vec_id").as("lv"), col("label"))
+
+    // per-subspace codebooks: DataFrame for the assignment pass + a dense
+    // cid-indexed literal for the in-row ADC fold (cids are the k smallest
+    // vec_ids — dense 0..Codes-1 on the fixtures; assert, don't assume)
+    val fitted = (0 until M).map { s =>
+      val cents = KMeans.fit(subPts(p, s), Codes, Iters)
+      val rows = cents.collect()
+      val byCid = rows.map(r => r.getInt(0) -> r.getAs[scala.collection.Seq[Long]]("cvec").toSeq).toMap
+      require(byCid.keySet == (0 until Codes).toSet,
+        s"subspace $s centroid ids not dense 0..${Codes - 1}: ${byCid.keySet}")
+      (cents, (0 until Codes).map(byCid))
+    }
+    val centsLit = typedLit(fitted.map(_._2.map(_.toSeq)))
+
+    // corpus PQ codes: M map-side assignments → ONE exchange on vec_id
+    val codes = (0 until M).map { s =>
+      KMeans.assign(subPts(p, s), fitted(s)._1)
+        .select(col("vec_id"), lit(s).as("s"), col("cid"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, cid))), x -> x.cid)").as("codes"))
+
+    val queries = p.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"),
+        expr(s"transform(sequence(0, ${M - 1}), s -> slice(q, s * $SubDim + 1, $SubDim))").as("qarr"))
+      .join(labels, col("query_id") === col("lv"))
+      .select(col("query_id"), col("qarr"), col("label").as("qlabel"))
+
+    val adcExpr =
+      s"""aggregate(sequence(0, ${M - 1}), 0L, (acc, s) -> acc +
+         |  aggregate(zip_with(
+         |      element_at(qarr, CAST(s + 1 AS INT)),
+         |      element_at(element_at(_cents, CAST(s + 1 AS INT)),
+         |                 CAST(element_at(codes, CAST(s + 1 AS INT)) + 1 AS INT)),
+         |      (x, y) -> (x - y) * (x - y)),
+         |    0L, (acc2, x) -> acc2 + x))""".stripMargin
+
+    codes.join(labels, col("vec_id") === col("lv"))
+      .join(broadcast(queries),
+        col("qlabel") === col("label") && col("query_id") =!= col("vec_id"))
+      .withColumn("_cents", centsLit)
+      .withColumn("adc", expr(adcExpr))
+      .groupBy(col("query_id"), col("label"))
+      .agg(TopK(3)(-col("adc").cast("double"), col("vec_id")).as("top"))
+      .select(col("query_id"), col("label"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("label").cast("long").as("cell"),
+        col("t.id").as("neighbor_id"), (col("pos") + 1).cast("long").as("rank"),
+        (-col("t.score")).cast("long").as("adc_dist"))
+  }
+
+  private def q99Sql: String = {
+    val blocks = (0 until M).map { s =>
+      val a = s * SubDim + 1
+      val b = (s + 1) * SubDim
+      s"""(WITH ${KMeans.duckFitCtes(Codes, Iters, SubDim, s"embedding[$a:$b]")},
+         |qq AS (SELECT vec_id AS query_id, q AS qv FROM pts WHERE vec_id < 20)
+         |SELECT qq.query_id, f.vec_id,
+         |       CAST(list_sum(list_transform(range(1, ${SubDim + 1}),
+         |         j -> (qq.qv[j] - c.cvec[j]) * (qq.qv[j] - c.cvec[j]))) AS BIGINT) AS d2
+         |FROM fin f JOIN c$Iters c ON f.cid = c.cid CROSS JOIN qq)""".stripMargin
+    }
+    s"""WITH lab AS (SELECT vec_id, label FROM embeddings),
+       |u AS (${blocks.mkString("\nUNION ALL\n")}),
+       |a AS (SELECT query_id, vec_id, CAST(sum(d2) AS BIGINT) AS adc
+       |      FROM u GROUP BY query_id, vec_id),
+       |cand AS (SELECT a.query_id, CAST(ev.label AS BIGINT) AS cell, a.vec_id, a.adc
+       |         FROM a JOIN lab ev ON a.vec_id = ev.vec_id
+       |                JOIN lab eq ON a.query_id = eq.vec_id AND ev.label = eq.label
+       |         WHERE a.query_id != a.vec_id),
+       |r AS (SELECT query_id, cell, vec_id AS neighbor_id, adc,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+       |      FROM cand)
+       |SELECT query_id, cell, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |       adc AS adc_dist
+       |FROM r WHERE rank <= 3""".stripMargin
+  }
+
   private def q98Sql: String = {
     val blocks = (0 until M).map { s =>
       val a = s * SubDim + 1
@@ -87,6 +192,7 @@ object Pq {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q98_pq_codebook", q98, Some(q98Sql))
+    QueryDef("q98_pq_codebook", q98, Some(q98Sql)),
+    QueryDef("q99_ivfpq_search", q99, Some(q99Sql))
   )
 }

@@ -121,6 +121,8 @@ object PlanDump {
       "Multi-column skipping layout: quantize (1-row min/max census broadcast) + Morton shift/mask ladder are pure integer map-side work inside codegen; ONE exchange on the 64-key bucket grain with map-side partials. The audit grades the curve by per-bucket spans in BOTH dimensions - the single-key sort leaves dim 2 unconstrained (spec asserts z beats it); layoutBy is the write path (range-partition + sort on the SAME z value), so OPTIMIZE-ZORDER-style file clustering and its quality audit share one curve definition.",
     "q98_pq_codebook" ->
       "IVF-PQ memory side: the corpus quantizes ONCE behind a keyed persist; each of the M subspace Lloyd fits slices the CACHED frame (slice-of-quantize == quantize-of-slice), assignments stay map-side against k-row broadcast centroids, updates exchange (cid x subdim) partials - 1 scan + M*(iters+1) cache reads, never M re-scans. Census output is M x k rows. The integer-exact Lloyd kernel makes even this iterative codebook build hash-exact vs a 4-Lloyd-loop DuckDB oracle; pqCodesOf emits the M-code words (2 bytes/vector at the default geometry) that let a 100 TB index live in executor memory.",
+    "q99_ivfpq_search" ->
+      "IVF-PQ read path (ADC): candidates prune to the query's coarse cell and are scored COMPRESSED - each ships its M=4 code ids, never the 64-dim vector; the 4x16x16-int codebook literal (~4 KB) rides into the in-row integer ADC fold (sum of query-subvector-to-code-centroid squared distances == the classic lookup-table formulation), and the bounded TopK aggregator exchanges <= k rows per (query x partition). Corpus codes form via M map-side assignments UNION'd into ONE vec_id exchange off the persisted quantized corpus. Centroid collects are <= 16-row censuses. All-integer distances -> hash-exact DuckDB oracle with five k-means models in one plan.",
     "q93_phrase_mining" ->
       "word2phrase collocations: ONE token explode with in-row (prev, cur) pairing (q85's no-self-join trick), bigram + unigram counts at vocabulary grain off the same stream, PMI as integer microbits from one ln of an exact product-quotient, minCount floor against hapax-PMI noise; the final rank sorts the BOUNDED minCount survivors (vocabulary-scale, never corpus). Word-grain sibling of q70's char-grain BPE census.",
     "q92_event_transitions" ->

@@ -20,6 +20,28 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("q99 IVF-PQ search: cell-pruned, self-free, rank-ordered integer ADC") {
+    val out = graft.ext.Pq.q99(spark, sf0001).collect()
+    val labels = graft.oracle.Tables.table(spark, sf0001, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(out.nonEmpty && out.map(_.getAs[Long]("query_id")).distinct.length <= 20)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length))
+      // ADC non-decreasing with rank; ties broken upstream by id
+      assert(sorted.map(_.getAs[Long]("adc_dist")).toSeq ==
+        sorted.map(_.getAs[Long]("adc_dist")).sorted.toSeq)
+      rows.foreach { r =>
+        val n = r.getAs[Long]("neighbor_id")
+        assert(n != q, "self must be excluded")
+        assert(labels(n) == r.getAs[Long]("cell") && labels(q) == r.getAs[Long]("cell"),
+          "candidates must come from the query's coarse cell")
+        assert(r.getAs[Long]("adc_dist") >= 0)
+      }
+    }
+  }
+
   test("pqCodesOf: M codes per vector; total distortion == codebook inertia") {
     val embeds = graft.oracle.Tables.table(spark, sf0001, "embeddings")
     val codes = Pq.pqCodesOf(embeds)
