@@ -40,7 +40,8 @@ object Floors {
     "q85" -> 1.66, "q86" -> 0.29, "q87" -> 0.43, "q88" -> 0.77,
     "q89" -> 0.34, "q90" -> 1.14, "q91" -> 0.40, "q92" -> 0.55,
     "q93" -> 1.55, "q94" -> 0.62, "q95" -> 0.58, "q96" -> 0.51,
-    "q97" -> 0.83, "q98" -> 6.53, "q99" -> 5.08)
+    "q97" -> 0.83, "q98" -> 6.53, "q99" -> 5.08, "q100" -> 0.55,
+    "q101" -> 1.11)
 
   /** Floor for a full query name ("q44_source_divergence" → the "q44"
     * prefix entry), if recorded. */

@@ -123,6 +123,10 @@ object PlanDump {
       "IVF-PQ memory side: the corpus quantizes ONCE behind a keyed persist; each of the M subspace Lloyd fits slices the CACHED frame (slice-of-quantize == quantize-of-slice), assignments stay map-side against k-row broadcast centroids, updates exchange (cid x subdim) partials - 1 scan + M*(iters+1) cache reads, never M re-scans. Census output is M x k rows. The integer-exact Lloyd kernel makes even this iterative codebook build hash-exact vs a 4-Lloyd-loop DuckDB oracle; pqCodesOf emits the M-code words (2 bytes/vector at the default geometry) that let a 100 TB index live in executor memory.",
     "q99_ivfpq_search" ->
       "IVF-PQ read path (ADC): candidates prune to the query's coarse cell and are scored COMPRESSED - each ships its M=4 code ids, never the 64-dim vector; the 4x16x16-int codebook literal (~4 KB) rides into the in-row integer ADC fold (sum of query-subvector-to-code-centroid squared distances == the classic lookup-table formulation), and the bounded TopK aggregator exchanges <= k rows per (query x partition). Corpus codes form via M map-side assignments UNION'd into ONE vec_id exchange off the persisted quantized corpus. Centroid collects are <= 16-row censuses. All-integer distances -> hash-exact DuckDB oracle with five k-means models in one plan.",
+    "q100_mixture_waterfill" ->
+      "Budgeted data-mixing allocator: ONE corpus aggregation to the |sources| census, then the waterfill solves in CLOSED FORM - sort by saturation ratio, prefix-sum windows, and a cross-multiplied integer cap predicate (c_i*(W-W_prefix) <= (B-C_prefix)*w_i - no division, no iteration, no convergence loop); the water-level census is 1 row. Allocations floor to integers with the <|uncapped| remainder documented. The window runs over sources, never rows - the op costs the same at 10^12 documents as at 10^3.",
+    "q101_ks_drift" ->
+      "Distribution-drift alarm: exact two-sample KS on the bounded 4-dp score grid - one corpus aggregation to the (source, cell) histogram (persisted; the corpus histogram DERIVES from it), a |sources| x |cells| evaluation frame with zero-filled cells, and the sup computed over cross-multiplied integer rationals |cum_s*n_c - cum_c*n_s| so no double appears anywhere (argmax cell ties break low, deterministically). The q77/q89 histogram discipline applied to hypothesis testing: state tracks the score DOMAIN, not the corpus.",
     "q93_phrase_mining" ->
       "word2phrase collocations: ONE token explode with in-row (prev, cur) pairing (q85's no-self-join trick), bigram + unigram counts at vocabulary grain off the same stream, PMI as integer microbits from one ln of an exact product-quotient, minCount floor against hapax-PMI noise; the final rank sorts the BOUNDED minCount survivors (vocabulary-scale, never corpus). Word-grain sibling of q70's char-grain BPE census.",
     "q92_event_transitions" ->
