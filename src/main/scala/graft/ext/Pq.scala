@@ -94,6 +94,14 @@ object Pq {
   def q99(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.agg.TopK
     val emb = Tables.table(spark, sfDir, "embeddings")
+    // empty corpus: nothing to fit — return the empty result shape rather
+    // than letting the dense-cid assertion fire (EmptyInputSpec contract;
+    // a NON-empty corpus too small for Codes centroids still fails loudly)
+    if (emb.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("query_id", "cell", "neighbor_id", "rank", "adc_dist")
+    }
     val p = Tables.swapPersist("q99_pts", KMeans.quantize(emb))
     val labels = emb.select(col("vec_id").as("lv"), col("label"))
 

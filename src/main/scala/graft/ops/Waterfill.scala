@@ -70,8 +70,10 @@ object Waterfill {
       .agg(sum(col("n_chars")).as("capacity"))
       .withColumn("weight", lit(1L))
     // integer halving on both engines (a double path would round vs
-    // truncate differently at the cast)
-    val budget = docs.agg(expr("sum(n_chars) div 2")).collect()(0).getLong(0)
+    // truncate differently at the cast); empty corpus sums to NULL →
+    // budget 0 keeps the operator total (EmptyInputSpec contract)
+    val row = docs.agg(expr("sum(n_chars) div 2")).collect()(0)
+    val budget = if (row.isNullAt(0)) 0L else row.getLong(0)
     waterfillOf(census, budget)
   }
 
