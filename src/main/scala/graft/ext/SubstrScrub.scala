@@ -33,34 +33,47 @@ import org.apache.spark.sql.functions._
   */
 object SubstrScrub {
 
+  /** In-row stride-1 L-word window hashes over a tokenized `ws` column;
+    * docs shorter than L get an empty array (they can't contain an L-gram,
+    * so they pass every span filter untouched). Shared by q63 (within-corpus
+    * occurrence counting) and q102 (eval-vocabulary span matching). */
+  private[ext] def windowHashes(L: Int) = expr(
+    s"""CASE WHEN size(ws) >= $L
+       |THEN transform(sequence(0, size(ws) - $L),
+       |               i -> md5(concat_ws(' ', slice(ws, i + 1, $L))))
+       |ELSE array() END""".stripMargin)
+
+  /** Per-word scrub of a tokenized doc given the sorted start positions of
+    * flagged L-word windows: keeps exactly the words no flagged window
+    * covers. In-row higher-order functions — shared q63/q102 tail. */
+  private[ext] def scrubTail(df: DataFrame, L: Int, nWindowsName: String,
+                             ratioName: String): DataFrame =
+    df.withColumn("starts", coalesce(col("starts"), expr("array()")))
+      .withColumn("kept", expr(
+        s"filter(ws, (w, j) -> NOT exists(starts, s -> s <= j AND j < s + $L))"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(col("starts")).cast("long").as(nWindowsName),
+        (size(col("ws")) - size(col("kept"))).cast("long").as("n_covered"),
+        (floor((size(col("ws")) - size(col("kept"))) / size(col("ws"))
+          .cast("double") * 10000) / 10000).as(ratioName),
+        concat_ws(" ", col("kept")).as("clean_text"))
+
   /** General form over any (doc_id, text) frame. Output: one row per doc
     * — (doc_id, n_words, n_dup_windows, n_covered, dup_ratio,
     * clean_text); docs shorter than L words pass through untouched. */
   def substrScrubOf(docs: DataFrame, L: Int = 5, minOcc: Int = 2): DataFrame = {
     val base = Tables.swapPersist("substr_base",
       docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .withColumn("harr", expr(
-          s"""CASE WHEN size(ws) >= $L
-             |THEN transform(sequence(0, size(ws) - $L),
-             |               i -> md5(concat_ws(' ', slice(ws, i + 1, $L))))
-             |ELSE array() END""".stripMargin)))
+        .withColumn("harr", windowHashes(L)))
     val occ = base.select(col("doc_id"), posexplode(col("harr")).as(Seq("pos", "h")))
     val dup = occ.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOcc).select(col("h"))
     val starts = occ.join(dup, "h")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("starts"))
-    base.join(starts, Seq("doc_id"), "left")
-      .withColumn("starts", coalesce(col("starts"), expr("array()")))
-      .withColumn("kept", expr(
-        s"filter(ws, (w, j) -> NOT exists(starts, s -> s <= j AND j < s + $L))"))
-      .select(col("doc_id"),
-        size(col("ws")).cast("long").as("n_words"),
-        size(col("starts")).cast("long").as("n_dup_windows"),
-        (size(col("ws")) - size(col("kept"))).cast("long").as("n_covered"),
-        (floor((size(col("ws")) - size(col("kept"))) / size(col("ws"))
-          .cast("double") * 10000) / 10000).as("dup_ratio"),
-        concat_ws(" ", col("kept")).as("clean_text"))
+    scrubTail(base.join(starts, Seq("doc_id"), "left"), L,
+      "n_dup_windows", "dup_ratio")
   }
 
   // ---------------------------------------------------------------- q63
