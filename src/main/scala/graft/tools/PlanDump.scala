@@ -125,6 +125,14 @@ object PlanDump {
       "IVF-PQ read path (ADC): candidates prune to the query's coarse cell and are scored COMPRESSED - each ships its M=4 code ids, never the 64-dim vector; the 4x16x16-int codebook literal (~4 KB) rides into the in-row integer ADC fold (sum of query-subvector-to-code-centroid squared distances == the classic lookup-table formulation), and the bounded TopK aggregator exchanges <= k rows per (query x partition). Corpus codes form via M map-side assignments UNION'd into ONE vec_id exchange off the persisted quantized corpus. Centroid collects are <= 16-row censuses. All-integer distances -> hash-exact DuckDB oracle with five k-means models in one plan.",
     "q100_mixture_waterfill" ->
       "Budgeted data-mixing allocator: ONE corpus aggregation to the |sources| census, then the waterfill solves in CLOSED FORM - sort by saturation ratio, prefix-sum windows, and a cross-multiplied integer cap predicate (c_i*(W-W_prefix) <= (B-C_prefix)*w_i - no division, no iteration, no convergence loop); the water-level census is 1 row. Allocations floor to integers with the <|uncapped| remainder documented. The window runs over sources, never rows - the op costs the same at 10^12 documents as at 10^3.",
+    "q102_eval_span_scrub" ->
+      "Span-level decontamination: the eval set collapses to its DISTINCT window-hash vocabulary and BROADCASTS (the q39 eval-side-small argument), so matching is a map-side broadcast semi-join - the training corpus is scanned ONCE (persisted tokenized+hashed base shared by the window stream and the final attach) and never shuffled by window hash; the only hash exchange is the per-doc flagged-start collection, bounded by each doc's own length. Coverage merge and the scrub are in-row higher-order functions (q63's tail, shared code).",
+    "q103_vocab_growth" ->
+      "Heaps'-law audit: ONE corpus explode compressed immediately to the (bucket, word) grain and persisted - token mass, first-bucket-per-word (vocabulary grain) and new-word counts all DERIVE from that compressed frame (two cache consumers, no re-explode); bucket assignment is the md5-threshold idiom (deterministic, replay-stable); the cumulative curves run over the <= 10-row census. The only corpus-sized exchange is the (bucket, word) aggregation with map-side partials.",
+    "q104_snapshot_diff" ->
+      "Dataset versioning: each snapshot projects in-row to (doc_id, source, length, md5) - a changed 100 KB doc ships 32 bytes across the join, never its body - then ONE co-keyed full-outer join on doc_id (the unavoidable shuffle at 100 TB, ~50 bytes/doc) decides added/removed/changed/unchanged map-side; the accounting aggregate is |sources| x 4 bounded with map-side partials. On bucketed snapshot layouts the join is exchange-free.",
+    "q105_quality_deciles" ->
+      "NTILE without the sort: the corpus aggregates ONCE into the bounded 4-dp score-cell histogram (q77/q89 discipline, <= 10^4+1 cells at any size), ranks are recovered from cumulative counts over the census, and each CELL gets the decile of its last rank ((r-1)*10 div n + 1, integer-exact; ties never straddle). A global ntile(10) OVER (ORDER BY score) would range-exchange and sort 100 TB; this costs one hash exchange on the cell id.",
     "q101_ks_drift" ->
       "Distribution-drift alarm: exact two-sample KS on the bounded 4-dp score grid - one corpus aggregation to the (source, cell) histogram (persisted; the corpus histogram DERIVES from it), a |sources| x |cells| evaluation frame with zero-filled cells, and the sup computed over cross-multiplied integer rationals |cum_s*n_c - cum_c*n_s| so no double appears anywhere (argmax cell ties break low, deterministically). The q77/q89 histogram discipline applied to hypothesis testing: state tracks the score DOMAIN, not the corpus.",
     "q93_phrase_mining" ->

@@ -638,6 +638,56 @@ class PlanSpec extends SparkSpec {
       s"projection against the literal eigenvector must be pure map-side:\n$p")
   }
 
+  test("q102 eval-span scrub: vocab broadcast, base cache shared, no pairwise expansion") {
+    val df = Registry.byName("q102_eval_span_scrub").run(spark, sf0001)
+    val p = plan(df)
+    // eval vocabulary joins as a broadcast (map-side semi-join shape);
+    // the corpus is never shuffled by window hash into a join
+    assert(p.contains("BroadcastHashJoin"), s"eval vocab should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no pairwise expansion allowed:\n$p")
+    // tokenized+hashed base materializes once: window stream + final attach
+    assert(countOccurrences(p, "InMemoryTableScan") == 2,
+      s"window stream and attach must share the persisted base:\n$p")
+  }
+
+  test("q103 vocab growth: (bucket, word) cache feeds both curves — no second explode") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val df = Registry.byName("q103_vocab_growth").run(spark, sf0001)
+    val ims = df.queryExecution.withCachedData.collect { case r: InMemoryRelation => r }
+    // ONE materialization of the compressed (bucket, word) frame, read by
+    // both the token-mass and the first-bucket consumers — the corpus
+    // explode inside it therefore executes exactly once
+    assert(ims.length == 2 && ims.map(_.cacheBuilder).distinct.length == 1,
+      s"curves must share the compressed cache: ${ims.length} relations")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"census join must stay keyed:\n$p")
+  }
+
+  test("q104 snapshot diff: co-keyed full-outer join on thin projections, pruned scans") {
+    val p = plan(Registry.byName("q104_snapshot_diff").run(spark, sf0001))
+    assert(p.contains("FullOuter"), s"diff must be one full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"diff join must stay keyed on doc_id:\n$p")
+    assert(countOccurrences(p, "Scan parquet") == 2,
+      s"one scan per snapshot side:\n$p")
+    // the join ships (id, source, length, hash) — never text bodies
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchemas.contains("lang") && !readSchemas.contains("n_chars"),
+      s"snapshot scans not pruned: $readSchemas")
+  }
+
+  test("q105 quality deciles: one corpus exchange; windows and rollup on the census only") {
+    val p = plan(Registry.byName("q105_quality_deciles").run(spark, sf0001))
+    assert(countOccurrences(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1,
+      s"only the score-cell histogram may exchange:\n$p")
+    assert(countOccurrences(p, "Exchange SinglePartition") <= 1,
+      s"only the <=10^4-row census may single-partition:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"NTILE-without-sort must not range-exchange the corpus:\n$p")
+  }
+
   test("q70 bpe pairs: vocab-compressed census — two hash exchanges, window only over the tiny pair table") {
     val p = plan(Registry.byName("q70_bpe_pairs").run(spark, sf0001))
     assert(countOccurrences(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
