@@ -55,6 +55,44 @@ object EvalSpanScrub {
       "n_eval_windows", "contam_ratio")
   }
 
+  /** Stream-static eval-span gate — q102's ingestion-time face (the
+    * q41/delta-dedup gate pattern): the eval set's window-hash vocabulary
+    * is packed ONCE into a bloom bitset (kilobytes for millions of
+    * windows, eager 1-row leaf), and every ARRIVING document probes its
+    * own L-word window hashes in-row against the broadcast words — zero
+    * streaming aggregation state, append-mode safe. Emits (doc_id,
+    * n_words, n_flagged_windows, guaranteed_clean).
+    *
+    * Bloom direction, documented: no false negatives — a doc with
+    * `guaranteed_clean = true` shares NO L-word span with the eval set
+    * and can ingest unscrubbed; flagged docs route to the exact batch
+    * [[evalSpanScrubOf]] (false positives only cost a re-check, never a
+    * leak). */
+  def evalSpanGateStreamStatic(streamDocs: DataFrame, evalDocs: DataFrame,
+                               L: Int = 5, mBits: Int = 1 << 20): DataFrame = {
+    val vocab = evalDocs.select(split(col("text"), " ").as("ws"))
+      .select(explode(SubstrScrub.windowHashes(L)).as("h")).distinct()
+      .withColumn("h1", expr(TextOps.hexVal("h", 1, duck = false)))
+      .withColumn("h2", expr(TextOps.hexVal("h", 9, duck = false)))
+    val bitmap = CurationOps.bloomBitmap(vocab, mBits)
+    val h1 = TextOps.hexVal("h", 1, duck = false)
+    val h2 = TextOps.hexVal("h", 9, duck = false)
+    val probes = (0 until 4).map { i =>
+      val p = s"pmod(($h1) + $i * ($h2), ${mBits}L)"
+      s"(shiftright(element_at(bits, CAST($p div 64 AS INT) + 1), " +
+        s"CAST($p % 64 AS INT)) & 1) = 1"
+    }.mkString("(", " AND ", ")")
+    streamDocs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("harr", SubstrScrub.windowHashes(L))
+      .crossJoin(broadcast(bitmap))
+      .withColumn("n_flagged_windows",
+        expr(s"size(filter(harr, h -> $probes))").cast("long"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+        col("n_flagged_windows"),
+        (col("n_flagged_windows") === 0).as("guaranteed_clean"))
+  }
+
   // ---------------------------------------------------------------- q102
   /** Fixture form: eval set = the q39 pseudo-eval slice `doc_id % 20 == 7`
     * (~5% of docs at every SF), training corpus = the rest. */
