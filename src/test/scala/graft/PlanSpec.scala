@@ -688,6 +688,17 @@ class PlanSpec extends SparkSpec {
       s"NTILE-without-sort must not range-exchange the corpus:\n$p")
   }
 
+  test("q106 grid coverage: map-side cells — only the (label, cell) grain exchanges") {
+    val p = plan(Registry.byName("q106_grid_coverage").run(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row min/max census may cross:\n$p")
+    // label attach + census broadcast; the sole hash exchange carries the
+    // bounded (label, cell) histogram
+    val hashEx = countOccurrences(executedPortion(p), "Exchange hashpartitioning")
+    assert(hashEx <= 2, s"expected label-join + histogram exchanges at most, got $hashEx:\n$p")
+    assert(!p.contains("rangepartitioning"), s"census op must not sort the corpus:\n$p")
+  }
+
   test("q70 bpe pairs: vocab-compressed census — two hash exchanges, window only over the tiny pair table") {
     val p = plan(Registry.byName("q70_bpe_pairs").run(spark, sf0001))
     assert(countOccurrences(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
