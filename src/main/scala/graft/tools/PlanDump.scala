@@ -135,6 +135,8 @@ object PlanDump {
       "NTILE without the sort: the corpus aggregates ONCE into the bounded 4-dp score-cell histogram (q77/q89 discipline, <= 10^4+1 cells at any size), ranks are recovered from cumulative counts over the census, and each CELL gets the decile of its last rank ((r-1)*10 div n + 1, integer-exact; ties never straddle). A global ntile(10) OVER (ORDER BY score) would range-exchange and sort 100 TB; this costs one hash exchange on the cell id.",
     "q106_grid_coverage" ->
       "Embedding-space occupancy census: 1-row min/max census broadcast back, milli-unit quantize + grid-cell id map-side (the ZOrder integer-div idiom - (x-mn)*L div (mx-mn+1) lands in 0..L-1 with no clamp), ONE exchange on the (label, cell) grain (<= |labels| x 256 groups, map-side partials), |labels|-row rollup. Diversity WITHOUT libm: Simpson collision index sum(c^2)*10^4 div n^2 is a pure integer rational carrying the same concentration signal as entropy - engine-exact, int64-safe to ~3*10^9 vectors/label (documented).",
+    "q107_rate_anomaly" ->
+      "Adaptive alerting: the reference's fixed thresholds (2% error rate, 100ms p95) generalized to a per-key statistical baseline - ONE corpus aggregation to the (type, minute) grain (persisted; the only corpus-sized exchange), a |types|-row (n, S=sum c, Q=sum c^2) census broadcast back, and the 3-sigma verdict decided map-side as the integer predicate (c*n - S)^2 > 9*(n*Q - S^2) - z^2 as a cross-multiplied int64 rational (the q101 discipline applied to variance), no sqrt, no doubles, engine-exact. Int64-safe while c*n < 3*10^9 (documented).",
     "q101_ks_drift" ->
       "Distribution-drift alarm: exact two-sample KS on the bounded 4-dp score grid - one corpus aggregation to the (source, cell) histogram (persisted; the corpus histogram DERIVES from it), a |sources| x |cells| evaluation frame with zero-filled cells, and the sup computed over cross-multiplied integer rationals |cum_s*n_c - cum_c*n_s| so no double appears anywhere (argmax cell ties break low, deterministically). The q77/q89 histogram discipline applied to hypothesis testing: state tracks the score DOMAIN, not the corpus.",
     "q93_phrase_mining" ->

@@ -699,6 +699,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), s"census op must not sort the corpus:\n$p")
   }
 
+  test("q107 rate anomaly: stats census broadcast back onto the shared per-minute cache") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val df = Registry.byName("q107_rate_anomaly").run(spark, sf0001)
+    val ims = df.queryExecution.withCachedData.collect { case r: InMemoryRelation => r }
+    assert(ims.length == 2 && ims.map(_.cacheBuilder).distinct.length == 1,
+      s"stats census and verdict must share the (type, minute) cache: ${ims.length}")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"|types|-row stats must broadcast:\n$p")
+    assert(!p.contains("Window "), s"verdict must be census arithmetic, not a window:\n$p")
+  }
+
   test("q70 bpe pairs: vocab-compressed census — two hash exchanges, window only over the tiny pair table") {
     val p = plan(Registry.byName("q70_bpe_pairs").run(spark, sf0001))
     assert(countOccurrences(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
