@@ -137,6 +137,10 @@ object PlanDump {
       "Embedding-space occupancy census: 1-row min/max census broadcast back, milli-unit quantize + grid-cell id map-side (the ZOrder integer-div idiom - (x-mn)*L div (mx-mn+1) lands in 0..L-1 with no clamp), ONE exchange on the (label, cell) grain (<= |labels| x 256 groups, map-side partials), |labels|-row rollup. Diversity WITHOUT libm: Simpson collision index sum(c^2)*10^4 div n^2 is a pure integer rational carrying the same concentration signal as entropy - engine-exact, int64-safe to ~3*10^9 vectors/label (documented).",
     "q107_rate_anomaly" ->
       "Adaptive alerting: the reference's fixed thresholds (2% error rate, 100ms p95) generalized to a per-key statistical baseline - ONE corpus aggregation to the (type, minute) grain (persisted; the only corpus-sized exchange), a |types|-row (n, S=sum c, Q=sum c^2) census broadcast back, and the 3-sigma verdict decided map-side as the integer predicate (c*n - S)^2 > 9*(n*Q - S^2) - z^2 as a cross-multiplied int64 rational (the q101 discipline applied to variance), no sqrt, no doubles, engine-exact. Int64-safe while c*n < 3*10^9 (documented).",
+    "q108_corr_audit" ->
+      "Confound detection: per-source Pearson r^2 between length and quality from ONE corpus aggregation to the |sources|-row census of five int64 sufficient statistics (order-free exact sums); covariance/variances then form in DOUBLE from those identical integers with identical expression shape (IEEE correctly-rounded on same inputs = same bits, the q82 discipline) because n*Sxy - Sx*Sy SQUARED overflows the q101/q107 cross-multiplied-int64 trick. r^2 floor-truncates to 4dp; sign reported separately. Census arithmetic only above the one exchange.",
+    "q109_margin_audit" ->
+      "Assignment-confidence census: the checkpointed k-means fixed point broadcasts as ONE cid-sorted row; each vector's per-centroid distance array is already in-row, so second-best is array_sort(darr)[1] - top-2 costs nothing beyond the q51 assignment scan; margin d1*10^4 div d2 is integer-exact (milli-quantized dims), NULL-guarded for duplicate centroids; rollup is a <= k-row aggregation. Explains IVF recall (q73) and cell-bounded dedup blind spots (q53) per cell, before paying for either.",
     "q101_ks_drift" ->
       "Distribution-drift alarm: exact two-sample KS on the bounded 4-dp score grid - one corpus aggregation to the (source, cell) histogram (persisted; the corpus histogram DERIVES from it), a |sources| x |cells| evaluation frame with zero-filled cells, and the sup computed over cross-multiplied integer rationals |cum_s*n_c - cum_c*n_s| so no double appears anywhere (argmax cell ties break low, deterministically). The q77/q89 histogram discipline applied to hypothesis testing: state tracks the score DOMAIN, not the corpus.",
     "q93_phrase_mining" ->

@@ -710,6 +710,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window "), s"verdict must be census arithmetic, not a window:\n$p")
   }
 
+  test("q108 corr audit: one corpus exchange to the sources census, arithmetic above it") {
+    val p = plan(Registry.byName("q108_corr_audit").run(spark, sf0001))
+    assert(countOccurrences(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
+    assert(countOccurrences(executedPortion(p), "Exchange hashpartitioning") == 1,
+      s"only the sufficient-stats census may exchange:\n$p")
+    assert(!p.contains("Window "), s"no window needed for census arithmetic:\n$p")
+  }
+
+  test("q109 margin audit: top-2 rides the assignment scan — broadcast centroids, no join, no window") {
+    val p = plan(Registry.byName("q109_margin_audit").run(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the k-row centroid row must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"only the 1-row census may cross:\n$p")
+    assert(!p.contains("Window "), s"second-best comes from the in-row array, not a rank:\n$p")
+    assert(!p.contains("rangepartitioning"), s"no corpus sort:\n$p")
+  }
+
   test("q70 bpe pairs: vocab-compressed census — two hash exchanges, window only over the tiny pair table") {
     val p = plan(Registry.byName("q70_bpe_pairs").run(spark, sf0001))
     assert(countOccurrences(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
