@@ -141,6 +141,8 @@ object PlanDump {
       "Confound detection: per-source Pearson r^2 between length and quality from ONE corpus aggregation to the |sources|-row census of five int64 sufficient statistics (order-free exact sums); covariance/variances then form in DOUBLE from those identical integers with identical expression shape (IEEE correctly-rounded on same inputs = same bits, the q82 discipline) because n*Sxy - Sx*Sy SQUARED overflows the q101/q107 cross-multiplied-int64 trick. r^2 floor-truncates to 4dp; sign reported separately. Census arithmetic only above the one exchange.",
     "q109_margin_audit" ->
       "Assignment-confidence census: the checkpointed k-means fixed point broadcasts as ONE cid-sorted row; each vector's per-centroid distance array is already in-row, so second-best is array_sort(darr)[1] - top-2 costs nothing beyond the q51 assignment scan; margin d1*10^4 div d2 is integer-exact (milli-quantized dims), NULL-guarded for duplicate centroids; rollup is a <= k-row aggregation. Explains IVF recall (q73) and cell-bounded dedup blind spots (q53) per cell, before paying for either.",
+    "q110_props_profile" ->
+      "Schema-drift detection for the dynamic JSON tail: props parses once as map<string,string>, ONE explode lands on the (event_type, key) grain - bounded by feeds x live keys, never row count - with map-side partials; the per-feed row census broadcasts back for presence ratios. 'Numeric' is deliberately LEXICAL (try_cast in both engines - JSON type info does not survive either engine's string extraction, so the oracle stays exact); malformed JSON drops out of the numerator but not the denominator. This is the monitoring face of SURVEY 1.5's verified failure mode (producer stringifies a numeric -> downstream casts silently NULL).",
     "q101_ks_drift" ->
       "Distribution-drift alarm: exact two-sample KS on the bounded 4-dp score grid - one corpus aggregation to the (source, cell) histogram (persisted; the corpus histogram DERIVES from it), a |sources| x |cells| evaluation frame with zero-filled cells, and the sup computed over cross-multiplied integer rationals |cum_s*n_c - cum_c*n_s| so no double appears anywhere (argmax cell ties break low, deterministically). The q77/q89 histogram discipline applied to hypothesis testing: state tracks the score DOMAIN, not the corpus.",
     "q93_phrase_mining" ->

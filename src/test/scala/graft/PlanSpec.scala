@@ -727,6 +727,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), s"no corpus sort:\n$p")
   }
 
+  test("q110 props profile: one key-grain exchange, feed census broadcast back") {
+    val p = plan(Registry.byName("q110_props_profile").run(spark, sf0001))
+    assert(countOccurrences(p, "Scan parquet") <= 2, s"one scan per consumer at most:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"|types|-row census must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"census join must stay keyed:\n$p")
+  }
+
   test("q70 bpe pairs: vocab-compressed census — two hash exchanges, window only over the tiny pair table") {
     val p = plan(Registry.byName("q70_bpe_pairs").run(spark, sf0001))
     assert(countOccurrences(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
