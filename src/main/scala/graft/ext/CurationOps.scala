@@ -315,6 +315,23 @@ object CurationOps {
         .as("bits"))
   }
 
+  /** In-row bloom probe predicate over a lambda-bound md5 hex variable
+    * `hVar` against a packed-words array column `bitsCol` — the four O(1)
+    * shift-mask tests shared by every per-token/per-window gate
+    * (OOV, eval-span, and their composed form). `bitsCol` is a parameter
+    * so multiple bitmaps can ride the same projection under different
+    * column names. */
+  private[graft] def bloomProbePredicate(mBits: Int, hVar: String = "h",
+                                         bitsCol: String = "bits"): String = {
+    val h1 = TextOps.hexVal(hVar, 1, duck = false)
+    val h2 = TextOps.hexVal(hVar, 9, duck = false)
+    (0 until 4).map { i =>
+      val p = s"pmod(($h1) + $i * ($h2), ${mBits}L)"
+      s"(shiftright(element_at($bitsCol, CAST($p div 64 AS INT) + 1), " +
+        s"CAST($p % 64 AS INT)) & 1) = 1"
+    }.mkString("(", " AND ", ")")
+  }
+
   /** Probe a keyed frame against a broadcast bitmap → adds `bloom_hit`.
     * Works identically on a STREAMING keyed frame (stream-static broadcast
     * join + map-side bit tests) — the standard "skip already-ingested docs"

@@ -68,29 +68,37 @@ object EvalSpanScrub {
     * and can ingest unscrubbed; flagged docs route to the exact batch
     * [[evalSpanScrubOf]] (false positives only cost a re-check, never a
     * leak). */
-  def evalSpanGateStreamStatic(streamDocs: DataFrame, evalDocs: DataFrame,
-                               L: Int = 5, mBits: Int = 1 << 20): DataFrame = {
-    val vocab = evalDocs.select(split(col("text"), " ").as("ws"))
+  /** The eval set's distinct window-hash vocabulary as a bloom-keyed
+    * frame (h, h1, h2) — shared by the standalone gate and the composed
+    * ingestion gate ([[graft.ops.IngestGates]]). */
+  private[graft] def windowVocabKeyed(evalDocs: DataFrame, L: Int): DataFrame =
+    evalDocs.select(split(col("text"), " ").as("ws"))
       .select(explode(SubstrScrub.windowHashes(L)).as("h")).distinct()
       .withColumn("h1", expr(TextOps.hexVal("h", 1, duck = false)))
       .withColumn("h2", expr(TextOps.hexVal("h", 9, duck = false)))
-    val bitmap = CurationOps.bloomBitmap(vocab, mBits)
-    val h1 = TextOps.hexVal("h", 1, duck = false)
-    val h2 = TextOps.hexVal("h", 9, duck = false)
-    val probes = (0 until 4).map { i =>
-      val p = s"pmod(($h1) + $i * ($h2), ${mBits}L)"
-      s"(shiftright(element_at(bits, CAST($p div 64 AS INT) + 1), " +
-        s"CAST($p % 64 AS INT)) & 1) = 1"
-    }.mkString("(", " AND ", ")")
-    streamDocs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .withColumn("harr", SubstrScrub.windowHashes(L))
-      .crossJoin(broadcast(bitmap))
+
+  /** Adds (n_words, n_flagged_windows, guaranteed_clean) to a tokenized
+    * `ws` frame carrying a broadcast `bitsCol` — the in-row verdict
+    * block, stackable with other verdicts in ONE projection. */
+  private[graft] def spanVerdict(df: DataFrame, L: Int, mBits: Int,
+                                 bitsCol: String): DataFrame = {
+    val probe = CurationOps.bloomProbePredicate(mBits, "h", bitsCol)
+    df.withColumn("harr", SubstrScrub.windowHashes(L))
       .withColumn("n_flagged_windows",
-        expr(s"size(filter(harr, h -> $probes))").cast("long"))
-      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
-        col("n_flagged_windows"),
-        (col("n_flagged_windows") === 0).as("guaranteed_clean"))
+        expr(s"size(filter(harr, h -> $probe))").cast("long"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("guaranteed_clean", col("n_flagged_windows") === 0)
+  }
+
+  def evalSpanGateStreamStatic(streamDocs: DataFrame, evalDocs: DataFrame,
+                               L: Int = 5, mBits: Int = 1 << 20): DataFrame = {
+    val bitmap = CurationOps.bloomBitmap(windowVocabKeyed(evalDocs, L), mBits)
+    spanVerdict(
+      streamDocs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .crossJoin(broadcast(bitmap)),
+      L, mBits, "bits")
+      .select(col("doc_id"), col("n_words"), col("n_flagged_windows"),
+        col("guaranteed_clean"))
   }
 
   // ---------------------------------------------------------------- q102

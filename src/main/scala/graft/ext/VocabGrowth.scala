@@ -67,30 +67,37 @@ object VocabGrowth {
     * False positives make known-new words look seen, so `n_oov`/`oov_bp`
     * are LOWER bounds that tighten as mBits grows (same declared trade as
     * the q41/delta-dedup gates' frozen reference side). */
-  def oovGateStreamStatic(streamDocs: DataFrame, staticDocs: DataFrame,
-                          mBits: Int = 1 << 20): DataFrame = {
-    val vocab = staticDocs
+  /** The static corpus's distinct-word vocabulary as a bloom-keyed frame
+    * (h, h1, h2) — shared by the standalone gate and the composed
+    * ingestion gate ([[graft.ops.IngestGates]]). */
+  private[graft] def vocabKeyed(staticDocs: DataFrame): DataFrame =
+    staticDocs
       .select(explode(split(col("text"), " ")).as("w"))
       .distinct()
       .withColumn("h", md5(col("w")))
       .withColumn("h1", expr(TextOps.hexVal("h", 1, duck = false)))
       .withColumn("h2", expr(TextOps.hexVal("h", 9, duck = false)))
-    val bitmap = CurationOps.bloomBitmap(vocab, mBits)
-    val h1 = TextOps.hexVal("h", 1, duck = false)
-    val h2 = TextOps.hexVal("h", 9, duck = false)
-    val probes = (0 until 4).map { i =>
-      val p = s"pmod(($h1) + $i * ($h2), ${mBits}L)"
-      s"(shiftright(element_at(bits, CAST($p div 64 AS INT) + 1), " +
-        s"CAST($p % 64 AS INT)) & 1) = 1"
-    }.mkString("(", " AND ", ")")
-    streamDocs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .crossJoin(broadcast(bitmap))
-      .withColumn("n_oov", expr(
-        s"size(filter(transform(ws, x -> md5(x)), h -> NOT $probes))").cast("long"))
-      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
-        col("n_oov"),
-        expr("n_oov * 10000L div size(ws)").as("oov_bp"))
+
+  /** Adds (n_words, n_oov, oov_bp) to a tokenized `ws` frame carrying a
+    * broadcast `bitsCol` — the in-row verdict block, factored so the
+    * composed gate can stack it with other verdicts in ONE projection. */
+  private[graft] def oovVerdict(df: DataFrame, mBits: Int,
+                                bitsCol: String): DataFrame = {
+    val probe = CurationOps.bloomProbePredicate(mBits, "h", bitsCol)
+    df.withColumn("n_oov", expr(
+        s"size(filter(transform(ws, x -> md5(x)), h -> NOT $probe))").cast("long"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("oov_bp", expr("n_oov * 10000L div size(ws)"))
+  }
+
+  def oovGateStreamStatic(streamDocs: DataFrame, staticDocs: DataFrame,
+                          mBits: Int = 1 << 20): DataFrame = {
+    val bitmap = CurationOps.bloomBitmap(vocabKeyed(staticDocs), mBits)
+    oovVerdict(
+      streamDocs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .crossJoin(broadcast(bitmap)),
+      mBits, "bits")
+      .select(col("doc_id"), col("n_words"), col("n_oov"), col("oov_bp"))
   }
 
   // ---------------------------------------------------------------- q103
