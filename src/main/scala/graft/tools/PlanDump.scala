@@ -143,6 +143,8 @@ object PlanDump {
       "Assignment-confidence census: the checkpointed k-means fixed point broadcasts as ONE cid-sorted row; each vector's per-centroid distance array is already in-row, so second-best is array_sort(darr)[1] - top-2 costs nothing beyond the q51 assignment scan; margin d1*10^4 div d2 is integer-exact (milli-quantized dims), NULL-guarded for duplicate centroids; rollup is a <= k-row aggregation. Explains IVF recall (q73) and cell-bounded dedup blind spots (q53) per cell, before paying for either.",
     "q110_props_profile" ->
       "Schema-drift detection for the dynamic JSON tail: props parses once as map<string,string>, ONE explode lands on the (event_type, key) grain - bounded by feeds x live keys, never row count - with map-side partials; the per-feed row census broadcasts back for presence ratios. 'Numeric' is deliberately LEXICAL (try_cast in both engines - JSON type info does not survive either engine's string extraction, so the oracle stays exact); malformed JSON drops out of the numerator but not the denominator. This is the monitoring face of SURVEY 1.5's verified failure mode (producer stringifies a numeric -> downstream casts silently NULL).",
+    "q111_media_sniff" ->
+      "Mislabeled-media triage on REAL bytes (the multimodal family's non-stubbed path): each payload's first 8 BYTES hex map-side (substring on the binary column - a 100 MB video ships 8 bytes into the comparison, never its body), signature prefixes classify the actual container, and the claimed-vs-sniffed confusion matrix is a <= 4x4 aggregation with map-side partials. Fixture payloads carry genuine PNG/JPEG/RIFF signatures plus a deterministic md5-bucket ~5% mislabel slice, so the off-diagonal is a known planted quantity.",
     "q101_ks_drift" ->
       "Distribution-drift alarm: exact two-sample KS on the bounded 4-dp score grid - one corpus aggregation to the (source, cell) histogram (persisted; the corpus histogram DERIVES from it), a |sources| x |cells| evaluation frame with zero-filled cells, and the sup computed over cross-multiplied integer rationals |cum_s*n_c - cum_c*n_s| so no double appears anywhere (argmax cell ties break low, deterministically). The q77/q89 histogram discipline applied to hypothesis testing: state tracks the score DOMAIN, not the corpus.",
     "q93_phrase_mining" ->
