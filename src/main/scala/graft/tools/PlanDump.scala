@@ -145,6 +145,8 @@ object PlanDump {
       "Schema-drift detection for the dynamic JSON tail: props parses once as map<string,string>, ONE explode lands on the (event_type, key) grain - bounded by feeds x live keys, never row count - with map-side partials; the per-feed row census broadcasts back for presence ratios. 'Numeric' is deliberately LEXICAL (try_cast in both engines - JSON type info does not survive either engine's string extraction, so the oracle stays exact); malformed JSON drops out of the numerator but not the denominator. This is the monitoring face of SURVEY 1.5's verified failure mode (producer stringifies a numeric -> downstream casts silently NULL).",
     "q111_media_sniff" ->
       "Mislabeled-media triage on REAL bytes (the multimodal family's non-stubbed path): each payload's first 8 BYTES hex map-side (substring on the binary column - a 100 MB video ships 8 bytes into the comparison, never its body), signature prefixes classify the actual container, and the claimed-vs-sniffed confusion matrix is a <= 4x4 aggregation with map-side partials. Fixture payloads carry genuine PNG/JPEG/RIFF signatures plus a deterministic md5-bucket ~5% mislabel slice, so the off-diagonal is a known planted quantity.",
+    "q112_embed_drift" ->
+      "Re-index regression audit: per-label centroid displacement between two snapshots, judged against each half's own spread. ONE union'd corpus explode to the (label, half, dim) int64 census (<= labels x 2 x dims groups, map-side partials); centroids use the floored-mean idiom, spreads come from the moment identity sum||x-c||^2 = sum||x||^2 - 2c.sumx + n||c||^2 (the q81 no-pairs trick), drift is a squared difference of centroid vectors - all integer, order-free, engine-exact. The final join is labels-row. Labels present in one half only drop (documented).",
     "q101_ks_drift" ->
       "Distribution-drift alarm: exact two-sample KS on the bounded 4-dp score grid - one corpus aggregation to the (source, cell) histogram (persisted; the corpus histogram DERIVES from it), a |sources| x |cells| evaluation frame with zero-filled cells, and the sup computed over cross-multiplied integer rationals |cum_s*n_c - cum_c*n_s| so no double appears anywhere (argmax cell ties break low, deterministically). The q77/q89 histogram discipline applied to hypothesis testing: state tracks the score DOMAIN, not the corpus.",
     "q93_phrase_mining" ->
