@@ -147,6 +147,10 @@ object PlanDump {
       "Mislabeled-media triage on REAL bytes (the multimodal family's non-stubbed path): each payload's first 8 BYTES hex map-side (substring on the binary column - a 100 MB video ships 8 bytes into the comparison, never its body), signature prefixes classify the actual container, and the claimed-vs-sniffed confusion matrix is a <= 4x4 aggregation with map-side partials. Fixture payloads carry genuine PNG/JPEG/RIFF signatures plus a deterministic md5-bucket ~5% mislabel slice, so the off-diagonal is a known planted quantity.",
     "q112_embed_drift" ->
       "Re-index regression audit: per-label centroid displacement between two snapshots, judged against each half's own spread. ONE union'd corpus explode to the (label, half, dim) int64 census (<= labels x 2 x dims groups, map-side partials); centroids use the floored-mean idiom, spreads come from the moment identity sum||x-c||^2 = sum||x||^2 - 2c.sumx + n||c||^2 (the q81 no-pairs trick), drift is a squared difference of centroid vectors - all integer, order-free, engine-exact. The final join is labels-row. Labels present in one half only drop (documented).",
+    "q113_shard_balance" ->
+      "Straggler prediction for the training-reader layout: shard id (the q54 md5 rule) and token count are in-row expressions over ONE corpus scan; the only exchange is the <= numShards-row aggregation with map-side partials, and the ideal-load census broadcasts back as 1 row. load_bp = shard tokens vs total/numShards in integer basis points - md5 balances COUNTS by construction, this audits the token MASS md5 knows nothing about, which is what epoch wall-clock actually follows.",
+    "q114_rollup_card" ->
+      "The surface's first multi-grain aggregation: (source, lang) cells, per-source subtotals and the corpus total via ROLLUP - ONE scan, ONE plan, the engine expands grains internally (vs 3x scans for 3 queries). Grain level re-derives portably from the NULL pattern (fixture dims non-NULL by FixtureSchemaSpec contract) instead of engine-specific GROUPING() bitmasks; all measures are integer (doc counts, token sums, micro-unit mean quality from exact integer division).",
     "q101_ks_drift" ->
       "Distribution-drift alarm: exact two-sample KS on the bounded 4-dp score grid - one corpus aggregation to the (source, cell) histogram (persisted; the corpus histogram DERIVES from it), a |sources| x |cells| evaluation frame with zero-filled cells, and the sup computed over cross-multiplied integer rationals |cum_s*n_c - cum_c*n_s| so no double appears anywhere (argmax cell ties break low, deterministically). The q77/q89 histogram discipline applied to hypothesis testing: state tracks the score DOMAIN, not the corpus.",
     "q93_phrase_mining" ->
