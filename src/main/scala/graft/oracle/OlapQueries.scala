@@ -97,8 +97,53 @@ object OlapQueries {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+  /** TPC-H Q3-style top-10 unshipped-order revenue — global top-k WITHOUT
+    * a global sort: customer (segment-filtered) broadcasts, lineitem ⋈
+    * orders is the one shuffle join, the per-order rollup REUSES the
+    * join's orderkey partitioning (no second exchange), and the global
+    * top-10 reduces through the bounded [[graft.agg.TopK]] aggregator —
+    * ≤ k rows per partition cross the wire instead of a
+    * rangepartition+sort of every qualifying order. Ties (equal 2-dp
+    * revenue) break to the lower orderkey in both engines. */
+  def q115(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.agg.TopK
+    val cust = Tables.table(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.table(spark, sfDir, "orders")
+      .filter(expr("o_orderdate < CAST('1995-03-15' AS TIMESTAMP_NTZ)"))
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .filter(expr("l_shipdate > CAST('1995-03-15' AS TIMESTAMP_NTZ)"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
+      .agg(TopK(10)(col("revenue"), col("o_orderkey")).as("top"))
+      .select(posexplode(col("top")).as(Seq("i", "t")))
+      .select((col("i") + 1).cast("long").as("rank"),
+        col("t.id").as("o_orderkey"), col("t.score").as("revenue"))
+  }
+
+  private val q115Sql =
+    """WITH r AS (
+      |  SELECT o_orderkey,
+      |         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment = 'BUILDING'
+      |    AND o_orderdate < TIMESTAMP '1995-03-15'
+      |    AND l_shipdate > TIMESTAMP '1995-03-15'
+      |  GROUP BY o_orderkey),
+      |t AS (SELECT *, row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rank
+      |      FROM r)
+      |SELECT CAST(rank AS BIGINT) AS rank, o_orderkey, revenue
+      |FROM t WHERE rank <= 10""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q46_snowflake_revenue", q46, Some(q46Sql)),
-    QueryDef("q47_promo_share", q47, Some(q47Sql))
+    QueryDef("q47_promo_share", q47, Some(q47Sql)),
+    QueryDef("q115_topk_order_revenue", q115, Some(q115Sql))
   )
 }

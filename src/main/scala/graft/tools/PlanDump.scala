@@ -151,6 +151,8 @@ object PlanDump {
       "Straggler prediction for the training-reader layout: shard id (the q54 md5 rule) and token count are in-row expressions over ONE corpus scan; the only exchange is the <= numShards-row aggregation with map-side partials, and the ideal-load census broadcasts back as 1 row. load_bp = shard tokens vs total/numShards in integer basis points - md5 balances COUNTS by construction, this audits the token MASS md5 knows nothing about, which is what epoch wall-clock actually follows.",
     "q114_rollup_card" ->
       "The surface's first multi-grain aggregation: (source, lang) cells, per-source subtotals and the corpus total via ROLLUP - ONE scan, ONE plan, the engine expands grains internally (vs 3x scans for 3 queries). Grain level re-derives portably from the NULL pattern (fixture dims non-NULL by FixtureSchemaSpec contract) instead of engine-specific GROUPING() bitmasks; all measures are integer (doc counts, token sums, micro-unit mean quality from exact integer division).",
+    "q115_topk_order_revenue" ->
+      "TPC-H Q3 re-expressed scale-first: segment-filtered customer broadcasts, lineitem-orders is the ONE shuffle join, the per-order revenue rollup REUSES the join's orderkey partitioning (PlanSpec pins <= 2 hash exchanges total), and the global top-10 reduces through the bounded TopK aggregator - <= k rows per partition cross the wire where ORDER BY revenue LIMIT 10 would rangepartition+sort every qualifying order. Decimal-exact revenue, 2-dp rounded; ties break to the lower orderkey in both engines.",
     "q101_ks_drift" ->
       "Distribution-drift alarm: exact two-sample KS on the bounded 4-dp score grid - one corpus aggregation to the (source, cell) histogram (persisted; the corpus histogram DERIVES from it), a |sources| x |cells| evaluation frame with zero-filled cells, and the sup computed over cross-multiplied integer rationals |cum_s*n_c - cum_c*n_s| so no double appears anywhere (argmax cell ties break low, deterministically). The q77/q89 histogram discipline applied to hypothesis testing: state tracks the score DOMAIN, not the corpus.",
     "q93_phrase_mining" ->

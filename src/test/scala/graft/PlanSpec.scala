@@ -734,6 +734,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"census join must stay keyed:\n$p")
   }
 
+  test("q115 top-k join: rollup reuses the join partitioning; top-10 has no sort exchange") {
+    val p = plan(Registry.byName("q115_topk_order_revenue").run(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"customer must broadcast:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"global top-k must reduce through TopK, not a sort:\n$p")
+    assert(!p.contains("Window "), s"no window-rank fallback:\n$p")
+    // orderkey partitioning carries join AND rollup: at most the two fact
+    // exchanges (lineitem, orders) plus the 1-row TopK SinglePartition
+    val hashEx = countOccurrences(executedPortion(p), "Exchange hashpartitioning")
+    assert(hashEx <= 2, s"per-order rollup must reuse the join exchange, got $hashEx:\n$p")
+  }
+
   test("q70 bpe pairs: vocab-compressed census — two hash exchanges, window only over the tiny pair table") {
     val p = plan(Registry.byName("q70_bpe_pairs").run(spark, sf0001))
     assert(countOccurrences(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
