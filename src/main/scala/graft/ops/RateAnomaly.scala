@@ -54,6 +54,46 @@ object RateAnomaly {
         expr("CASE WHEN varn = 0 THEN NULL ELSE dev * dev div varn END").as("z2"))
   }
 
+  /** Stream-static adaptive anomaly detection — the reference's core use
+    * case (windowed counts → alert) with q107's ADAPTIVE threshold in
+    * place of its hardcoded one: the per-type baseline (n minutes,
+    * S = Σc, Q = Σc²) is fit ONCE on the settled history (the frozen-
+    * reference gate discipline), and arriving events aggregate per
+    * (event_type, 1-minute tumbling window) under a watermark — the
+    * engine's stock W2/W6/ST3 machinery — with the integer z² verdict
+    * applied map-side above the windowed count. Emits every windowed
+    * cell with its verdict (`is_anomaly`), so update-mode consumers see
+    * counts grow and the verdict flip the moment a minute crosses its
+    * type's 3σ line.
+    *
+    * Frozen-baseline semantics, documented: arriving minutes do NOT
+    * update (n, S, Q) — re-fit at history checkpoints, exactly like the
+    * bloom/decontamination gates' reference side. */
+  def rateAnomalyStreamStatic(streamEvents: DataFrame, staticEvents: DataFrame,
+                              staticTMicros: Column, sigmas: Int = 3): DataFrame = {
+    val stats = staticEvents
+      .select(col("event_type"), staticTMicros.cast("long").as("t"))
+      .withColumn("minute", expr("t div 60000000"))
+      .groupBy(col("event_type"), col("minute"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+    streamEvents
+      .withWatermark("event_time", "2 minutes")
+      .groupBy(col("event_type"), window(col("event_time"), "1 minute"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(stats), "event_type")
+      .withColumn("dev", expr("c * n - s"))
+      .withColumn("varn", expr("n * q - s * s"))
+      .select(col("event_type"), col("window.start").as("minute_start"),
+        col("c"),
+        expr("s * 1000000 div n").as("mean_micro"),
+        (col("n") >= 2 && col("dev") > 0 &&
+          col("dev") * col("dev") > lit(sigmas.toLong * sigmas) * col("varn"))
+          .as("is_anomaly"))
+  }
+
   // ---------------------------------------------------------------- q107
   def q107(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")

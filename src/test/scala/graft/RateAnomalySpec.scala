@@ -39,6 +39,40 @@ class RateAnomalySpec extends SparkSpec {
     assert(out.isEmpty, s"drops are not spikes: ${out.mkString(";")}")
   }
 
+  test("stream-static anomaly: planted spike flags at ingest, steady traffic does not; stream == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // settled history: type A runs ~6 events/min for 10 minutes
+    val history = (for (m <- 0L until 10L; i <- 0L until 6L)
+      yield ("A", m * 60000000L + i * 1000L)).toDF("event_type", "t_us")
+    // arrivals: one quiet minute (6 events) and one spike minute (60)
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
+    val arrivals = (0L until 6L).map(i => ("A", ts(100L * 60000000L + i * 1000L))) ++
+      (0L until 60L).map(i => ("A", ts(101L * 60000000L + i * 1000L)))
+    val stream = MemoryStream[(String, java.sql.Timestamp)]
+    val sq = RateAnomaly.rateAnomalyStreamStatic(
+        stream.toDF().toDF("event_type", "event_time"), history, col("t_us"))
+      .writeStream.format("memory").queryName("rate_gate")
+      .outputMode("update").start()
+    try {
+      stream.addData(arrivals)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val got = spark.table("rate_gate").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2), r.getBoolean(4)))
+      .groupBy(t => (t._1, t._2)).map { case (k, rs) => k -> rs.maxBy(_._3) } // last update wins
+    val quiet = got(("A", 100L * 60000L))
+    val spike = got(("A", 101L * 60000L))
+    assert(quiet._3 == 6L && !quiet._4, s"steady minute must pass: $quiet")
+    assert(spike._3 == 60L && spike._4, s"spike minute must flag: $spike")
+    // batch equivalence on the same frozen baseline
+    val batch = RateAnomaly.rateAnomalyStreamStatic(
+        arrivals.toDF("event_type", "event_time"), history, col("t_us"))
+      .collect().map(r => ((r.getString(0), r.getTimestamp(1).getTime),
+        (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2), r.getBoolean(4)))).toMap
+    assert(got == batch, s"stream != batch: $got vs $batch")
+  }
+
   test("q107 runs on the fixture and every flagged cell satisfies the predicate") {
     val out = RateAnomaly.q107(spark, sf0001).collect()
     out.foreach { r =>
