@@ -153,6 +153,8 @@ object PlanDump {
       "The surface's first multi-grain aggregation: (source, lang) cells, per-source subtotals and the corpus total via ROLLUP - ONE scan, ONE plan, the engine expands grains internally (vs 3x scans for 3 queries). Grain level re-derives portably from the NULL pattern (fixture dims non-NULL by FixtureSchemaSpec contract) instead of engine-specific GROUPING() bitmasks; all measures are integer (doc counts, token sums, micro-unit mean quality from exact integer division).",
     "q115_topk_order_revenue" ->
       "TPC-H Q3 re-expressed scale-first: segment-filtered customer broadcasts, lineitem-orders is the ONE shuffle join, the per-order revenue rollup REUSES the join's orderkey partitioning (PlanSpec pins <= 2 hash exchanges total), and the global top-10 reduces through the bounded TopK aggregator - <= k rows per partition cross the wire where ORDER BY revenue LIMIT 10 would rangepartition+sort every qualifying order. Decimal-exact revenue, 2-dp rounded; ties break to the lower orderkey in both engines.",
+    "q116_session_stats" ->
+      "Gap sessionization over history (q28's native streaming session_window, replayed in batch): the classic lag + cumulative-flag construction, deterministic under the (t, event_id) tie discipline. ONE hash exchange on user_id + a per-user sort (the q31/q86 ordered-traversal class) serves BOTH window passes; the (user, session) rollup and the per-user rollup reuse the user partitioning. Integer epoch-micro spans and micro-unit means - engine-exact.",
     "q101_ks_drift" ->
       "Distribution-drift alarm: exact two-sample KS on the bounded 4-dp score grid - one corpus aggregation to the (source, cell) histogram (persisted; the corpus histogram DERIVES from it), a |sources| x |cells| evaluation frame with zero-filled cells, and the sup computed over cross-multiplied integer rationals |cum_s*n_c - cum_c*n_s| so no double appears anywhere (argmax cell ties break low, deterministically). The q77/q89 histogram discipline applied to hypothesis testing: state tracks the score DOMAIN, not the corpus.",
     "q93_phrase_mining" ->

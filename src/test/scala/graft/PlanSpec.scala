@@ -746,6 +746,14 @@ class PlanSpec extends SparkSpec {
     assert(hashEx <= 2, s"per-order rollup must reuse the join exchange, got $hashEx:\n$p")
   }
 
+  test("q116 sessionization: one user exchange and one sort serve both windows and both rollups") {
+    val p = executedPortion(plan(Registry.byName("q116_session_stats").run(spark, sf0001)))
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1,
+      s"everything must ride the one user_id exchange:\n$p")
+    assert(countOccurrences(p, "Sort ") <= 1,
+      s"both window passes must share one per-user sort:\n$p")
+  }
+
   test("q70 bpe pairs: vocab-compressed census — two hash exchanges, window only over the tiny pair table") {
     val p = plan(Registry.byName("q70_bpe_pairs").run(spark, sf0001))
     assert(countOccurrences(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
