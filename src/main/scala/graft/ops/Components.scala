@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.oracle.QueryDef
+import graft.oracle.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -137,6 +137,62 @@ object Components {
        |SELECT doc_id, lbl.cluster_id, cluster_size
        |FROM lbl JOIN sz ON lbl.cluster_id = sz.cluster_id""".stripMargin
 
+  // ---------------------------------------------------------------- q117
+  /** Dedup observability (q117): the cluster-size histogram of the q38
+    * near-dup components plus the unclustered remainder as size-1 rows —
+    * one table answering "how much duplication does this corpus carry,
+    * and in what shape?" before any scrub runs. `removable` per row is
+    * the dedup dividend (docs − clusters: what canonical-keeper election
+    * q67 would drop); `docs_bp` is each size class's share of the whole
+    * corpus. A corpus dominated by large clusters wants q63's span scrub
+    * or q67's keeper election; one dominated by pairs wants plain q11.
+    *
+    * Scale shape: the cluster table is dup-rate-sized by construction
+    * (only docs appearing in near-dup pairs); the histogram is a
+    * ≤ |distinct sizes|-row aggregation over it; the corpus total and
+    * clustered-doc count are 1-row censuses broadcast into the
+    * singleton remainder row. Nothing corpus-sized moves. */
+  def q117(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val clustered = Tables.swapPersist("q117_cc", q38(spark, sfDir))
+    val sizes = clustered.select(col("cluster_id"), col("cluster_size")).distinct()
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("cluster_size")).as("n_docs"))
+    val tot = docs.agg(count(lit(1)).as("tot"))
+      .crossJoin(clustered.agg(count(lit(1)).as("cd")))
+    val singles = tot.select(lit(1L).as("cluster_size"),
+      (col("tot") - col("cd")).as("n_clusters"), (col("tot") - col("cd")).as("n_docs"))
+    sizes.unionByName(singles)
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("tot2"))))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        (col("n_docs") - col("n_clusters")).as("removable"),
+        expr("n_docs * 10000 div tot2").as("docs_bp"))
+  }
+
+  private val q117Sql =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b FROM (${graft.ext.TextOps.q14SqlText}) q14),
+       |bi AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+       |       UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT x, x FROM bi
+       |  UNION
+       |  SELECT r.src, bi.y FROM reach r JOIN bi ON r.dst = bi.x),
+       |lbl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id),
+       |hist AS (
+       |  SELECT cluster_size, count(*) AS n_clusters,
+       |         CAST(sum(cluster_size) AS BIGINT) AS n_docs
+       |  FROM sz GROUP BY cluster_size
+       |  UNION ALL
+       |  SELECT CAST(1 AS BIGINT), t.tot - c.cd, t.tot - c.cd
+       |  FROM (SELECT count(*) AS tot FROM documents) t,
+       |       (SELECT count(*) AS cd FROM lbl) c)
+       |SELECT cluster_size, n_clusters, n_docs,
+       |       CAST(n_docs - n_clusters AS BIGINT) AS removable,
+       |       CAST(n_docs * 10000 // (SELECT count(*) FROM documents) AS BIGINT) AS docs_bp
+       |FROM hist""".stripMargin
+
   // ---------------------------------------------------------------- q48
   /** Leakage-free train/val/test split: assign every document to a split by
     * hashing its near-dup CLUSTER root (singletons root themselves), so
@@ -201,6 +257,7 @@ object Components {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q38_dedup_clusters", q38, Some(q38Sql)),
-    QueryDef("q48_leakage_free_split", q48, Some(q48Sql))
+    QueryDef("q48_leakage_free_split", q48, Some(q48Sql)),
+    QueryDef("q117_cluster_histogram", q117, Some(q117Sql))
   )
 }
