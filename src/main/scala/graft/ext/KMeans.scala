@@ -114,6 +114,67 @@ object KMeans {
     cents.localCheckpoint()
   }
 
+  // ------------------------------------------------- fused subspace fits
+  // PQ fits one independent k-means PER SUBSPACE. Run naively that is M
+  // sequential Lloyd loops = M×(iters+1) corpus passes and M×iters update
+  // exchanges. The fused kernel below runs ALL subspaces through ONE loop:
+  // the corpus explodes once to the (vec_id, s, qs) grain (same total
+  // bytes — M rows of dim/M each), every round does ONE assignment pass
+  // (all M×k centroids ride one broadcast row; each point folds only over
+  // its own subspace's structs) and ONE (s, cid, d) update exchange.
+  // Arithmetic is IDENTICAL to per-subspace fits (same seeds — the k
+  // smallest vec_ids, sliced; same floored means; same lowest-cid ties),
+  // so the fixed points match bit-for-bit (KMeansSpec pins fused ==
+  // sequential) and the q98/q99 oracles stay hash-exact.
+
+  /** (vec_id, s, qs): the corpus exploded to subspace slices. */
+  private[ext] def subExplode(pts: DataFrame, m: Int, subDim: Int): DataFrame =
+    pts.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> slice(q, s * $subDim + 1, $subDim))"))
+      .as(Seq("s", "qs")))
+
+  /** One cid-and-s-sorted broadcast row of all m×k centroids. */
+  private def subCentsRow(cents: DataFrame): DataFrame =
+    cents.agg(sort_array(collect_list(struct(col("s"), col("cid"), col("cvec")))).as("cs"))
+
+  /** Fused map-side assignment: each (vec_id, s, qs) row folds over ONLY
+    * its subspace's structs (order inherited from the (s, cid)-sorted
+    * row → first-min = lowest cid, the sequential tie rule). */
+  private[ext] def assignSub(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub.crossJoin(broadcast(subCentsRow(cents)))
+      .withColumn("mine", expr("filter(cs, c -> c.s = s)"))
+      .withColumn("darr", expr(
+        "transform(mine, c -> aggregate(zip_with(qs, c.cvec, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x))"))
+      .withColumn("pi", (array_position(col("darr"), array_min(col("darr"))) - 1).cast("int"))
+      .withColumn("cid", expr("mine[pi].cid"))
+      .withColumn("dist", expr("darr[pi]"))
+      .select(col("vec_id"), col("s"), col("qs"), col("cid"), col("dist"))
+
+  /** Fused Lloyd over all m subspaces at once → checkpointed
+    * (s, cid, cvec) fixed point, bit-identical to m sequential
+    * [[fit]]s over the slices. `sub` is [[subExplode]]'s frame (persist
+    * it — every round reads it). */
+  private[graft] def fitSub(pts: DataFrame, sub: DataFrame, m: Int,
+                            subDim: Int, k: Int, iters: Int): DataFrame = {
+    val seeds = pts.orderBy(col("vec_id")).limit(k)
+    var cents = subExplode(seeds, m, subDim)
+      .select(col("s"), col("vec_id").cast("int").as("cid"), col("qs").as("cvec"))
+    for (_ <- 0 until iters) {
+      val sums = assignSub(sub, cents)
+        .select(col("s"), col("cid"), posexplode(col("qs")).as(Seq("d", "v")))
+        .groupBy(col("s"), col("cid"), col("d"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .withColumn("cv", expr("(sv - pmod(sv, n)) div n"))
+        .groupBy(col("s"), col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(d, cv))), x -> x.cv)").as("ncvec"))
+      cents = cents.join(
+          sums.withColumnRenamed("s", "ns").withColumnRenamed("cid", "ncid"),
+          col("s") === col("ns") && col("cid") === col("ncid"), "left")
+        .select(col("s"), col("cid"), coalesce(col("ncvec"), col("cvec")).as("cvec"))
+    }
+    cents.localCheckpoint()
+  }
+
   /** Final-model per-vector assignment over any (vec_id, embedding) frame:
     * (vec_id, q, cid, dist) — the input to per-cluster operators
     * (SemDeDup's within-cell dedup, cluster-stratified sampling). */

@@ -13,17 +13,21 @@ import org.apache.spark.sql.functions._
   * index that fits in executor memory and one that doesn't; q20's IVF
   * prunes WHICH cells to visit, PQ shrinks WHAT is stored per cell.
   *
-  * Reuses the integer-exact Lloyd kernel (KMeans scaladoc: milli-unit
+  * Reuses the integer-exact Lloyd arithmetic (KMeans scaladoc: milli-unit
   * quantization, int64 distances, floor-division centroids, lowest-cid
-  * tie-break) per subspace, so even this iterative codebook build is
-  * hash-exact against the DuckDB oracle — each subspace's Lloyd loop runs
-  * in its own WITH-scope, UNION'd.
+  * tie-break), so even this iterative codebook build is hash-exact
+  * against the DuckDB oracle — each subspace's Lloyd loop runs in its
+  * own WITH-scope on the oracle side, UNION'd.
   *
-  * Shape: embeddings quantized ONCE behind a keyed persist; each
-  * subspace's fit slices the cached frame (slice-of-quantize ≡
-  * quantize-of-slice, elementwise), assignments stay map-side against
-  * k-row broadcast centroids, updates exchange (cid × subdim) partials.
-  * Corpus passes: 1 scan + M·(iters+1) cache reads, never M re-scans.
+  * Shape: embeddings quantized ONCE behind a keyed persist, exploded
+  * ONCE to the (vec_id, s, qs) subspace grain (same bytes — M rows of
+  * dim/M each, also persisted), and ALL M fits run through the FUSED
+  * Lloyd kernel ([[KMeans.fitSub]]): per round, ONE map-side assignment
+  * pass (all M·k centroids on one broadcast row; each point folds over
+  * its own subspace's structs only) and ONE (s, cid, d) update exchange
+  * — 1/M the jobs and exchanges of M sequential fits, bit-identical
+  * fixed points (PqSpec pins fused ≡ sequential).
+  * Cache reads per build: iters + 1, independent of M.
   */
 object Pq {
 
@@ -37,34 +41,41 @@ object Pq {
     Tables.swapPersist("q98_pts",
       KMeans.quantize(Tables.table(spark, sfDir, "embeddings")))
 
-  private def subPts(p: DataFrame, s: Int): DataFrame =
-    p.select(col("vec_id"), expr(s"slice(q, ${s * SubDim + 1}, $SubDim)").as("q"))
-
   // ---------------------------------------------------------------- q98
-  /** (subspace, cid, n_points, inertia, centroid_checksum) — M·k rows. */
+  /** (subspace, cid, n_points, inertia, centroid_checksum) — M·k rows.
+    *
+    * All M fits run through the FUSED Lloyd kernel ([[KMeans.fitSub]]):
+    * one exploded (vec_id, s, qs) frame persisted once, ONE assignment
+    * pass and ONE (s, cid, d) update exchange per round instead of M —
+    * bit-identical fixed points to M sequential fits (PqSpec pins it),
+    * at 1/M the job and exchange count. */
   def q98(spark: SparkSession, sfDir: String): DataFrame = {
     val p = pts(spark, sfDir)
-    (0 until M).map { s =>
-      KMeans.kmeansOfQuantized(subPts(p, s), Codes, Iters)
-        .withColumn("subspace", lit(s.toLong))
-        .select(col("subspace"), col("cid"), col("n_points"),
-          col("inertia"), col("centroid_checksum"))
-    }.reduce(_ unionByName _)
+    val sub = Tables.swapPersist("q98_sub", KMeans.subExplode(p, M, SubDim))
+    val cents = KMeans.fitSub(p, sub, M, SubDim, Codes, Iters)
+    val checksums = cents.select(col("s").as("cs_s"), col("cid").as("ccid"), expr(
+      "aggregate(zip_with(cvec, sequence(1L, CAST(size(cvec) AS BIGINT)), (x, i) -> x * i), 0L, (a, x) -> a + x)")
+      .as("centroid_checksum"))
+    KMeans.assignSub(sub, cents)
+      .groupBy(col("s"), col("cid"))
+      .agg(count(lit(1)).as("n_points"), sum(col("dist")).as("inertia"))
+      .join(broadcast(checksums), col("s") === col("cs_s") && col("cid") === col("ccid"))
+      .select(col("s").cast("long").as("subspace"), col("cid").cast("long").as("cid"),
+        col("n_points"), col("inertia"), col("centroid_checksum"))
   }
 
   /** Per-vector PQ code word — (vec_id, codes: array<int> of length M,
     * distortion = Σ subspace inertia contribution). The compressed
-    * representation an IVF-PQ index stores per posting. */
+    * representation an IVF-PQ index stores per posting. Fused-kernel
+    * path: one exploded frame, one fit loop, one assignment pass. */
   def pqCodesOf(embeds: DataFrame, m: Int = M, subDim: Int = SubDim,
                 codes: Int = Codes, iters: Int = Iters): DataFrame = {
     val p = Tables.swapPersist("pq_pts", KMeans.quantize(embeds))
-    (0 until m).map { s =>
-      val sub = p.select(col("vec_id"), expr(s"slice(q, ${s * subDim + 1}, $subDim)").as("q"))
-      KMeans.assignmentsQuantized(sub, codes, iters)
-        .select(col("vec_id"), lit(s).as("subspace"), col("cid"), col("dist"))
-    }.reduce(_ unionByName _)
+    val sub = Tables.swapPersist("pq_sub", KMeans.subExplode(p, m, subDim))
+    val cents = KMeans.fitSub(p, sub, m, subDim, codes, iters)
+    KMeans.assignSub(sub, cents)
       .groupBy(col("vec_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(subspace, cid))), x -> x.cid)").as("codes"),
+      .agg(expr("transform(array_sort(collect_list(struct(s, cid))), x -> x.cid)").as("codes"),
         sum(col("dist")).as("distortion"))
   }
 
@@ -84,13 +95,14 @@ object Pq {
     * along as a 4×16×16-int literal (~4 KB). All-integer distances →
     * hash-exact oracle despite five k-means models in the plan.
     *
-    * Scale shape: one persisted quantized corpus; M fits (k-row
-    * checkpointed centroids); corpus codes form via M map-side
-    * assignments UNION'd into ONE (vec_id, subspace, cid) exchange;
-    * the 20-query frame broadcasts onto the label-pruned candidates;
-    * the ADC fold is in-row; the bounded TopK aggregator ships ≤ k rows
-    * per (query × partition). Centroid collects are ≤ Codes-row
-    * censuses. */
+    * Scale shape: one persisted quantized corpus + one persisted
+    * subspace explode; all M codebooks from ONE fused Lloyd loop
+    * (M·Codes-row checkpointed fixed point); corpus codes from ONE
+    * fused assignment pass into ONE (vec_id) exchange; the 20-query
+    * frame broadcasts onto the label-pruned candidates; the ADC fold is
+    * in-row; the bounded TopK aggregator ships ≤ k rows per
+    * (query × partition). The centroid collect is one M·Codes-row
+    * census. */
   def q99(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.agg.TopK
     val emb = Tables.table(spark, sfDir, "embeddings")
@@ -103,26 +115,29 @@ object Pq {
         .toDF("query_id", "cell", "neighbor_id", "rank", "adc_dist")
     }
     val p = Tables.swapPersist("q99_pts", KMeans.quantize(emb))
+    val sub = Tables.swapPersist("q99_sub", KMeans.subExplode(p, M, SubDim))
     val labels = emb.select(col("vec_id").as("lv"), col("label"))
 
-    // per-subspace codebooks: DataFrame for the assignment pass + a dense
-    // cid-indexed literal for the in-row ADC fold (cids are the k smallest
-    // vec_ids — dense 0..Codes-1 on the fixtures; assert, don't assume)
-    val fitted = (0 until M).map { s =>
-      val cents = KMeans.fit(subPts(p, s), Codes, Iters)
-      val rows = cents.collect()
-      val byCid = rows.map(r => r.getInt(0) -> r.getAs[scala.collection.Seq[Long]]("cvec").toSeq).toMap
+    // all M codebooks from ONE fused Lloyd loop (KMeans.fitSub — same
+    // fixed points as sequential fits at 1/M the passes); collected once
+    // (M·Codes rows) into the dense cid-indexed literal the in-row ADC
+    // fold needs (cids are the k smallest vec_ids — dense 0..Codes-1 on
+    // the fixtures; assert, don't assume)
+    val cents = KMeans.fitSub(p, sub, M, SubDim, Codes, Iters)
+    val bySub = cents.collect()
+      .groupBy(_.getInt(0))
+      .map { case (s, rows) =>
+        s -> rows.map(r => r.getInt(1) -> r.getAs[scala.collection.Seq[Long]]("cvec").toSeq).toMap
+      }
+    (0 until M).foreach { s =>
+      val byCid = bySub.getOrElse(s, Map.empty)
       require(byCid.keySet == (0 until Codes).toSet,
         s"subspace $s centroid ids not dense 0..${Codes - 1}: ${byCid.keySet}")
-      (cents, (0 until Codes).map(byCid))
     }
-    val centsLit = typedLit(fitted.map(_._2.map(_.toSeq)))
+    val centsLit = typedLit((0 until M).map(s => (0 until Codes).map(bySub(s))))
 
-    // corpus PQ codes: M map-side assignments → ONE exchange on vec_id
-    val codes = (0 until M).map { s =>
-      KMeans.assign(subPts(p, s), fitted(s)._1)
-        .select(col("vec_id"), lit(s).as("s"), col("cid"))
-    }.reduce(_ unionByName _)
+    // corpus PQ codes: ONE fused assignment pass → ONE exchange on vec_id
+    val codes = KMeans.assignSub(sub, cents)
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(s, cid))), x -> x.cid)").as("codes"))
 

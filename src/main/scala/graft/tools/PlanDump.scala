@@ -120,9 +120,9 @@ object PlanDump {
     "q95_zorder_layout" ->
       "Multi-column skipping layout: quantize (1-row min/max census broadcast) + Morton shift/mask ladder are pure integer map-side work inside codegen; ONE exchange on the 64-key bucket grain with map-side partials. The audit grades the curve by per-bucket spans in BOTH dimensions - the single-key sort leaves dim 2 unconstrained (spec asserts z beats it); layoutBy is the write path (range-partition + sort on the SAME z value), so OPTIMIZE-ZORDER-style file clustering and its quality audit share one curve definition.",
     "q98_pq_codebook" ->
-      "IVF-PQ memory side: the corpus quantizes ONCE behind a keyed persist; each of the M subspace Lloyd fits slices the CACHED frame (slice-of-quantize == quantize-of-slice), assignments stay map-side against k-row broadcast centroids, updates exchange (cid x subdim) partials - 1 scan + M*(iters+1) cache reads, never M re-scans. Census output is M x k rows. The integer-exact Lloyd kernel makes even this iterative codebook build hash-exact vs a 4-Lloyd-loop DuckDB oracle; pqCodesOf emits the M-code words (2 bytes/vector at the default geometry) that let a 100 TB index live in executor memory.",
+      "IVF-PQ memory side, FUSED: the corpus quantizes ONCE behind a keyed persist and explodes ONCE to the (vec_id, s, qs) subspace grain (same bytes, also persisted); ALL M Lloyd fits run through one fused kernel - per round ONE map-side assignment (all M*k centroids on one broadcast row, each point folds over its own subspace's structs) and ONE (s, cid, d) update exchange - 1/M the jobs and exchanges of sequential fits, bit-identical fixed points (PqSpec pins fused == sequential). Cache reads per build: iters+1, independent of M. Census output is M x k rows. The integer-exact Lloyd kernel makes even this iterative codebook build hash-exact vs a 4-Lloyd-loop DuckDB oracle; pqCodesOf emits the M-code words (2 bytes/vector at the default geometry) that let a 100 TB index live in executor memory.",
     "q99_ivfpq_search" ->
-      "IVF-PQ read path (ADC): candidates prune to the query's coarse cell and are scored COMPRESSED - each ships its M=4 code ids, never the 64-dim vector; the 4x16x16-int codebook literal (~4 KB) rides into the in-row integer ADC fold (sum of query-subvector-to-code-centroid squared distances == the classic lookup-table formulation), and the bounded TopK aggregator exchanges <= k rows per (query x partition). Corpus codes form via M map-side assignments UNION'd into ONE vec_id exchange off the persisted quantized corpus. Centroid collects are <= 16-row censuses. All-integer distances -> hash-exact DuckDB oracle with five k-means models in one plan.",
+      "IVF-PQ read path (ADC): candidates prune to the query's coarse cell and are scored COMPRESSED - each ships its M=4 code ids, never the 64-dim vector; the 4x16x16-int codebook literal (~4 KB) rides into the in-row integer ADC fold (sum of query-subvector-to-code-centroid squared distances == the classic lookup-table formulation), and the bounded TopK aggregator exchanges <= k rows per (query x partition). All M codebooks come from ONE fused Lloyd loop (KMeans.fitSub) and corpus codes from ONE fused assignment pass into ONE vec_id exchange; the centroid collect is a single M*Codes-row census. All-integer distances -> hash-exact DuckDB oracle with five k-means models in one plan.",
     "q100_mixture_waterfill" ->
       "Budgeted data-mixing allocator: ONE corpus aggregation to the |sources| census, then the waterfill solves in CLOSED FORM - sort by saturation ratio, prefix-sum windows, and a cross-multiplied integer cap predicate (c_i*(W-W_prefix) <= (B-C_prefix)*w_i - no division, no iteration, no convergence loop); the water-level census is 1 row. Allocations floor to integers with the <|uncapped| remainder documented. The window runs over sources, never rows - the op costs the same at 10^12 documents as at 10^3.",
     "q102_eval_span_scrub" ->

@@ -6,6 +6,24 @@ import org.apache.spark.sql.functions._
 /** Product quantization codebooks (q98). */
 class PqSpec extends SparkSpec {
 
+  test("fused subspace kernel == M sequential per-slice fits, row for row") {
+    // the fused q98 must be BIT-identical to fitting each 16-dim slice
+    // independently through the public sequential kernel
+    val p = graft.ext.KMeans.quantize(
+      graft.oracle.Tables.table(spark, sf0001, "embeddings"))
+    val sequential = (0 until Pq.M).flatMap { s =>
+      val slice = p.select(col("vec_id"),
+        expr(s"slice(q, ${s * Pq.SubDim + 1}, ${Pq.SubDim})").as("q"))
+      graft.ext.KMeans.kmeansOfQuantized(slice, Pq.Codes, Pq.Iters)
+        .collect().map(r => (s.toLong, r.getLong(0)) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3)))
+    }.toMap
+    val fused = Pq.q98(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(fused == sequential)
+  }
+
   test("q98 census: per-subspace occupancy covers the corpus, codes in seed space") {
     val out = Pq.q98(spark, sf0001).collect()
     val nVecs = graft.oracle.Tables.table(spark, sf0001, "embeddings").count()
