@@ -155,6 +155,12 @@ object PlanDump {
       "TPC-H Q3 re-expressed scale-first: segment-filtered customer broadcasts, lineitem-orders is the ONE shuffle join, the per-order revenue rollup REUSES the join's orderkey partitioning (PlanSpec pins <= 2 hash exchanges total), and the global top-10 reduces through the bounded TopK aggregator - <= k rows per partition cross the wire where ORDER BY revenue LIMIT 10 would rangepartition+sort every qualifying order. Decimal-exact revenue, 2-dp rounded; ties break to the lower orderkey in both engines.",
     "q116_session_stats" ->
       "Gap sessionization over history (q28's native streaming session_window, replayed in batch): the classic lag + cumulative-flag construction, deterministic under the (t, event_id) tie discipline. ONE hash exchange on user_id + a per-user sort (the q31/q86 ordered-traversal class) serves BOTH window passes; the (user, session) rollup and the per-user rollup reuse the user partitioning. Integer epoch-micro spans and micro-unit means - engine-exact.",
+    "q117_cluster_histogram" ->
+      "Dedup observability: the q38 component labels (dup-rate-sized by construction) roll up to a <= |distinct sizes|-row histogram; corpus total and clustered-count are 1-row censuses broadcast into the singleton remainder row, so every document is accounted for exactly once. The removable column (docs - clusters per size class) prices the canonical-keeper dividend BEFORE running q67.",
+    "q119_dup_sources" ->
+      "Provenance attribution of q14's near-dup pairs: both pair sides attach their source via dup-rate-sized lookups (the corpus never joins), cells normalize to (min, max) for an upper-triangular <= |sources|^2 matrix, and ppm uses the exact candidate-pair denominators (within: n(n-1)/2; cross: na*nb) so cells compare across source sizes. Mirror crawls = hot off-diagonals; template mills = hot diagonals.",
+    "q118_decile_matrix" ->
+      "Chi-square-ready joint distribution: both axes recover exact rank deciles from bounded integer histograms (q105's rule - cumulative windows over the census, cell ties never straddle), the per-doc assignment is an equi-join against broadcast cell->decile maps, and independence expectations are integer arithmetic on the matrix's own marginals. Scored corpus persists once for its three readers; no NTILE, no corpus sort.",
     "q101_ks_drift" ->
       "Distribution-drift alarm: exact two-sample KS on the bounded 4-dp score grid - one corpus aggregation to the (source, cell) histogram (persisted; the corpus histogram DERIVES from it), a |sources| x |cells| evaluation frame with zero-filled cells, and the sup computed over cross-multiplied integer rationals |cum_s*n_c - cum_c*n_s| so no double appears anywhere (argmax cell ties break low, deterministically). The q77/q89 histogram discipline applied to hypothesis testing: state tracks the score DOMAIN, not the corpus.",
     "q93_phrase_mining" ->
