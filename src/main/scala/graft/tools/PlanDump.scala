@@ -161,6 +161,8 @@ object PlanDump {
       "Provenance attribution of q14's near-dup pairs: both pair sides attach their source via dup-rate-sized lookups (the corpus never joins), cells normalize to (min, max) for an upper-triangular <= |sources|^2 matrix, and ppm uses the exact candidate-pair denominators (within: n(n-1)/2; cross: na*nb) so cells compare across source sizes. Mirror crawls = hot off-diagonals; template mills = hot diagonals.",
     "q118_decile_matrix" ->
       "Chi-square-ready joint distribution: both axes recover exact rank deciles from bounded integer histograms (q105's rule - cumulative windows over the census, cell ties never straddle), the per-doc assignment is an equi-join against broadcast cell->decile maps, and independence expectations are integer arithmetic on the matrix's own marginals. Scored corpus persists once for its three readers; no NTILE, no corpus sort.",
+    "q120_join_size" ->
+      "Join planning's F2: the exact self-join output size per candidate key (sum of squared key counts) from ONE key-grain exchange with map-side partials + a 1-row rollup - the blow-up is priced BEFORE anyone runs the join, and max_key_rows says where q23's salt belongs. Exact, not sketched: the census grain makes F2 an integer sum (int64-safe to ~10^9 rows on one key, documented). Spec pins predicted == an actually-executed self-join's count.",
     "q101_ks_drift" ->
       "Distribution-drift alarm: exact two-sample KS on the bounded 4-dp score grid - one corpus aggregation to the (source, cell) histogram (persisted; the corpus histogram DERIVES from it), a |sources| x |cells| evaluation frame with zero-filled cells, and the sup computed over cross-multiplied integer rationals |cum_s*n_c - cum_c*n_s| so no double appears anywhere (argmax cell ties break low, deterministically). The q77/q89 histogram discipline applied to hypothesis testing: state tracks the score DOMAIN, not the corpus.",
     "q93_phrase_mining" ->
