@@ -33,7 +33,7 @@ object Floors {
     "q57" -> 0.55, "q58" -> 0.15, "q59" -> 0.32, "q60" -> 1.62,
     "q61" -> 3.63, "q62" -> 2.14, "q63" -> 0.54, "q64" -> 0.75,
     "q65" -> 0.32, "q66" -> 0.30, "q67" -> 1.58, "q68" -> 0.23,
-    "q69" -> 0.10, "q70" -> 0.15, "q71" -> 0.57, "q72" -> 0.23,
+    "q69" -> 0.10, "q70" -> 0.30, "q71" -> 0.57, "q72" -> 0.40,
     "q73" -> 0.33, "q74" -> 1.11, "q75" -> 1.54, "q76" -> 2.53,
     "q77" -> 0.52, "q78" -> 0.27, "q79" -> 1.33, "q80" -> 1.70,
     "q81" -> 0.32, "q82" -> 0.69, "q83" -> 0.71, "q84" -> 0.75,
