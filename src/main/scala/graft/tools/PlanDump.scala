@@ -165,6 +165,8 @@ object PlanDump {
       "Join planning's F2: the exact self-join output size per candidate key (sum of squared key counts) from ONE key-grain exchange with map-side partials + a 1-row rollup - the blow-up is priced BEFORE anyone runs the join, and max_key_rows says where q23's salt belongs. Exact, not sketched: the census grain makes F2 an integer sum (int64-safe to ~10^9 rows on one key, documented). Spec pins predicted == an actually-executed self-join's count.",
     "q121_co_engagement" ->
       "Do buyers also click, without the self-join: the corpus compresses to DISTINCT (user, type) first (one exchange), each user's <= |types| type-set pairs IN-ROW (the q12 bucket-pair trick pointed at feeds), and the overlap matrix is a |types|^2-bounded aggregation; per-type totals reuse the distinct frame and broadcast back. Exact Jaccard in integer basis points; (a < b) normalization keeps the matrix upper-triangular in both engines. The naive per-pair self-join this replaces is exactly the blow-up q120 prices.",
+    "q123_skyline" ->
+      "Preference queries without pairwise dominance: both skyline dimensions live on bounded integer grids, so the corpus aggregates ONCE to the (n_words -> max q10k) census and the Pareto frontier is a strict running-max window over CENSUS rows (a cell survives iff its best quality strictly beats every longer cell's best; ties dominate toward the longer doc). The block-nested-loop skyline this replaces compares O(n^2) pairs; this is one exchange + census windows, and the frontier attach is a broadcast equi-join. Spec pins equality with brute-force dominance.",
     "q101_ks_drift" ->
       "Distribution-drift alarm: exact two-sample KS on the bounded 4-dp score grid - one corpus aggregation to the (source, cell) histogram (persisted; the corpus histogram DERIVES from it), a |sources| x |cells| evaluation frame with zero-filled cells, and the sup computed over cross-multiplied integer rationals |cum_s*n_c - cum_c*n_s| so no double appears anywhere (argmax cell ties break low, deterministically). The q77/q89 histogram discipline applied to hypothesis testing: state tracks the score DOMAIN, not the corpus.",
     "q93_phrase_mining" ->
