@@ -32,8 +32,12 @@ object ShardBalance {
       .withColumn("toks", size(split(col("text"), " ")).cast("long"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
-    val tot = perShard.agg(sum(col("n_tokens")).as("tot"))
-    perShard.crossJoin(broadcast(tot))
+    // total via a census window, NOT a second aggregation of the corpus
+    // subtree — a crossJoin(agg(perShard)) re-derives the whole per-shard
+    // pass (PlanSpec pins the single exchange)
+    perShard
+      .withColumn("tot", sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(col("shard"), col("n_docs"), col("n_tokens"),
         expr(s"n_tokens * $numShards * 10000 div tot").as("load_bp"))
   }

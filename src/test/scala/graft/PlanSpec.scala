@@ -754,6 +754,45 @@ class PlanSpec extends SparkSpec {
       s"both window passes must share one per-user sort:\n$p")
   }
 
+  test("q111 media sniff: map-side magic bytes — one confusion-matrix exchange, no joins") {
+    val p = executedPortion(plan(Registry.byName("q111_media_sniff").run(spark, sf0001)))
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1,
+      s"only the <=4x4 matrix may exchange:\n$p")
+    assert(!p.contains("Join"), s"sniff and claim are in-row:\n$p")
+  }
+
+  test("q112 embed drift: one union'd explode to the (label, half, dim) census; labels-row join") {
+    val p = plan(Registry.byName("q112_embed_drift").run(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), s"moment identity needs no pairs:\n$p")
+    assert(!p.contains("rangepartitioning"), s"no corpus sort:\n$p")
+  }
+
+  test("q113/q114: map-side shard audit and single-scan rollup") {
+    val p113 = executedPortion(plan(Registry.byName("q113_shard_balance").run(spark, sf0001)))
+    assert(countOccurrences(p113, "Exchange hashpartitioning") == 1,
+      s"q113: only the shards-row aggregation may exchange:\n$p113")
+    val p114 = plan(Registry.byName("q114_rollup_card").run(spark, sf0001))
+    assert(countOccurrences(p114, "Scan parquet") == 1,
+      s"q114: ROLLUP must expand grains in ONE scan:\n$p114")
+    assert(p114.contains("Expand"), s"q114: grouping-sets Expand expected:\n$p114")
+  }
+
+  test("q119-q123: provenance, planner and preference audits never go pairwise") {
+    for (q <- Seq("q119_dup_sources", "q120_join_size", "q121_co_engagement",
+                  "q122_churn_sets", "q123_skyline")) {
+      val p = plan(Registry.byName(q).run(spark, sf0001))
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian:\n$p")
+      assert(!p.contains("rangepartitioning"), s"$q: no corpus sort:\n$p")
+    }
+    // q121's whole point: the overlap forms without any join of event rows
+    val p121 = executedPortion(plan(Registry.byName("q121_co_engagement").run(spark, sf0001)))
+    assert(countOccurrences(p121, "SortMergeJoin") == 0,
+      s"q121: overlap must come from in-row pairs, not a self-join:\n$p121")
+    // q120 audits each key with one key-grain exchange + a 1-row rollup
+    val p120 = executedPortion(plan(Registry.byName("q120_join_size").run(spark, sf0001)))
+    assert(!p120.contains("Join"), s"q120: F2 needs no join:\n$p120")
+  }
+
   test("q70 bpe pairs: vocab-compressed census — two hash exchanges, window only over the tiny pair table") {
     val p = plan(Registry.byName("q70_bpe_pairs").run(spark, sf0001))
     assert(countOccurrences(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
