@@ -50,7 +50,11 @@ object EmbedDrift {
       KMeans.quantize(df)
         .join(df.select(col("vec_id").as("lv"), col("label")), col("vec_id") === col("lv"))
         .select(col("label"), lit(h).as("half"), col("q"))
-    val stats = halfStats(tagged(snapA, 0).unionByName(tagged(snapB, 1)))
+    // the census result is ≤ |labels|·2 rows but its SUBTREE is the full
+    // corpus explode — persist so the a/b consumers read rows, not the
+    // explode twice (the q113 lesson, pinned below by PlanSpec)
+    val stats = Tables.swapPersist("q112_stats",
+      halfStats(tagged(snapA, 0).unionByName(tagged(snapB, 1))))
     val a = stats.filter(col("half") === 0)
       .select(col("label"), col("n").as("n_a"), col("spread").as("spread_a"),
         col("cvec").as("ca"))

@@ -762,9 +762,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q112 embed drift: one union'd explode to the (label, half, dim) census; labels-row join") {
-    val p = plan(Registry.byName("q112_embed_drift").run(spark, sf0001))
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val df = Registry.byName("q112_embed_drift").run(spark, sf0001)
+    val p = plan(df)
     assert(!p.contains("CartesianProduct"), s"moment identity needs no pairs:\n$p")
     assert(!p.contains("rangepartitioning"), s"no corpus sort:\n$p")
+    // both halves read the persisted census rows, not the explode twice
+    val ims = df.queryExecution.withCachedData.collect { case r: InMemoryRelation => r }
+    assert(ims.length == 2 && ims.map(_.cacheBuilder).distinct.length == 1,
+      s"a/b halves must share the stats cache: ${ims.length}")
   }
 
   test("q113/q114: map-side shard audit and single-scan rollup") {
