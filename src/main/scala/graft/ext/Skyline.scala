@@ -31,9 +31,12 @@ object Skyline {
   /** (n_words, q10k, n_docs) — the Pareto-frontier cells, maximizing
     * both dimensions, over any (doc_id, text) frame. */
   def skylineOf(docs: DataFrame): DataFrame = {
-    val scored = TextOps.scoredDocs(docs)
-      .select(col("n_words"),
-        expr("CAST(round(quality_score * 10000) AS BIGINT)").as("q10k"))
+    // persisted: the census branch and the frontier attach both read the
+    // scored rows, not the scoring expressions twice (the q113 lesson)
+    val scored = Tables.swapPersist("q123_scored",
+      TextOps.scoredDocs(docs)
+        .select(col("n_words"),
+          expr("CAST(round(quality_score * 10000) AS BIGINT)").as("q10k")))
     val cells = scored.groupBy(col("n_words"))
       .agg(max(col("q10k")).as("best_q"))
     // strict running max over STRICTLY longer cells: rows with no longer

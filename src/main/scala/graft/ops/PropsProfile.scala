@@ -34,8 +34,11 @@ object PropsProfile {
   /** (event_type, key, n_present, present_bp, n_numeric, min_num,
     * max_num) over any frame with (event_type, props-JSON) columns. */
   def propsProfileOf(events: DataFrame): DataFrame = {
-    val ev = events.select(col("event_type"),
-      expr("from_json(props, 'map<string,string>')").as("m"))
+    // persisted: the row census and the key explode both read the parsed
+    // rows — without it the JSON parse (the expensive part) runs twice
+    val ev = Tables.swapPersist("q110_parsed",
+      events.select(col("event_type"),
+        expr("from_json(props, 'map<string,string>')").as("m")))
     val tot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_rows"))
     ev.select(col("event_type"), explode(col("m")).as(Seq("key", "v")))
       .groupBy(col("event_type"), col("key"))
