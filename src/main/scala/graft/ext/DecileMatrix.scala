@@ -59,8 +59,16 @@ object DecileMatrix {
       .withColumn("row_tot", sum(col("n_docs")).over(wL))
       .withColumn("col_tot", sum(col("n_docs")).over(wQ))
       .withColumn("n", sum(col("n_docs")).over(Window.partitionBy()))
+      // the marginal product is computed in DECIMAL(38,0): row_tot·col_tot
+      // is ~n²/100 and ×10⁶ overflows int64 once the corpus passes ~3e7
+      // docs (ANSI mode would abort). The decimal staging matches the
+      // DuckDB mirror exactly — there sum(BIGINT) widens to HUGEINT — and
+      // `div` still emits BIGINT. The RESULT fits int64 as long as
+      // n·10⁶ < 2⁶³ (exp_micro ≤ min(row,col)·10⁶ ≤ n·10⁶), i.e. up to
+      // ~9e12 docs — the same documented bound family as q106/q107/q120.
       .select(col("len_decile"), col("q_decile"), col("n_docs"),
-        expr("row_tot * col_tot * 1000000 div n").as("exp_micro"))
+        expr("CAST(row_tot AS DECIMAL(38,0)) * col_tot * 1000000 div n")
+          .as("exp_micro"))
   }
 
   // ---------------------------------------------------------------- q118

@@ -155,11 +155,12 @@ object KMeans {
     * [[fit]]s over the slices. `sub` is [[subExplode]]'s frame (persist
     * it — every round reads it). */
   private[graft] def fitSub(pts: DataFrame, sub: DataFrame, m: Int,
-                            subDim: Int, k: Int, iters: Int): DataFrame = {
+                            subDim: Int, k: Int, iters: Int,
+                            checkpointEvery: Int = 5): DataFrame = {
     val seeds = pts.orderBy(col("vec_id")).limit(k)
     var cents = subExplode(seeds, m, subDim)
       .select(col("s"), col("vec_id").cast("int").as("cid"), col("qs").as("cvec"))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val sums = assignSub(sub, cents)
         .select(col("s"), col("cid"), posexplode(col("qs")).as(Seq("d", "v")))
         .groupBy(col("s"), col("cid"), col("d"))
@@ -171,6 +172,12 @@ object KMeans {
           sums.withColumnRenamed("s", "ns").withColumnRenamed("cid", "ncid"),
           col("s") === col("ns") && col("cid") === col("ncid"), "left")
         .select(col("s"), col("cid"), coalesce(col("ncvec"), col("cvec")).as("cvec"))
+      // same mid-loop lineage truncation as [[fit]]: one join+agg nests
+      // per round, so planner cost grows superlinearly in `iters` without
+      // a periodic cut (current callers use iters=2; this keeps the
+      // kernel safe for the deep-refinement fits that don't exist yet)
+      if ((i + 1) % checkpointEvery == 0 && i + 1 < iters)
+        cents = cents.localCheckpoint()
     }
     cents.localCheckpoint()
   }

@@ -36,6 +36,10 @@ object MarginAudit {
     * (vec_id, embedding) frame. */
   def marginAuditOf(embeds: DataFrame, k: Int = 8, iters: Int = 2,
                     boundaryBp: Int = 8000): DataFrame = {
+    // a margin needs a second-nearest centroid: with k = 1 the Spark path
+    // would emit all-NULL margins while the SQL mirror's rn=2 inner join
+    // returns zero rows — fail fast instead of letting the engines diverge
+    require(k >= 2, s"marginAuditOf needs k >= 2 centroids, got $k")
     val pts = Tables.swapPersist("q109_pts", KMeans.quantize(embeds))
     val cents = KMeans.fit(pts, k, iters)
     val centsRow = cents.agg(

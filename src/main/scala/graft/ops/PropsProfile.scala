@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions._
   * "Numeric" is LEXICAL — a JSON string "42" counts numeric, matching
   * `try_cast` in both engines (JSON type info does not survive either
   * engine's string extraction; same trade both sides, so the oracle is
-  * exact). Malformed JSON parses to NULL and drops out of the census.
+  * exact). Malformed JSON parses to NULL on the Spark side and drops out
+  * of the key census (it still counts in the presence denominator); the
+  * mirror gets the same semantics by filtering `json_valid(props)`
+  * before `json_keys` — unguarded, DuckDB's `json_keys` ERRORS on
+  * invalid JSON and would fail the whole query instead of dropping the
+  * row.
   *
   * Scale shape: ONE corpus pass explodes props into the (type, key)
   * grain — bounded by feeds × live keys, not rows — with map-side
@@ -58,7 +63,8 @@ object PropsProfile {
 
   private val q110Sql =
     """WITH tot AS (SELECT event_type, count(*) AS n_rows FROM events GROUP BY 1),
-      |kv AS (SELECT event_type, unnest(json_keys(props)) AS key, props FROM events),
+      |kv AS (SELECT event_type, unnest(json_keys(props)) AS key, props
+      |       FROM events WHERE json_valid(props)),
       |x AS (SELECT event_type, key,
       |             json_extract_string(props, '$.' || key) AS v
       |      FROM kv),
