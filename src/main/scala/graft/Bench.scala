@@ -124,7 +124,13 @@ object Bench {
     val median =
       if (ratios.isEmpty) 0.0
       else { val s = ratios.map(_._2).sorted; s(s.size / 2) }
-    println(s"""{"metric":"summary","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n":${timings.size},"errors":${errors.size},"median_vs_floor":${math.round(median * 100) / 100.0},"over_2x_floor":$over2x,"worst_vs_floor":$worst,"sf":"$sfDir"}""")
+    // host 1-min load average rides the summary so a single-run artifact
+    // is self-adjudicating: the shared host swings ~2.5× with load
+    // (BASELINE.md), and every >2× floor reading in rounds 7–8 turned out
+    // to be load noise that cost a full adjudication cycle to prove
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"summary","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n":${timings.size},"errors":${errors.size},"median_vs_floor":${math.round(median * 100) / 100.0},"over_2x_floor":$over2x,"worst_vs_floor":$worst,"load":${math.round(load * 100) / 100.0},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

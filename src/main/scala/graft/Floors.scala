@@ -8,9 +8,10 @@ package graft
   * lost q01–q35 this way).
   *
   * Provenance: each value is the min across all recorded full-cold
-  * `graft.Bench` measurements in BASELINE.md (rounds 2–8); where a floor
-  * was re-adjudicated (q37 stale-floor note, q66 round-8 quiet-host run)
-  * the adjudicated value is used. A query missing here (newly added this
+  * `graft.Bench` measurements in BASELINE.md (rounds 2–9); where a floor
+  * was re-adjudicated (q37 stale-floor note, q66 round-8 quiet-host run,
+  * the round-9 hygiene sweep over q14/q15/q24/q50/q51) the adjudicated
+  * value is used. A query missing here (newly added this
   * round) simply doesn't participate in the ratio summary until its floor
   * is recorded.
   */
@@ -19,9 +20,9 @@ object Floors {
     "q01" -> 0.18, "q02" -> 0.44, "q03" -> 0.16, "q04" -> 0.31,
     "q05" -> 0.34, "q06" -> 0.59, "q07" -> 0.13, "q08" -> 0.57,
     "q09" -> 0.23, "q10" -> 0.67, "q11" -> 0.17, "q12" -> 0.64,
-    "q13" -> 0.20, "q14" -> 0.95, "q15" -> 0.21, "q16" -> 0.11,
+    "q13" -> 0.20, "q14" -> 0.86, "q15" -> 0.21, "q16" -> 0.11,
     "q17" -> 0.12, "q18" -> 0.09, "q19" -> 0.38, "q20" -> 0.40,
-    "q21" -> 0.25, "q22" -> 0.16, "q23" -> 0.14, "q24" -> 0.15,
+    "q21" -> 0.25, "q22" -> 0.16, "q23" -> 0.14, "q24" -> 0.20,
     "q25" -> 0.12, "q26" -> 0.18, "q27" -> 0.22, "q28" -> 0.27,
     "q29" -> 0.50, "q30" -> 0.30, "q31" -> 0.16, "q32" -> 0.19,
     "q33" -> 0.18, "q34" -> 0.13, "q35" -> 0.31, "q36" -> 0.17,
@@ -42,7 +43,7 @@ object Floors {
     "q93" -> 1.55, "q94" -> 0.62, "q95" -> 0.58, "q96" -> 0.51,
     "q97" -> 0.83, "q98" -> 2.61, "q99" -> 2.78, "q100" -> 0.55,
     "q101" -> 1.11, "q102" -> 0.65, "q103" -> 0.44, "q104" -> 0.38,
-    "q105" -> 0.32, "q106" -> 0.49, "q107" -> 0.49, "q108" -> 0.26, "q109" -> 1.30, "q110" -> 0.57, "q111" -> 0.36, "q112" -> 0.65, "q113" -> 0.18, "q114" -> 0.22, "q115" -> 0.59, "q116" -> 0.27, "q117" -> 1.99, "q118" -> 0.62, "q119" -> 1.22, "q120" -> 0.21, "q121" -> 0.53, "q122" -> 0.40, "q123" -> 0.41)
+    "q105" -> 0.32, "q106" -> 0.49, "q107" -> 0.49, "q108" -> 0.26, "q109" -> 1.30, "q110" -> 0.57, "q111" -> 0.36, "q112" -> 0.65, "q113" -> 0.18, "q114" -> 0.22, "q115" -> 0.59, "q116" -> 0.27, "q117" -> 1.99, "q118" -> 0.62, "q119" -> 1.22, "q120" -> 0.21, "q121" -> 0.53, "q122" -> 0.40, "q123" -> 0.41, "q124" -> 0.43)
 
   /** Floor for a full query name ("q44_source_divergence" → the "q44"
     * prefix entry), if recorded. */

@@ -1,0 +1,204 @@
+package graft.ext
+
+import graft.oracle.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Real media-dimension extraction (q124) — the column-expression half of
+  * [[Multimodal.HeaderCodec]]: payloads are synthesized with REAL
+  * container headers (a true PNG IHDR chunk, a true RIFF/WAVE fmt chunk,
+  * a true JPEG APP0+SOF0 segment chain with hash-varied APP0 length), and
+  * the query recovers width/height (PNG, big-endian) and
+  * sample_rate/channels (WAVE, little-endian) by fixed-offset binary
+  * slicing — actual bytes in, actual planted dimensions out, verified by
+  * the in-query `n_match` round-trip AND the DuckDB mirror parsing the
+  * same blobs it synthesizes. This retires the dimension half of the
+  * declared decode stub (cf. reference README.md's schemaless payload
+  * handling; the reference never decodes media at all — this is
+  * beyond-reference surface).
+  *
+  * JPEG is deliberately NULL on this path: its SOF segment floats behind
+  * variable-length APPn segments (the fixture varies APP0's length
+  * precisely so a fixed offset CANNOT work), so jpeg dims come from the
+  * stateful JVM scan in [[Multimodal.HeaderCodec]] (spec-verified against
+  * the same fixture), not from a column expression. `n_parsed` vs
+  * `n_media` in the jpeg row documents the boundary honestly.
+  *
+  * Scale shape: pure map-side until the final ≤4-row format rollup with
+  * map-side partials. The parse hexes only the first 28 BYTES of each
+  * payload on the Spark side (a 100 MB video ships 28 bytes into the
+  * expression, never its body — the q111 discipline); header synthesis is
+  * in-row hex/unhex arithmetic, no joins, no windows.
+  */
+object HeaderDims {
+
+  // --------------------------------------------------------- SQL helpers
+  // shared Spark/DuckDB SQL generators; `duck` flags the dialect splits
+  // (integer division `//` vs `div`, strpos vs instr, encode arity)
+
+  private def idiv(a: String, b: Long, duck: Boolean): String =
+    if (duck) s"($a // $b)" else s"($a div $b)"
+
+  /** value of the byte at 1-based BYTE offset `off` of lowercase-hex
+    * string `hx` */
+  private def byteVal(hx: String, off: Int, duck: Boolean): String = {
+    val fn = if (duck) "strpos" else "instr"
+    val p = 2 * (off - 1) + 1
+    s"(CAST($fn('0123456789abcdef', substr($hx, $p, 1)) - 1 AS BIGINT) * 16" +
+      s" + CAST($fn('0123456789abcdef', substr($hx, ${p + 1}, 1)) - 1 AS BIGINT))"
+  }
+
+  /** big-endian unsigned int of `n` bytes at 1-based byte offset `off` */
+  private def beVal(hx: String, off: Int, n: Int, duck: Boolean): String =
+    (0 until n).map(k => s"${byteVal(hx, off + k, duck)} * ${1L << (8 * (n - 1 - k))}")
+      .mkString("(", " + ", ")")
+
+  /** little-endian unsigned int of `n` bytes at 1-based byte offset `off` */
+  private def leVal(hx: String, off: Int, n: Int, duck: Boolean): String =
+    (0 until n).map(k => s"${byteVal(hx, off + k, duck)} * ${1L << (8 * k)}")
+      .mkString("(", " + ", ")")
+
+  /** `n`-byte little-endian hex encoding of integer expression `e` */
+  private def leHex(e: String, n: Int, duck: Boolean): String =
+    (0 until n).map { k =>
+      val shifted = if (k == 0) s"($e)" else idiv(e, 1L << (8 * k), duck)
+      s"lpad(hex($shifted % 256), 2, '0')"
+    }.mkString(" || ")
+
+  /** `n`-byte big-endian hex encoding (hex() is naturally BE) */
+  private def beHex(e: String, n: Int): String = s"lpad(hex($e), ${2 * n}, '0')"
+
+  // ------------------------------------------------------- synthesis SQL
+
+  /** Header hex-string expressions over planted columns
+    * (pw, ph, sr, ch, fill, dlen). Offsets are the REAL container specs:
+    * PNG sig(8) len(4)=13 'IHDR' wBE(4) hBE(4) depth/color/c/f/i(5) crc(4);
+    * WAVE 'RIFF' sizeLE(4) 'WAVE' 'fmt ' 16LE(4) fmt=1LE(2) chLE(2)
+    * srLE(4) byterateLE(4) alignLE(2) bits=16LE(2) 'data' dlenLE(4);
+    * JPEG FFD8 FFE0 lenBE(2)=fill+2 filler(fill) FFC0 0011 08 hBE(2)
+    * wBE(2) 03 + 3 component specs. */
+  private def pngHdr(duck: Boolean): String =
+    s"'89504e470d0a1a0a' || '0000000d' || '49484452' || ${beHex("pw", 4)} || " +
+      s"${beHex("ph", 4)} || '0802000000' || '00000000'"
+  private def wavHdr(duck: Boolean): String =
+    s"'52494646' || ${leHex("36 + dlen", 4, duck)} || '57415645' || '666d7420' || " +
+      s"'10000000' || '0100' || ${leHex("ch", 2, duck)} || ${leHex("sr", 4, duck)} || " +
+      s"${leHex("sr * ch * 2", 4, duck)} || ${leHex("ch * 2", 2, duck)} || '1000' || " +
+      s"'64617461' || ${leHex("dlen", 4, duck)}"
+  private def jpegHdr(duck: Boolean): String =
+    s"'ffd8' || 'ffe0' || ${beHex("fill + 2", 2)} || repeat('6a', fill) || " +
+      s"'ffc0' || '0011' || '08' || ${beHex("ph", 2)} || ${beHex("pw", 2)} || " +
+      s"'03' || '011100' || '021101' || '031101'"
+
+  private[graft] def fixtureDimMedia(docs: DataFrame): DataFrame = {
+    def hv(off: Int) = TextOps.hexVal("h1", off, duck = false)
+    docs
+      .withColumn("h1", md5(concat(lit("dim|"), col("doc_id"))))
+      .withColumn("bucket", expr(s"CAST(${hv(1)} % 4 AS INT)"))
+      .withColumn("v2", expr(hv(9))).withColumn("v3", expr(hv(17)))
+      .withColumn("fill", expr(s"CAST(${hv(25)} % 16 AS INT)"))
+      .withColumn("pw", expr("16 + v2 % 2032"))
+      .withColumn("ph", expr("16 + v3 % 1520"))
+      .withColumn("sr", expr("CASE v2 % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000 " +
+        "WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END"))
+      .withColumn("ch", expr("1 + v3 % 2"))
+      .withColumn("enc", expr("encode(text, 'utf-8')"))
+      .withColumn("dlen", expr("CAST(length(enc) AS BIGINT)"))
+      .withColumn("planted_d1", expr("CASE bucket WHEN 0 THEN pw WHEN 2 THEN pw WHEN 1 THEN sr END"))
+      .withColumn("planted_d2", expr("CASE bucket WHEN 0 THEN ph WHEN 2 THEN ph WHEN 1 THEN ch END"))
+      .withColumn("media", expr(
+        s"CASE WHEN bucket = 3 THEN enc ELSE unhex(CASE bucket " +
+          s"WHEN 0 THEN ${pngHdr(duck = false)} " +
+          s"WHEN 1 THEN ${wavHdr(duck = false)} " +
+          s"ELSE ${jpegHdr(duck = false)} END) || enc END"))
+      .select(col("doc_id"), col("media"), col("planted_d1").cast("long"),
+        col("planted_d2").cast("long"))
+  }
+
+  // ------------------------------------------------------------ the parse
+
+  private def parseCols(duck: Boolean): (String, String, String) = {
+    val isPng = s"substr(hx, 1, 16) = '89504e470d0a1a0a' AND substr(hx, 25, 8) = '49484452'"
+    val isWav = s"substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645' AND substr(hx, 25, 8) = '666d7420'"
+    val fmt =
+      s"""CASE WHEN $isPng THEN 'png'
+         |     WHEN $isWav THEN 'wav'
+         |     WHEN substr(hx, 1, 6) = 'ffd8ff' THEN 'jpeg'
+         |     ELSE 'raw' END""".stripMargin
+    val d1 =
+      s"""CASE WHEN $isPng THEN ${beVal("hx", 17, 4, duck)}
+         |     WHEN $isWav THEN ${leVal("hx", 25, 4, duck)} END""".stripMargin
+    val d2 =
+      s"""CASE WHEN $isPng THEN ${beVal("hx", 21, 4, duck)}
+         |     WHEN $isWav THEN ${leVal("hx", 23, 2, duck)} END""".stripMargin
+    (fmt, d1, d2)
+  }
+
+  /** (format, n_media, n_parsed, n_match, min/max/sum of both parsed
+    * dimensions) over any (media: binary, planted_d1, planted_d2) frame;
+    * `n_match` counts parsed == planted (the in-query round-trip proof). */
+  def headerDimsOf(media: DataFrame): DataFrame = {
+    val (fmt, d1, d2) = parseCols(duck = false)
+    media
+      .withColumn("hx", lower(hex(expr("substring(media, 1, 32)"))))
+      .withColumn("format", expr(fmt))
+      .withColumn("parsed_d1", expr(d1))
+      .withColumn("parsed_d2", expr(d2))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        count(col("parsed_d1")).as("n_parsed"),
+        count(expr("CASE WHEN parsed_d1 = planted_d1 AND parsed_d2 = planted_d2 THEN 1 END")).as("n_match"),
+        min(col("parsed_d1")).as("min_d1"), max(col("parsed_d1")).as("max_d1"),
+        sum(col("parsed_d1")).as("sum_d1"),
+        min(col("parsed_d2")).as("min_d2"), max(col("parsed_d2")).as("max_d2"),
+        sum(col("parsed_d2")).as("sum_d2"))
+  }
+
+  // ---------------------------------------------------------------- q124
+  def q124(spark: SparkSession, sfDir: String): DataFrame =
+    headerDimsOf(fixtureDimMedia(Tables.table(spark, sfDir, "documents")))
+
+  private val q124Sql = {
+    def hv(off: Int) = TextOps.hexVal("h1", off, duck = true)
+    val (fmt, d1, d2) = parseCols(duck = true)
+    s"""WITH hsh AS (SELECT doc_id, text, md5('dim|' || doc_id) AS h1 FROM documents),
+       |vals AS (SELECT doc_id, text,
+       |           CAST(${hv(1)} % 4 AS INT) AS bucket,
+       |           ${hv(9)} AS v2, ${hv(17)} AS v3,
+       |           CAST(${hv(25)} % 16 AS INT) AS fill
+       |         FROM hsh),
+       |geo AS (SELECT doc_id, text, bucket, fill,
+       |          16 + v2 % 2032 AS pw, 16 + v3 % 1520 AS ph,
+       |          CASE v2 % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+       |            WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS sr,
+       |          1 + v3 % 2 AS ch,
+       |          encode(text) AS enc,
+       |          CAST(octet_length(encode(text)) AS BIGINT) AS dlen
+       |        FROM vals),
+       |med AS (SELECT doc_id,
+       |          CAST(CASE bucket WHEN 0 THEN pw WHEN 2 THEN pw WHEN 1 THEN sr END AS BIGINT) AS planted_d1,
+       |          CAST(CASE bucket WHEN 0 THEN ph WHEN 2 THEN ph WHEN 1 THEN ch END AS BIGINT) AS planted_d2,
+       |          CASE WHEN bucket = 3 THEN enc ELSE unhex(CASE bucket
+       |            WHEN 0 THEN ${pngHdr(duck = true)}
+       |            WHEN 1 THEN ${wavHdr(duck = true)}
+       |            ELSE ${jpegHdr(duck = true)} END) || enc END AS media
+       |        FROM geo),
+       |px AS (SELECT planted_d1, planted_d2,
+       |         lower(left(hex(media), 64)) AS hx FROM med),
+       |par AS (SELECT planted_d1, planted_d2,
+       |          $fmt AS format, $d1 AS parsed_d1, $d2 AS parsed_d2
+       |        FROM px)
+       |SELECT format, count(*) AS n_media,
+       |       count(parsed_d1) AS n_parsed,
+       |       count(CASE WHEN parsed_d1 = planted_d1 AND parsed_d2 = planted_d2 THEN 1 END) AS n_match,
+       |       min(parsed_d1) AS min_d1, max(parsed_d1) AS max_d1,
+       |       CAST(sum(parsed_d1) AS BIGINT) AS sum_d1,
+       |       min(parsed_d2) AS min_d2, max(parsed_d2) AS max_d2,
+       |       CAST(sum(parsed_d2) AS BIGINT) AS sum_d2
+       |FROM par GROUP BY format""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q124_header_dims", q124, Some(q124Sql))
+  )
+}

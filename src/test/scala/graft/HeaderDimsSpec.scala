@@ -1,0 +1,97 @@
+package graft
+
+import graft.ext.{HeaderDims, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Real header-parse dimensions (q124) + the JVM HeaderCodec. */
+class HeaderDimsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** A real minimal JPEG prefix: SOI, APP0 of the given filler length,
+    * then SOF0 carrying (w, h) — what the fixture synthesizes. */
+  private def jpegBytes(w: Int, h: Int, filler: Int): Array[Byte] = {
+    val app0 = Array[Byte](0xff.toByte, 0xe0.toByte,
+      ((filler + 2) >> 8).toByte, ((filler + 2) & 0xff).toByte) ++
+      Array.fill(filler)('j'.toByte)
+    val sof = Array[Byte](0xff.toByte, 0xc0.toByte, 0x00, 0x11, 0x08,
+      (h >> 8).toByte, (h & 0xff).toByte, (w >> 8).toByte, (w & 0xff).toByte,
+      0x03, 0x01, 0x11, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ sof ++ "body".getBytes
+  }
+
+  test("HeaderCodec parses PNG IHDR, WAVE fmt and JPEG SOF from real bytes") {
+    // PNG: sig + IHDR with w=640 h=480 big-endian
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80.toByte, 0, 0, 0x01, 0xe0.toByte, 8, 2, 0, 0, 0)
+    assert(Multimodal.HeaderCodec.decode(png).contains((640, 480, "png")))
+    // WAVE: RIFF header, 2 channels, 44100 Hz little-endian
+    val wav = "RIFF".getBytes ++ Array[Byte](36, 0, 0, 0) ++ "WAVEfmt ".getBytes ++
+      Array[Byte](16, 0, 0, 0, 1, 0, 2, 0,
+        0x44, 0xac.toByte, 0, 0, 0x10, 0xb1.toByte, 2, 0, 4, 0, 16, 0) ++
+      "data".getBytes ++ Array[Byte](0, 0, 0, 0)
+    assert(Multimodal.HeaderCodec.decode(wav).contains((44100, 2, "wav")))
+    // JPEG: SOF behind APP0 segments of DIFFERENT lengths — fixed offsets
+    // cannot work; the scan must walk the chain
+    assert(Multimodal.HeaderCodec.decode(jpegBytes(1024, 768, 0)).contains((1024, 768, "jpeg")))
+    assert(Multimodal.HeaderCodec.decode(jpegBytes(320, 200, 13)).contains((320, 200, "jpeg")))
+    // corrupt payloads: None, never a throw
+    assert(Multimodal.HeaderCodec.decode("just text".getBytes).isEmpty)
+    assert(Multimodal.HeaderCodec.decode(Array[Byte](0xff.toByte, 0xd8.toByte, 0x00)).isEmpty)
+    assert(Multimodal.HeaderCodec.decode(png.take(20)).isEmpty) // truncated IHDR
+    val lyingLen = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 0x00, 0x01)
+    assert(Multimodal.HeaderCodec.decode(lyingLen).isEmpty) // segLen < 2
+  }
+
+  test("q124 fixture round-trip: JVM codec recovers every planted dimension") {
+    val docs = graft.oracle.Tables.table(spark, sf0001, "documents")
+    val rows = HeaderDims.fixtureDimMedia(docs)
+      .select(col("media"), col("planted_d1"), col("planted_d2"))
+      .as[(Array[Byte], Option[Long], Option[Long])].collect()
+    assert(rows.nonEmpty)
+    var containerized = 0
+    rows.foreach { case (media, d1, d2) =>
+      Multimodal.HeaderCodec.decode(media) match {
+        case Some((p1, p2, fmt)) =>
+          containerized += 1
+          assert(d1.contains(p1.toLong) && d2.contains(p2.toLong),
+            s"$fmt parsed ($p1,$p2) vs planted ($d1,$d2)")
+        case None =>
+          assert(d1.isEmpty, "containerized payload failed to parse")
+      }
+    }
+    // buckets are ~uniform quarters: the three containers must all appear
+    assert(containerized > rows.length / 2)
+  }
+
+  test("q124 aggregate: png+wav fully parsed and matched, jpeg/raw honestly NULL") {
+    val m = HeaderDims.q124(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(m.keySet == Set("png", "wav", "jpeg", "raw"))
+    Seq("png", "wav").foreach { f =>
+      val r = m(f)
+      assert(r.getLong(1) == r.getLong(2), s"$f: every payload parses")
+      assert(r.getLong(2) == r.getLong(3), s"$f: every parse matches its planted value")
+    }
+    Seq("jpeg", "raw").foreach { f =>
+      assert(m(f).getLong(2) == 0, s"$f: fixed-offset path must report NULL")
+    }
+    // parsed ranges live inside the planted domains
+    val png = m("png")
+    assert(png.getLong(4) >= 16 && png.getLong(5) <= 16 + 2031)
+    val wav = m("wav")
+    assert(wav.getLong(7) >= 1 && wav.getLong(8) <= 2) // channels
+  }
+
+  test("decodeAll prefers the real header parse over the stub") {
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, jpegBytes(800, 600, 7), "s"),
+      Multimodal.MediaRecord(2L, "headerless payload".getBytes, "s")).toDS()
+    val got = Multimodal.decodeAll(recs).collect().map(d => d.doc_id -> d).toMap
+    assert(got(1L).width == 800 && got(1L).height == 600 && got(1L).format == "jpeg")
+    // headerless falls back to the declared stub arithmetic
+    val (sw, sh, sfmt) = Multimodal.StubCodec.decode("headerless payload".getBytes)
+    assert(got(2L).width == sw && got(2L).height == sh && got(2L).format == sfmt)
+  }
+}
