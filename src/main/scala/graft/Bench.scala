@@ -130,7 +130,27 @@ object Bench {
     // to be load noise that cost a full adjudication cycle to prove
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"summary","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n":${timings.size},"errors":${errors.size},"median_vs_floor":${math.round(median * 100) / 100.0},"over_2x_floor":$over2x,"worst_vs_floor":$worst,"load":${math.round(load * 100) / 100.0},"sf":"$sfDir"}""")
+    // end-to-end streaming replay (SURVEY §5.2 layer 5): the 4-stage
+    // ReplayDemo topology over 600 virtual seconds, timed once —
+    // micro-batch scheduling dominates, so min-of-N buys little. Opt out
+    // with SPARK_GRAFT_REPLAY=0 (e.g. single-query adjudication runs,
+    // which set SPARK_GRAFT_ONLY and don't want 20+ s of streaming).
+    val replayFlag = sys.env.get("SPARK_GRAFT_REPLAY")
+    val replayJson =
+      if (replayFlag.contains("0") || (only.nonEmpty && !replayFlag.contains("1"))) ""
+      else {
+        val t0 = System.nanoTime()
+        try {
+          val counts = graft.pipeline.ReplayDemo.run(spark, 600, show = false)
+          val sec = (System.nanoTime() - t0) / 1e9
+          s""","replay_sec":${math.round(sec * 1000) / 1000.0},"replay_alerts":${counts.spikeAlerts + counts.breachAlerts}"""
+        } catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] replay FAILED: ${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}")
+            s""","replay_error":${jsonStr(t.getClass.getSimpleName)}"""
+        }
+      }
+    println(s"""{"metric":"summary","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n":${timings.size},"errors":${errors.size},"median_vs_floor":${math.round(median * 100) / 100.0},"over_2x_floor":$over2x,"worst_vs_floor":$worst,"load":${math.round(load * 100) / 100.0}$replayJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

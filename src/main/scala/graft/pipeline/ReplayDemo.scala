@@ -17,25 +17,29 @@ import scala.jdk.CollectionConverters._
   * through MemoryStream; stages 2-4 consume the produced alerts.
   *
   *   sbt "runMain graft.pipeline.ReplayDemo [seconds]"
+  *
+  * [[run]] is the callable form `graft.Bench` times (SURVEY §5.2 layer 5:
+  * the end-to-end streaming replay is a bench subject with a recorded
+  * floor, not just a demo).
   */
 object ReplayDemo {
-  def main(args: Array[String]): Unit = {
-    val seconds = args.headOption.map(_.toInt).getOrElse(600)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .appName("graft-replay")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+
+  /** End-to-end counts, returned so callers (Bench, main) can assert the
+    * replay actually flowed data through every stage boundary. */
+  final case class ReplayCounts(
+      nLogs: Long, spikeAlerts: Long, breachAlerts: Long,
+      escalations: Long, decoded: Long)
+
+  /** The full 4-stage replay over `seconds` of generated virtual time.
+    * `show` gates the demo tables (Bench runs silent). */
+  def run(spark: SparkSession, seconds: Int, show: Boolean = true): ReplayCounts = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    spark.sparkContext.setLogLevel("WARN")
 
     val base = 1767680040L // minute-aligned virtual clock
     val logsDf = LogGenerator.logs(spark, base, seconds).as[RawLog].cache()
     val nLogs = logsDf.count()
-    println(s"[demo] generated $nLogs logs over $seconds s (4 services)")
+    if (show) println(s"[demo] generated $nLogs logs over $seconds s (4 services)")
     val tmp = java.nio.file.Files.createTempDirectory("graft_demo").toString
 
     // --- stage 1 + stage 2a off one replayed stream: error-rate spike
@@ -66,8 +70,10 @@ object ReplayDemo {
     alertsQ.processAllAvailable(); p95Q.processAllAvailable()
     alertsQ.stop(); p95Q.stop()
     val spikeAlerts = spark.table("alerts")
-    println(s"[demo] stage1 spike alerts: ${spikeAlerts.count()}")
-    spikeAlerts.groupBy("service").count().show(truncate = false)
+    if (show) {
+      println(s"[demo] stage1 spike alerts: ${spikeAlerts.count()}")
+      spikeAlerts.groupBy("service").count().show(truncate = false)
+    }
 
     // --- stage 2b: second streaming query tails the p95 boundary into the
     // consecutive-breach state machine (two connected streaming queries,
@@ -79,27 +85,52 @@ object ReplayDemo {
       .option("checkpointLocation", s"$tmp/cp_breach").outputMode("update").start()
     breachQ.processAllAvailable(); breachQ.stop()
     val breachAlerts = spark.table("breaches").as[IncidentAlert]
-    println(s"[demo] stage2 SLO breach alerts (streamed through boundary): ${breachAlerts.count()}")
+    if (show) println(s"[demo] stage2 SLO breach alerts (streamed through boundary): ${breachAlerts.count()}")
 
     // --- stage 3: escalation over the union stream (the shared alerts topic)
     val allAlerts = spikeAlerts.as[IncidentAlert].unionByName(breachAlerts)
     val escalations = Escalator.escalate(allAlerts, ttlMs = None)
     val esc = escalations.cache()
-    println(s"[demo] stage3 escalations: ${esc.count()} forwarded, " +
+    val nEsc = esc.count()
+    if (show) println(s"[demo] stage3 escalations: $nEsc forwarded, " +
       s"${esc.filter(_.severity == "ESCALATED").count()} tagged ESCALATED")
 
     // --- stage 4: windowed metrics over alerts and escalations
-    println("[demo] stage4 alert metrics (first 10 windows):")
-    MetricsJob.metrics(allAlerts.toDF()).orderBy("window_start", "service").show(10, truncate = false)
-    println("[demo] stage4 escalation metrics (first 5 windows):")
-    MetricsJob.metrics(esc.toDF().drop("escalation_reason"), "total_escalations")
-      .orderBy("window_start", "service").show(5, truncate = false)
+    val alertMetrics = MetricsJob.metrics(allAlerts.toDF()).orderBy("window_start", "service")
+    val escMetrics = MetricsJob.metrics(esc.toDF().drop("escalation_reason"), "total_escalations")
+      .orderBy("window_start", "service")
+    if (show) {
+      println("[demo] stage4 alert metrics (first 10 windows):")
+      alertMetrics.show(10, truncate = false)
+      println("[demo] stage4 escalation metrics (first 5 windows):")
+      escMetrics.show(5, truncate = false)
+    } else {
+      // silent mode still EXECUTES stage 4 — a floor that skips a stage
+      // measures a different pipeline
+      alertMetrics.count(); escMetrics.count()
+    }
 
     // --- Kafka value contract round-trip on the wire format
     val wire = Codec.encode(allAlerts.toDF())
     val back = Codec.decodeAlerts(wire)
-    println(s"[demo] codec round-trip: ${allAlerts.count()} alerts -> " +
-      s"${back.count()} decoded, key sample=${wire.select("key").head.getString(0)}")
+    val nDecoded = back.count()
+    if (show) println(s"[demo] codec round-trip: ${allAlerts.count()} alerts -> " +
+      s"$nDecoded decoded, key sample=${wire.select("key").head.getString(0)}")
+    logsDf.unpersist(); esc.unpersist()
+    ReplayCounts(nLogs, spikeAlerts.count(), breachAlerts.count(), nEsc, nDecoded)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val seconds = args.headOption.map(_.toInt).getOrElse(600)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-replay")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, seconds, show = true)
     spark.stop()
   }
 }
