@@ -214,6 +214,75 @@ object Pq {
     blocks.mkString("\nUNION ALL\n")
   }
 
+  // ------------------------------------------- streaming ingestion gate
+  /** Streaming vector-ingestion gate: each arriving vector gets its IVF
+    * coarse cell AND its M PQ codes entirely MAP-SIDE against models
+    * FROZEN from the static corpus — the vector-index write path of the
+    * `*GateStreamStatic` family, at 1/16 the per-posting memory of
+    * storing raw vectors (M=4 codes ≈ 4 ints vs 64 floats).
+    *
+    * Freeze shape: the fused-Lloyd codebooks (M·Codes rows ≈ 4 KB) and
+    * the coarse quantizer (k rows) are fit ONCE here and ship as
+    * literals in the plan — a micro-batch pays zero joins, zero
+    * shuffles, zero state (append-mode stateless; spec pins
+    * `stateOperators.isEmpty`). The static corpus is NEVER re-read per
+    * batch. Arithmetic matches the batch path exactly: same milli-unit
+    * quantization, same first-min/lowest-cid tie rule as
+    * [[KMeans.assignSub]], so gate codes ≡ [[pqCodesOf]] codes and the
+    * gate cell ≡ [[KMeans.assignments]]' cid (spec-pinned).
+    *
+    * Output: (vec_id, cell, codes array<int>, distortion) — exactly what
+    * an IVF-PQ index appends as a posting. */
+  def pqGateStreamStatic(streamEmbeds: DataFrame, staticEmbeds: DataFrame,
+                         m: Int = M, subDim: Int = SubDim,
+                         codes: Int = Codes, iters: Int = Iters,
+                         coarseK: Int = 8, coarseIters: Int = 2): DataFrame = {
+    val p = KMeans.quantize(staticEmbeds)
+    val sub = KMeans.subExplode(p, m, subDim)
+    val cb = KMeans.fitSub(p, sub, m, subDim, codes, iters)
+    val coarse = KMeans.fit(p, coarseK, coarseIters)
+    // collect both frozen models: M·codes + coarseK rows — bounded by the
+    // model size, never the corpus
+    val bySub = cb.collect()
+      .groupBy(_.getInt(0))
+      .map { case (s, rows) =>
+        s -> rows.map(r => r.getInt(1) -> r.getAs[scala.collection.Seq[Long]]("cvec").toSeq).toMap
+      }
+    (0 until m).foreach { s =>
+      val byCid = bySub.getOrElse(s, Map.empty)
+      require(byCid.keySet == (0 until codes).toSet,
+        s"subspace $s codebook ids not dense 0..${codes - 1}: ${byCid.keySet}")
+    }
+    val cbLit = typedLit((0 until m).map(s => (0 until codes).map(bySub(s))))
+    val coarseRows = coarse.collect()
+      .map(r => (r.getInt(0), r.getAs[scala.collection.Seq[Long]]("cvec").toSeq))
+      .sortBy(_._1)
+    val ccidLit = typedLit(coarseRows.map(_._1).toSeq)
+    val cvecLit = typedLit(coarseRows.map(_._2).toSeq)
+
+    KMeans.quantize(streamEmbeds)
+      .withColumn("_cb", cbLit)
+      .withColumn("_ccid", ccidLit)
+      .withColumn("_cvec", cvecLit)
+      // coarse cell: first-min over cid-sorted centroids = lowest cid on
+      // ties, the KMeans.assign rule
+      .withColumn("_cd", expr(
+        "transform(_cvec, c -> aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x))"))
+      .withColumn("cell", expr(
+        "CAST(element_at(_ccid, CAST(array_position(_cd, array_min(_cd)) AS INT)) AS BIGINT)"))
+      // per-subspace distance arrays once; codes + distortion fold over them
+      .withColumn("_sd", expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+           |  transform(element_at(_cb, CAST(s + 1 AS INT)), cv ->
+           |    aggregate(zip_with(slice(q, CAST(s * $subDim + 1 AS INT), $subDim), cv,
+           |      (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)))""".stripMargin))
+      .withColumn("codes", expr(
+        "transform(_sd, darr -> CAST(array_position(darr, array_min(darr)) - 1 AS INT))"))
+      .withColumn("distortion", expr(
+        "aggregate(transform(_sd, darr -> array_min(darr)), 0L, (acc, x) -> acc + x)"))
+      .select(col("vec_id"), col("cell"), col("codes"), col("distortion"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q98_pq_codebook", q98, Some(q98Sql)),
     QueryDef("q99_ivfpq_search", q99, Some(q99Sql))
