@@ -175,6 +175,16 @@ object PlanDump {
       "Markov transition matrix: one user-keyed lag() window pass (the q31/q86 cost class - the per-user ordered traversal IS the semantics, ties broken by (t, event_id) so both engines see the same sequence), then a |types|^2-bounded aggregation; the outgoing-share window runs over THAT bounded table. Summarizes every ordered edge the q86 funnel asks about one at a time.",
     "q91_events_profile" ->
       "Data-contract profile per service: two corpus aggregations (stats; exact distinct users via (service,user) pre-aggregation - no countDistinct Expand) and a |services|-row join. Mean is an order-free integer micro-unit sum floor-truncated to 4dp; min/max pass values through untouched; null rate in integer basis points. Nothing collects, nothing windows.",
+    "q124_header_dims" ->
+      "REAL binary header parsing, both engines: payloads carry true PNG IHDR / RIFF-WAVE fmt / JPEG APP0+SOF chains, and width/height (big-endian) + sample_rate/channels (little-endian) come back via fixed-offset slicing of the first 28 BYTES only (a 100 MB payload ships 28 bytes into the expression). In-query n_match proves parse == planted; jpeg is honestly NULL here (its SOF floats behind variable APPn segments - the stateful JVM scan in Multimodal.HeaderCodec covers it, spec-verified on this same fixture). Map-side until the <=4-row format rollup; no joins.",
+    "q125_modality_coverage" ->
+      "Cross-modal referential integrity: documents prune to (doc_id, source) and embeddings to (vec_id) AT THE SCAN (ReadSchema pins it), so the full-outer classification join moves ids and a dictionary string - never text or vectors. One co-keyed exchange pair, <=|sources|+1-row census; orphan embeddings surface as the '(unmatched)' row instead of silently vanishing in an inner join.",
+    "q126_semantic_decontam" ->
+      "Embedding-space eval decontamination at IVF cost: ONE persisted assignment (quantize + broadcast-centroid argmin) feeds both sides; the eval slice BROADCASTS onto the train side's cells (BroadcastHashJoin pinned - the corpus is never shuffled by cell); the tau-radius verdict is an in-row int64 fold. nprobe=1 recall trade documented in-code: a within-tau neighbor across a cell boundary is not counted, which is the same trade the q99 read path makes.",
+    "q127_context_fit" ->
+      "Sequence-length capacity planning: per-doc token counts are ONE in-row fold (q17's (len+3) div 4 pricing - no word explode), each doc fans out to |windows| census rows map-side, and the only exchange is the <=|sources|x|windows| rollup. Zero joins; pairs with q33 (packing consumes the chosen length) and q58 (budgeting consumes the token price).",
+    "q128_source_affinity" ->
+      "Semantic redundancy map over sources: the one corpus-sized operation is the key join attributing vectors to sources; per-(source, dim) integer sums aggregate map-side into a <=|sources|x64 census, centroids use the floored-mean rule (bit-identical to the oracle), and the pairwise matrix is a broadcast cross join of the <=|sources|-row census with in-row distance folds - the corpus itself is never paired.",
     "q90_containment" ->
       "Asymmetric near-dup: containment |A∩B|/|A| flags a short doc quoted inside a long one (containment ~1) where Jaccard stays near |A|/|B| - the subset-duplication class q14 structurally misses. The plan IS q14's join-free inverted index (posting lists -> in-row ordered pairs -> pair-count exchange, dfCap bounding the O(df^2) fan-out); only the final integer-ratio predicate differs, so scale posture is identical.",
     "q89_latency_quantiles" ->

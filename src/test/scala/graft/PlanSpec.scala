@@ -809,4 +809,49 @@ class PlanSpec extends SparkSpec {
     assert(countOccurrences(p, "Exchange SinglePartition") <= 1,
       s"only the tiny pair ranking may single-partition:\n$p")
   }
+
+  test("q124 header dims: map-side synthesis+parse — one census exchange, no joins") {
+    val p = executedPortion(plan(Registry.byName("q124_header_dims").run(spark, sf0001)))
+    assert(countOccurrences(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
+    assert(!p.contains("Join"), s"header parse is in-row, never a join:\n$p")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1,
+      s"only the <=4-row format rollup exchanges:\n$p")
+  }
+
+  test("q125 modality coverage: thin projections into one co-keyed full-outer join") {
+    val p = executedPortion(plan(Registry.byName("q125_modality_coverage").run(spark, sf0001)))
+    assert(p.contains("FullOuter"), s"classification needs the full-outer join:\n$p")
+    // only ids + the source string cross the wire — text/vectors pruned at scan
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"documents scan must prune to (doc_id, source):\n$p")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint>"),
+      s"embeddings scan must prune to vec_id:\n$p")
+  }
+
+  test("q126 semantic decontam: eval side broadcasts; assignment cache read by both sides") {
+    val p = executedPortion(plan(Registry.byName("q126_semantic_decontam").run(spark, sf0001)))
+    assert(p.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the candidate join must not shuffle the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), s"never all-pairs:\n$p")
+    assert(countOccurrences(p, "InMemoryTableScan") >= 2,
+      s"train and eval sides must read the persisted assignment, not recompute it:\n$p")
+  }
+
+  test("q127 context fit: no joins, no word explode — one bounded-census exchange") {
+    val p = executedPortion(plan(Registry.byName("q127_context_fit").run(spark, sf0001)))
+    assert(countOccurrences(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
+    assert(!p.contains("Join"), s"token pricing is an in-row fold:\n$p")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1,
+      s"only the (source, ctx_len) census exchanges:\n$p")
+  }
+
+  test("q128 source affinity: corpus joined once; pairwise only over the census") {
+    val p = executedPortion(plan(Registry.byName("q128_source_affinity").run(spark, sf0001)))
+    // the one corpus-sized join attributes vectors to sources
+    assert(!p.contains("CartesianProduct"),
+      s"the census pairing must stay broadcast, never cartesian:\n$p")
+    assert(countOccurrences(p, "BroadcastNestedLoopJoin") <= 1,
+      s"only the <=|sources|-row census may BNLJ:\n$p")
+    assert(!p.contains("rangepartitioning"), s"no corpus sort:\n$p")
+  }
 }
