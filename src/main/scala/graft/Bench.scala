@@ -71,6 +71,12 @@ object Bench {
     } + "\""
 
   def main(args: Array[String]): Unit = {
+    // sample the host load BEFORE any work: the summary's "load" field
+    // must measure pre-existing contention (the self-adjudication signal),
+    // not the bench's own 32-thread footprint — an end-of-run sample is
+    // always ~cpus and says nothing
+    val loadAtLaunch = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -124,12 +130,11 @@ object Bench {
     val median =
       if (ratios.isEmpty) 0.0
       else { val s = ratios.map(_._2).sorted; s(s.size / 2) }
-    // host 1-min load average rides the summary so a single-run artifact
-    // is self-adjudicating: the shared host swings ~2.5× with load
-    // (BASELINE.md), and every >2× floor reading in rounds 7–8 turned out
-    // to be load noise that cost a full adjudication cycle to prove
-    val load = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    // host 1-min load average AT LAUNCH rides the summary so a single-run
+    // artifact is self-adjudicating: the shared host swings ~2.5× with
+    // load (BASELINE.md), and every >2× floor reading in rounds 7–8
+    // turned out to be load noise that cost a full adjudication cycle
+    val load = loadAtLaunch
     // end-to-end streaming replay (SURVEY §5.2 layer 5): the 4-stage
     // ReplayDemo topology over 600 virtual seconds, timed once —
     // micro-batch scheduling dominates, so min-of-N buys little. Opt out
