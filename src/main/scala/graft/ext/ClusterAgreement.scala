@@ -53,7 +53,11 @@ object ClusterAgreement {
   /** One row: (n_vecs, n_pairs, agreements, rand_ppm) — exact pair-counting
     * Rand index between the fitted clustering and the reference labels. */
   def randIndexOf(embeds: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
-    val ct = contingency(embeds, k, iters, "q130_pts")
+    // three consumers (total + two marginal folds) read the census —
+    // localCheckpoint the ≤k·|labels| rows once or each consumer re-runs
+    // the whole corpus assignment (the doubled-pass anti-pattern; the
+    // pre-fix plan carried the contingency subtree three times)
+    val ct = contingency(embeds, k, iters, "q130_pts").localCheckpoint()
     // all three C(·,2) sums fold over the bounded census in one pass;
     // the ppm product stages through DECIMAL(38,0) (P·10⁶ passes int64
     // at n ≈ 4e9 vectors — same bound family as q118/q120, documented)

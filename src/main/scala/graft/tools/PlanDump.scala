@@ -183,6 +183,10 @@ object PlanDump {
       "Embedding-space eval decontamination at IVF cost: ONE persisted assignment (quantize + broadcast-centroid argmin) feeds both sides; the eval slice BROADCASTS onto the train side's cells (BroadcastHashJoin pinned - the corpus is never shuffled by cell); the tau-radius verdict is an in-row int64 fold. nprobe=1 recall trade documented in-code: a within-tau neighbor across a cell boundary is not counted, which is the same trade the q99 read path makes.",
     "q127_context_fit" ->
       "Sequence-length capacity planning: per-doc token counts are ONE in-row fold (q17's (len+3) div 4 pricing - no word explode), each doc fans out to |windows| census rows map-side, and the only exchange is the <=|sources|x|windows| rollup. Zero joins; pairs with q33 (packing consumes the chosen length) and q58 (budgeting consumes the token price).",
+    "q129_cluster_agreement" ->
+      "Cluster validation before k-means-derived curation trusts its cells: ONE persisted quantized corpus, broadcast-centroid assignment, ONE co-keyed id join to attach reference labels, then everything lives on the <=k x |labels| contingency census (purity windows partition by cid over census rows). The q53/q55/q60 family keys decisions on these cells; low purity here means those steps mix strata they believe they separate.",
+    "q130_rand_index" ->
+      "Exact pair-counting Rand index in integer ppm off q129's census: within-cell, within-cluster and within-label C(n,2) sums each fold over bounded census rows (two 1-row marginal folds broadcast back), agreements = P + 2a - sumA - sumB, ppm staged through DECIMAL(38,0) (int64-safe to ~4e9 vectors, documented). No sampling, no doubles - the scalar is hash-exact.",
     "q128_source_affinity" ->
       "Semantic redundancy map over sources: the one corpus-sized operation is the key join attributing vectors to sources; per-(source, dim) integer sums aggregate map-side into a <=|sources|x64 census, centroids use the floored-mean rule (bit-identical to the oracle), and the pairwise matrix is a broadcast cross join of the <=|sources|-row census with in-row distance folds - the corpus itself is never paired.",
     "q90_containment" ->

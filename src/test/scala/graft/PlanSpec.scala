@@ -845,6 +845,17 @@ class PlanSpec extends SparkSpec {
       s"only the (source, ctx_len) census exchanges:\n$p")
   }
 
+  test("q129/q130 agreement: one label join; Rand folds over the census only") {
+    val p129 = executedPortion(plan(Registry.byName("q129_cluster_agreement").run(spark, sf0001)))
+    assert(!p129.contains("CartesianProduct") && !p129.contains("rangepartitioning"),
+      s"q129: census windows, no corpus sort:\n$p129")
+    val p130 = executedPortion(plan(Registry.byName("q130_rand_index").run(spark, sf0001)))
+    // the two marginal C(.,2) sides are 1-row folds — they must broadcast
+    assert(countOccurrences(p130, "BroadcastNestedLoopJoin") <= 2,
+      s"q130: only the two 1-row marginal folds may BNLJ:\n$p130")
+    assert(!p130.contains("CartesianProduct"), s"q130: never cartesian:\n$p130")
+  }
+
   test("q128 source affinity: corpus joined once; pairwise only over the census") {
     val p = executedPortion(plan(Registry.byName("q128_source_affinity").run(spark, sf0001)))
     // the one corpus-sized join attributes vectors to sources
