@@ -845,6 +845,14 @@ class PlanSpec extends SparkSpec {
       s"only the (source, ctx_len) census exchanges:\n$p")
   }
 
+  test("q131 session pack: one user exchange serves the flag, count and packing windows") {
+    val p = executedPortion(plan(Registry.byName("q131_session_pack").run(spark, sf0001)))
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1,
+      s"sessionize + pack must share the user partitioning:\n$p")
+    assert(!p.contains("rangepartitioning"), s"no global sort:\n$p")
+    assert(!p.contains("Join"), s"packing is window work, not joins:\n$p")
+  }
+
   test("q129/q130 agreement: one label join; Rand folds over the census only") {
     val p129 = executedPortion(plan(Registry.byName("q129_cluster_agreement").run(spark, sf0001)))
     assert(!p129.contains("CartesianProduct") && !p129.contains("rangepartitioning"),
