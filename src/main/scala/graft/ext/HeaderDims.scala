@@ -198,6 +198,58 @@ object HeaderDims {
        |FROM par GROUP BY format""".stripMargin
   }
 
+  // ------------------------------------------- streaming ingestion gate
+  /** Streaming media-ingestion gate: each arriving (doc_id, media) payload
+    * is sniffed, header-parsed and judged against the DIMENSION ENVELOPE
+    * of the static corpus — entirely map-side. The multimodal member of
+    * the `*GateStreamStatic` family: a decode farm admits only payloads
+    * whose container parses and whose dimensions fall inside the
+    * [min, max] envelope the static corpus established per format
+    * (a 40000×2 "image" or an 8-channel "wav" is exactly the payload
+    * that kills a batch decoder — reject it at ingest, with a reason).
+    *
+    * Freeze shape: the envelope is a ≤|formats|-row census computed once
+    * here and shipped as literals in the plan; a micro-batch pays zero
+    * joins, zero shuffles, zero state (spec pins `stateOperators`
+    * empty). Parse cost per payload is the same 28-byte slice as q124 —
+    * a 100 MB video ships 28 bytes into the verdict.
+    *
+    * Output: (doc_id, format, d1, d2, keep, reason) — reason ∈
+    * {ok, unparsed, no_envelope, out_of_envelope}. */
+  def mediaGateStreamStatic(streamMedia: DataFrame, staticMedia: DataFrame): DataFrame = {
+    val (fmt, d1, d2) = parseCols(duck = false)
+    def parsed(df: DataFrame): DataFrame = df
+      .withColumn("hx", lower(hex(expr("substring(media, 1, 32)"))))
+      .withColumn("format", expr(fmt))
+      .withColumn("d1", expr(d1))
+      .withColumn("d2", expr(d2))
+    // the frozen envelope: ≤|formats| rows, collected once at build
+    val env = parsed(staticMedia)
+      .filter(col("d1").isNotNull)
+      .groupBy(col("format"))
+      .agg(min(col("d1")).as("lo1"), max(col("d1")).as("hi1"),
+        min(col("d2")).as("lo2"), max(col("d2")).as("hi2"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val envFmts = env.keys.toSeq.sorted
+    val inEnv: org.apache.spark.sql.Column = envFmts.foldLeft(lit(false)) { (acc, f) =>
+      val (lo1, hi1, lo2, hi2) = env(f)
+      when(col("format") === f,
+        col("d1").between(lo1, hi1) && col("d2").between(lo2, hi2)).otherwise(acc)
+    }
+    val hasEnv = if (envFmts.isEmpty) lit(false)
+                 else col("format").isInCollection(envFmts)
+    parsed(streamMedia)
+      .withColumn("reason",
+        when(col("d1").isNull, "unparsed")
+          .when(!hasEnv, "no_envelope")
+          .when(inEnv, "ok")
+          .otherwise("out_of_envelope"))
+      .select(col("doc_id"), col("format"), col("d1"), col("d2"),
+        (col("reason") === "ok").cast("int").as("keep"), col("reason"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q124_header_dims", q124, Some(q124Sql))
   )

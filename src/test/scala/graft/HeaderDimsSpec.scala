@@ -84,6 +84,44 @@ class HeaderDimsSpec extends SparkSpec {
     assert(wav.getLong(7) >= 1 && wav.getLong(8) <= 2) // channels
   }
 
+  test("media gate: envelope verdicts map-side, stateless, stream == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // static corpus: the q124 fixture (its pngs/wavs set the envelope)
+    val static = HeaderDims.fixtureDimMedia(
+      graft.oracle.Tables.table(spark, sf0001, "documents"))
+    def png(w: Int, h: Int): Array[Byte] =
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+        0, 0, 0, 13, 'I', 'H', 'D', 'R',
+        (w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte,
+        (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte,
+        8, 2, 0, 0, 0)
+    val arrivals = Seq(
+      (1L, png(500, 500)),       // inside the [16, 2047]x[16, 1535] fixture envelope
+      (2L, png(40000, 2)),       // the decoder-killer: out of envelope
+      (3L, "just text".getBytes)) // unparseable
+    val batch = HeaderDims.mediaGateStreamStatic(
+        arrivals.toDF("doc_id", "media"), static)
+      .collect().map(r => r.getLong(0) -> (r.getInt(4), r.getString(5))).toMap
+    assert(batch(1L) == ((1, "ok")))
+    assert(batch(2L) == ((0, "out_of_envelope")))
+    assert(batch(3L) == ((0, "unparsed")))
+    // streaming: same verdicts, zero state
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val sq = HeaderDims.mediaGateStreamStatic(
+        stream.toDF().toDF("doc_id", "media"), static)
+      .writeStream.format("memory").queryName("media_gate")
+      .outputMode("append").start()
+    try {
+      stream.addData(arrivals)
+      sq.processAllAvailable()
+      assert(sq.lastProgress.stateOperators.isEmpty, "media gate must be stateless")
+    } finally sq.stop()
+    val streamed = spark.table("media_gate").collect()
+      .map(r => r.getLong(0) -> (r.getInt(4), r.getString(5))).toMap
+    assert(streamed == batch, "stream != batch")
+  }
+
   test("decodeAll prefers the real header parse over the stub") {
     val recs = Seq(
       Multimodal.MediaRecord(1L, jpegBytes(800, 600, 7), "s"),
