@@ -117,8 +117,58 @@ object ClusterAgreement {
        |            // (n_vecs * (n_vecs - 1) // 2) AS BIGINT) AS rand_ppm
        |FROM tot, wc, wl""".stripMargin
 
+  /** Mislabel candidates (q133): vectors whose reference label disagrees
+    * with their cell's MAJORITY label — the label-noise mining list a
+    * curation pass hands to re-annotation, ranked implicitly by how
+    * decisive the cell is (maj_share_bp). Majority ties break to the
+    * LOWEST label in both engines. Scale shape: the ≤k-row majority
+    * table derives from the contingency census and BROADCASTS back onto
+    * the assignment; the output is dup-rate-sized (only disagreements). */
+  def labelOutliersOf(embeds: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val p = Tables.swapPersist("q133_pts", KMeans.quantize(embeds))
+    val asg = KMeans.assign(p, KMeans.fit(p, k, iters))
+      .select(col("vec_id"), col("cid"))
+      .join(embeds.select(col("vec_id").as("lv"), col("label")),
+        col("vec_id") === col("lv"))
+      .select(col("vec_id"), col("cid"), col("label"))
+    val asgP = Tables.swapPersist("q133_asg", asg)
+    val ct = asgP.groupBy(col("cid"), col("label")).agg(count(lit(1)).as("n_vecs"))
+    val wCid = Window.partitionBy(col("cid"))
+      .orderBy(col("n_vecs").desc, col("label"))
+    val maj = ct
+      .withColumn("rn", row_number().over(wCid))
+      .withColumn("cid_total", sum(col("n_vecs")).over(Window.partitionBy(col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("cid").as("mcid"), col("label").as("maj_label"),
+        expr("n_vecs * 10000 div cid_total").as("maj_share_bp"))
+    asgP.join(broadcast(maj), col("cid") === col("mcid"))
+      .filter(col("label") =!= col("maj_label"))
+      .select(col("vec_id"), col("cid").cast("long").as("cid"),
+        col("label").cast("long").as("label"),
+        col("maj_label").cast("long").as("maj_label"), col("maj_share_bp"))
+  }
+
+  def q133(spark: SparkSession, sfDir: String): DataFrame =
+    labelOutliersOf(Tables.table(spark, sfDir, "embeddings"))
+
+  private def q133Sql(k: Int = 8, iters: Int = 2, dim: Int = 64): String =
+    s"""WITH ${ctCte(k, iters, dim)},
+       |maj AS (
+       |  SELECT cid, label AS maj_label,
+       |         CAST(n_vecs * 10000 // sum(n_vecs) OVER (PARTITION BY cid) AS BIGINT) AS maj_share_bp
+       |  FROM ct
+       |  QUALIFY row_number() OVER (PARTITION BY cid ORDER BY n_vecs DESC, label) = 1),
+       |a AS (SELECT f.vec_id, f.cid, e.label
+       |      FROM fin f JOIN embeddings e USING (vec_id))
+       |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+       |       CAST(a.label AS BIGINT) AS label,
+       |       CAST(m.maj_label AS BIGINT) AS maj_label, m.maj_share_bp
+       |FROM a JOIN maj m ON a.cid = m.cid
+       |WHERE a.label != m.maj_label""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q129_cluster_agreement", q129, Some(q129Sql())),
-    QueryDef("q130_rand_index", q130, Some(q130Sql()))
+    QueryDef("q130_rand_index", q130, Some(q130Sql())),
+    QueryDef("q133_label_outliers", q133, Some(q133Sql()))
   )
 }
