@@ -183,6 +183,10 @@ object PlanDump {
       "Embedding-space eval decontamination at IVF cost: ONE persisted assignment (quantize + broadcast-centroid argmin) feeds both sides; the eval slice BROADCASTS onto the train side's cells (BroadcastHashJoin pinned - the corpus is never shuffled by cell); the tau-radius verdict is an in-row int64 fold. nprobe=1 recall trade documented in-code: a within-tau neighbor across a cell boundary is not counted, which is the same trade the q99 read path makes.",
     "q127_context_fit" ->
       "Sequence-length capacity planning: per-doc token counts are ONE in-row fold (q17's (len+3) div 4 pricing - no word explode), each doc fans out to |windows| census rows map-side, and the only exchange is the <=|sources|x|windows| rollup. Zero joins; pairs with q33 (packing consumes the chosen length) and q58 (budgeting consumes the token price).",
+    "q132_k_anonymity" ->
+      "Privacy audit after the q49 scrub: ONE distinct pass compresses events to the (QI, user) grain; the group census derives CO-KEYED (the size attach reuses the QI partitioning - no extra exchange); a user is at risk if ANY of their groups is sub-k (max flag at the (type, user) grain); the final rollup is a |types|-row census. Exact distinct counts by construction - no countDistinct Expand anywhere (PlanSpec pins it).",
+    "q133_label_outliers" ->
+      "Label-noise mining: the <=k-row majority-label table (ties break LOW, both engines) derives from q129's contingency census and BROADCASTS back onto the persisted assignment; output is disagreement-sized (the re-annotation worklist), never corpus-sized. Spec pins q133's count == q129's non-majority mass, so the two views cannot drift.",
     "q131_session_pack" ->
       "Event log to training-ready context windows in ONE user-keyed exchange: the gap flag (lag), the running session count, the session rollup, the chronological token cumsum and the (user, bin) rollup all share the per-user sort - sessionize (q116), price (q17), pack (q33) composed without a second corpus movement. Continuous-fill bin = where the session STARTS; a straddling session makes util_bp exceed 10000, documented, so the loader (or a q127-informed budget) owns truncation.",
     "q129_cluster_agreement" ->

@@ -853,6 +853,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"packing is window work, not joins:\n$p")
   }
 
+  test("q132 k-anonymity: distinct-grain passes, no Expand, no corpus sort") {
+    val p = executedPortion(plan(Registry.byName("q132_k_anonymity").run(spark, sf0001)))
+    assert(!p.contains("Expand"), s"exact distincts via two-level agg, not Expand:\n$p")
+    assert(!p.contains("rangepartitioning"), s"no corpus sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q133 label outliers: majority table broadcasts; assignment persisted for both readers") {
+    val p = executedPortion(plan(Registry.byName("q133_label_outliers").run(spark, sf0001)))
+    assert(p.contains("BroadcastHashJoin"), s"the <=k-row majority must broadcast:\n$p")
+    assert(countOccurrences(p, "InMemoryTableScan") >= 2,
+      s"contingency and attach must read the persisted assignment:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("q129/q130 agreement: one label join; Rand folds over the census only") {
     val p129 = executedPortion(plan(Registry.byName("q129_cluster_agreement").run(spark, sf0001)))
     assert(!p129.contains("CartesianProduct") && !p129.contains("rangepartitioning"),
