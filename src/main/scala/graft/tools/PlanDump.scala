@@ -183,6 +183,8 @@ object PlanDump {
       "Embedding-space eval decontamination at IVF cost: ONE persisted assignment (quantize + broadcast-centroid argmin) feeds both sides; the eval slice BROADCASTS onto the train side's cells (BroadcastHashJoin pinned - the corpus is never shuffled by cell); the tau-radius verdict is an in-row int64 fold. nprobe=1 recall trade documented in-code: a within-tau neighbor across a cell boundary is not counted, which is the same trade the q99 read path makes.",
     "q127_context_fit" ->
       "Sequence-length capacity planning: per-doc token counts are ONE in-row fold (q17's (len+3) div 4 pricing - no word explode), each doc fans out to |windows| census rows map-side, and the only exchange is the <=|sources|x|windows| rollup. Zero joins; pairs with q33 (packing consumes the chosen length) and q58 (budgeting consumes the token price).",
+    "q134_keeper_quality" ->
+      "Dedup policy audit: q14's inverted-index pairs (dup-rate-sized, join-free) attach per-doc quality via TWO co-keyed id joins against the ONE persisted q10k score projection (keyed persist - without it the scoring pass runs twice), then a <=10-row jaccard-band census. Integer q10k deltas, so 'the keeper was worse by X quality points' is exact; a systematically negative sum_delta says switch q67 to a quality-aware keeper rule.",
     "q132_k_anonymity" ->
       "Privacy audit after the q49 scrub: ONE distinct pass compresses events to the (QI, user) grain; the group census derives CO-KEYED (the size attach reuses the QI partitioning - no extra exchange); a user is at risk if ANY of their groups is sub-k (max flag at the (type, user) grain); the final rollup is a |types|-row census. Exact distinct counts by construction - no countDistinct Expand anywhere (PlanSpec pins it).",
     "q133_label_outliers" ->

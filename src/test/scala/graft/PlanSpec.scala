@@ -853,6 +853,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"packing is window work, not joins:\n$p")
   }
 
+  test("q134 keeper quality: one persisted score projection serves both pair sides") {
+    val p = executedPortion(plan(Registry.byName("q134_keeper_quality").run(spark, sf0001)))
+    assert(countOccurrences(p, "InMemoryTableScan") >= 2,
+      s"both quality attaches must read the persisted scores, not rescore:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("q132 k-anonymity: distinct-grain passes, no Expand, no corpus sort") {
     val p = executedPortion(plan(Registry.byName("q132_k_anonymity").run(spark, sf0001)))
     assert(!p.contains("Expand"), s"exact distincts via two-level agg, not Expand:\n$p")
