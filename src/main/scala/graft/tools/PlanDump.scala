@@ -183,6 +183,12 @@ object PlanDump {
       "Embedding-space eval decontamination at IVF cost: ONE persisted assignment (quantize + broadcast-centroid argmin) feeds both sides; the eval slice BROADCASTS onto the train side's cells (BroadcastHashJoin pinned - the corpus is never shuffled by cell); the tau-radius verdict is an in-row int64 fold. nprobe=1 recall trade documented in-code: a within-tau neighbor across a cell boundary is not counted, which is the same trade the q99 read path makes.",
     "q127_context_fit" ->
       "Sequence-length capacity planning: per-doc token counts are ONE in-row fold (q17's (len+3) div 4 pricing - no word explode), each doc fans out to |windows| census rows map-side, and the only exchange is the <=|sources|x|windows| rollup. Zero joins; pairs with q33 (packing consumes the chosen length) and q58 (budgeting consumes the token price).",
+    "q138_yield_census" ->
+      "Funnel accounting per source: ONE persisted doc projection feeds BOTH the scoring pass and q14's pair machinery (the keyed persist prevents a doubled corpus parse); the removed set is dup-rate-sized and attaches by LEFT ANTI join; raw-side and survivor-side censuses join at |sources| rows. The 'how many tokens does each source actually deliver' number, with losses attributed to dedup vs quality vs clipping BEFORE the 100 TB run discovers them.",
+    "q136_temporal_leakage" ->
+      "Entity-level leakage of a time-boundary split: events compress to the (type, user) grain in ONE fold that carries both side flags AND the eval event mass (no distinct-then-join, no self-join across the boundary), then a |types|-row census. seen_bp near 10000 says the eval set measures personalization, not generalization - a number the split protocol should publish, not assume.",
+    "q137_quota_audit" ->
+      "Quota replay before deployment: ONE exchange to the (type, user, minute) burst grain with map-side partials (bounded by active user-minutes, far below raw events); drops/bursts are arithmetic on that grain; |types|-row rollup. The dropped_bp column is the data-loss rate the proposed rate limiter would have caused on real traffic.",
     "q134_keeper_quality" ->
       "Dedup policy audit: q14's inverted-index pairs (dup-rate-sized, join-free) attach per-doc quality via TWO co-keyed id joins against the ONE persisted q10k score projection (keyed persist - without it the scoring pass runs twice), then a <=10-row jaccard-band census. Integer q10k deltas, so 'the keeper was worse by X quality points' is exact; a systematically negative sum_delta says switch q67 to a quality-aware keeper rule.",
     "q132_k_anonymity" ->
