@@ -41,7 +41,9 @@ object ContextFit {
       .select(col("source"), col("ctx_len"), col("n_docs"), col("n_fit"),
         expr("n_fit * 10000 div n_docs").as("fit_bp"),
         col("tokens_total"), col("tokens_kept"),
-        expr("(tokens_total - tokens_kept) * 10000 div tokens_total").as("loss_bp"))
+        // same zero-token guard discipline as q138: Spark div NULLs on 0,
+        // DuckDB // errors — make both engines agree on NULL
+        expr("CASE WHEN tokens_total = 0 THEN NULL ELSE (tokens_total - tokens_kept) * 10000 div tokens_total END").as("loss_bp"))
 
   // ---------------------------------------------------------------- q127
   def q127(spark: SparkSession, sfDir: String): DataFrame =
@@ -64,7 +66,7 @@ object ContextFit {
        |SELECT source, ctx_len, n_docs, n_fit,
        |       CAST(n_fit * 10000 // n_docs AS BIGINT) AS fit_bp,
        |       tokens_total, tokens_kept,
-       |       CAST((tokens_total - tokens_kept) * 10000 // tokens_total AS BIGINT) AS loss_bp
+       |       CASE WHEN tokens_total = 0 THEN NULL ELSE CAST((tokens_total - tokens_kept) * 10000 // tokens_total AS BIGINT) END AS loss_bp
        |FROM g""".stripMargin
   }
 

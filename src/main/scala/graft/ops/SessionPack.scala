@@ -34,6 +34,10 @@ object SessionPack {
   def sessionPackOf(events: DataFrame, tMicros: Column,
                     gapUs: Long = 30L * 60 * 1000000,
                     budget: Long = 64L): DataFrame = {
+    // bin arithmetic divides by the budget; a non-positive gap makes every
+    // event its own session — both are caller bugs worth failing fast on
+    require(budget > 0, s"context budget must be positive, got $budget")
+    require(gapUs > 0, s"session gap must be positive, got $gapUs")
     val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
     val flagged = events
       .select(col("user_id"), col("event_id"), tMicros.cast("long").as("t"),

@@ -57,7 +57,10 @@ object YieldCensus {
         coalesce(col("n_quality"), lit(0L)).as("n_quality"),
         col("toks_raw"),
         coalesce(col("toks_final"), lit(0L)).as("toks_final"))
-      .withColumn("yield_bp", expr("toks_final * 10000 div toks_raw"))
+      // a source whose docs are ALL empty-text prices to zero tokens:
+      // Spark's div would NULL but DuckDB's // ERRORS — agree on NULL
+      .withColumn("yield_bp", expr(
+        "CASE WHEN toks_raw = 0 THEN NULL ELSE toks_final * 10000 div toks_raw END"))
   }
 
   // ---------------------------------------------------------------- q138
@@ -90,7 +93,7 @@ object YieldCensus {
        |       coalesce(outp.n_quality, 0) AS n_quality,
        |       raw.toks_raw,
        |       coalesce(outp.toks_final, 0) AS toks_final,
-       |       CAST(coalesce(outp.toks_final, 0) * 10000 // raw.toks_raw AS BIGINT) AS yield_bp
+       |       CASE WHEN raw.toks_raw = 0 THEN NULL ELSE CAST(coalesce(outp.toks_final, 0) * 10000 // raw.toks_raw AS BIGINT) END AS yield_bp
        |FROM raw LEFT JOIN outp ON raw.source = outp.source""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(

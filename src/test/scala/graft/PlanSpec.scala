@@ -853,6 +853,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"packing is window work, not joins:\n$p")
   }
 
+  test("q138 yield census: one persisted doc projection feeds scoring AND pair machinery") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val df = Registry.byName("q138_yield_census").run(spark, sf0001)
+    val withCache = df.queryExecution.withCachedData
+    val ims = withCache.collect { case r: InMemoryRelation => r }
+    assert(ims.length >= 2 && ims.map(_.cacheBuilder).distinct.length == 1,
+      s"scoring and pairs must share ONE materialized projection:\n$withCache")
+    val p = executedPortion(plan(df))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("q134 keeper quality: one persisted score projection serves both pair sides") {
     val p = executedPortion(plan(Registry.byName("q134_keeper_quality").run(spark, sf0001)))
     assert(countOccurrences(p, "InMemoryTableScan") >= 2,
