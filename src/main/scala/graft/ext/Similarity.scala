@@ -30,7 +30,7 @@ object Similarity {
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"), col("label"))
   }
 
-  private val embCte =
+  private[ext] val embCte =
     "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)"
 
   /** Interpreted HOF formulation of cosine — kept as the equivalence oracle
@@ -41,8 +41,11 @@ object Similarity {
       " * sqrt(aggregate(transform(v, x -> x * x), cast(0 AS double), (acc, x) -> acc + x)))"
 
   // ---------------------------------------------------------------- q19
-  /** Brute-force cosine top-5 neighbors for query vectors (vec_id < 20). */
-  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Brute-force cosine top-`k` ranking for query vectors (vec_id < 20) —
+    * shared by q19 (k=5) and q141's semantic arm (k=10; ext/HybridRrf).
+    * RrfSpec pins the k-prefix property (the k=10 list's first 5 rows ARE
+    * the k=5 list), so the two consumers stay reconciled by test. */
+  def cosineRanks(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     val e = emb(spark, sfDir)
     val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("query_id"), col("v").as("qv"))
     val sims = e.join(broadcast(q), col("query_id") =!= col("vec_id"))
@@ -52,11 +55,15 @@ object Similarity {
     // scored candidate (graft.agg.TopK scaladoc).
     sims
       .groupBy(col("query_id"))
-      .agg(TopK(5)(col("sim"), col("vec_id")).as("top"))
+      .agg(TopK(k)(col("sim"), col("vec_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.id").as("neighbor_id"),
         (col("pos") + 1).cast("long").as("rank"), col("t.score").as("sim"))
   }
+
+  /** Brute-force cosine top-5 neighbors for query vectors (vec_id < 20). */
+  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame =
+    cosineRanks(spark, sfDir, 5)
 
   private val q19Sql =
     s"""WITH $embCte,

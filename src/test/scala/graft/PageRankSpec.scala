@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.PageRank
+import org.apache.spark.sql.functions._
+
+/** q139: integer power-iteration PageRank over the item-transition graph. */
+class PageRankSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Events encoding a fixed tiny graph: users walk items in ts order. */
+  private def walk(user: Long, items: Seq[Long]) =
+    items.zipWithIndex.map { case (it, i) =>
+      (user * 1000L + i, user, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"),
+        s"""{"k": $it}""")
+    }
+
+  private def prOf(rows: Seq[(Long, Long, java.sql.Timestamp, String)], iters: Int = 3) = {
+    val ev = rows.toDF("event_id", "user_id", "ts", "props")
+    PageRank.pageRankOf(ev, unix_micros(col("ts")), iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("hand graph: sink of a 2-cycle accumulates, uniform cycle stays uniform") {
+    // u1: 1 -> 2 -> 1 -> 2 (edges 1->2 w2, 2->1 w1); u2: 3 -> 4 -> 3 (cycle)
+    val ranks = prOf(walk(1, Seq(1, 2, 1, 2)) ++ walk(2, Seq(3, 4, 3)))
+    // symmetric 2-cycles keep the uniform fixed point: 150000 + 0.85*rank
+    // converges toward 1e6; after 3 exact-integer rounds both stay equal
+    assert(ranks(3L) == ranks(4L), "symmetric cycle stays symmetric")
+    // node 2 receives ALL of node 1's mass each round and returns all of
+    // its own, so with equal out-degrees the pair also balances — but the
+    // 1->2 edge has weight 2 of out_w 2, identical shares; ranks equal
+    assert(ranks(1L) == ranks(2L))
+    // every rank stays positive and below total graph mass
+    ranks.values.foreach(r => assert(r > 0L && r < 4L * 1000000L))
+  }
+
+  test("hand graph: a pure source leaks mass, its sink gains it") {
+    // u1 walks 1 -> 2 five times interleaved: 1,2,1,2 gives edges both
+    // ways; instead one long chain 5 -> 6, 5 -> 6: two separate users so
+    // item 5 has ONLY outgoing, item 6 ONLY incoming
+    val ranks = prOf(walk(1, Seq(5, 6)) ++ walk(2, Seq(5, 6)))
+    // source: never receives -> rank = base each round = 150000
+    assert(ranks(5L) == 150000L, s"pure source decays to the base: $ranks")
+    // sink got (1e6*2) div 2... first round contrib = (1e6*2) div 2 = 1e6
+    // r1(6) = 150000 + 850000; r2 uses r1(5)=150000 -> contrib 150000
+    // r3(6) = 150000 + (150000*85) div 100 = 277500
+    assert(ranks(6L) == 277500L, s"sink rank after 3 exact rounds: $ranks")
+  }
+
+  test("self-loops are dropped and total mass is conserved-ish (bounded)") {
+    val ranks = prOf(walk(1, Seq(7, 7, 7)) ++ walk(2, Seq(8, 9, 8)))
+    assert(!ranks.contains(7L), "self-loop-only item forms no edge (dropped)")
+    assert(ranks.keySet == Set(8L, 9L))
+  }
+
+  test("fixture census is item-vocabulary-bounded and all-positive") {
+    val rows = PageRank.q139(spark, sf0001).collect()
+    assert(rows.length <= 100, "item vocabulary is 0..99")
+    assert(rows.forall(_.getLong(1) >= 150000L),
+      "every node holds at least the damping base")
+  }
+}
