@@ -46,7 +46,8 @@ object Floors {
     "q105" -> 0.32, "q106" -> 0.49, "q107" -> 0.49, "q108" -> 0.26, "q109" -> 1.30, "q110" -> 0.57, "q111" -> 0.36, "q112" -> 0.65, "q113" -> 0.18, "q114" -> 0.22, "q115" -> 0.59, "q116" -> 0.27, "q117" -> 1.99, "q118" -> 0.62, "q119" -> 1.22, "q120" -> 0.21, "q121" -> 0.53, "q122" -> 0.40, "q123" -> 0.41, "q124" -> 0.43,
     "q125" -> 0.27, "q126" -> 1.46, "q127" -> 0.13, "q128" -> 0.33,
     "q129" -> 1.40, "q130" -> 1.37, "q131" -> 0.55,
-    "q132" -> 0.47, "q133" -> 1.61, "q134" -> 1.18, "q135" -> 0.57, "q136" -> 0.36, "q137" -> 0.22, "q138" -> 0.49)
+    "q132" -> 0.47, "q133" -> 1.61, "q134" -> 1.18, "q135" -> 0.57, "q136" -> 0.36, "q137" -> 0.22, "q138" -> 0.49,
+    "q139" -> 1.53, "q140" -> 0.41, "q141" -> 1.28)
 
   /** Floor for a full query name ("q44_source_divergence" → the "q44"
     * prefix entry), if recorded. */

@@ -75,7 +75,12 @@ object ClusterAgreement {
         expr("n_vecs * (n_vecs - 1) div 2 + 2 * within_cells - within_clusters - within_labels")
           .as("agreements"))
       .select(col("n_vecs"), col("n_pairs"), col("agreements"),
-        expr("CAST(agreements AS DECIMAL(38,0)) * 1000000 div n_pairs").as("rand_ppm"))
+        // n=1 vector ⇒ C(n,2)=0: Spark's div would NULL where DuckDB's //
+        // hard-errors — guard the zero explicitly on BOTH engines (the
+        // q128/q138 zero-token-division discipline)
+        expr("CASE WHEN n_pairs = 0 THEN NULL " +
+          "ELSE CAST(agreements AS DECIMAL(38,0)) * 1000000 div n_pairs END")
+          .as("rand_ppm"))
   }
 
   // --------------------------------------------------------- q129 / q130
@@ -112,9 +117,10 @@ object ClusterAgreement {
        |       CAST(n_vecs * (n_vecs - 1) // 2 AS BIGINT) AS n_pairs,
        |       CAST(n_vecs * (n_vecs - 1) // 2 + 2 * within_cells
        |            - within_clusters - within_labels AS BIGINT) AS agreements,
-       |       CAST((n_vecs * (n_vecs - 1) // 2 + 2 * within_cells
-       |            - within_clusters - within_labels)::HUGEINT * 1000000
-       |            // (n_vecs * (n_vecs - 1) // 2) AS BIGINT) AS rand_ppm
+       |       CASE WHEN n_vecs * (n_vecs - 1) // 2 = 0 THEN NULL
+       |            ELSE CAST((n_vecs * (n_vecs - 1) // 2 + 2 * within_cells
+       |                 - within_clusters - within_labels)::HUGEINT * 1000000
+       |                 // (n_vecs * (n_vecs - 1) // 2) AS BIGINT) END AS rand_ppm
        |FROM tot, wc, wl""".stripMargin
 
   /** Mislabel candidates (q133): vectors whose reference label disagrees

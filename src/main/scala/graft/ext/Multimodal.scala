@@ -67,7 +67,14 @@ object Multimodal {
         else if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
           if (i + 8 >= b.length) return None
           return Some((be(b, i + 7, 2).toInt, be(b, i + 5, 2).toInt, "jpeg"))
-        } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) { i += 2 }
+        } else if (marker == 0xd9) {
+          // EOI: end of image — bytes past it are not frame data, so a
+          // stray FF C0 in trailing garbage must not yield dimensions
+          return None
+        } else if (marker == 0xd8 || marker == 0x01 ||
+                   (marker >= 0xd0 && marker <= 0xd7)) {
+          i += 2 // standalone markers (SOI, TEM, RSTn) carry no length word
+        }
         else {
           val segLen = be(b, i + 2, 2).toInt
           if (segLen < 2) return None

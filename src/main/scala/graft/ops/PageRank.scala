@@ -92,10 +92,12 @@ object PageRank {
   private def q139Sql(iters: Int = 3, dampBp: Long = 8500L): String = {
     val base = (10000L - dampBp) * 100L
     val head =
-      s"""WITH e AS (
-         |  SELECT user_id, event_id, json_extract(props, '$$.k')::BIGINT AS item,
+      s"""WITH e0 AS (
+         |  SELECT user_id, event_id,
+         |         TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
          |         epoch_us(ts) AS t
-         |  FROM events WHERE json_extract(props, '$$.k') IS NOT NULL),
+         |  FROM events),
+         |e AS (SELECT * FROM e0 WHERE item IS NOT NULL),
          |l AS (
          |  SELECT item AS dst_i,
          |         lag(item, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) AS src_i

@@ -197,6 +197,12 @@ object PlanDump {
       "Label-noise mining: the <=k-row majority-label table (ties break LOW, both engines) derives from q129's contingency census and BROADCASTS back onto the persisted assignment; output is disagreement-sized (the re-annotation worklist), never corpus-sized. Spec pins q133's count == q129's non-majority mass, so the two views cannot drift.",
     "q131_session_pack" ->
       "Event log to training-ready context windows in ONE user-keyed exchange: the gap flag (lag), the running session count, the session rollup, the chronological token cumsum and the (user, bin) rollup all share the per-user sort - sessionize (q116), price (q17), pack (q33) composed without a second corpus movement. Continuous-fill bin = where the session STARTS; a straddling session makes util_bp exceed 10000, documented, so the loader (or a q127-informed budget) owns truncation.",
+    "q139_pagerank" ->
+      "Distributed PageRank in exact integer micro-units: the corpus-sized work (per-user ordered lag -> consecutive item pairs) runs ONCE, upstream of the persisted vocab^2-bounded edge census; each of the 3 rounds is one hash join of the rank vector against the cached edges plus one dst-keyed aggregation - the standard scale-out round, lineage-checkpointed every 4 rounds so the planner never sees an unbounded join chain. Dangling mass drops (documented vs the full Google matrix); int64 bound n_nodes*w_max documented to ~1e7-item vocabularies.",
+    "q140_fuzzy_match" ->
+      "Approximate string join without the O(n^2) distance matrix: levenshtein runs on the distinct-name VOCABULARY (multiplicities return as pair_mass = n_a*n_b), candidates must share their last token (blocking - the declared recall trade, mirrored in the oracle), and a block bigger than blockCap is dropped BEFORE pair expansion with the identical HAVING on both engines. The pair join is an equi-join on the block key - no cartesian, no BNLJ (PlanSpec + FuzzyMatchSpec pin it).",
+    "q141_hybrid_rrf" ->
+      "Two-tower retrieval fused by reciprocal-rank fusion in integer ppm: the tokenized corpus persists ONCE for three readers (postings, df census, doc lengths); the lexical arm is q14's df-capped inverted index with the bounded 20-query vocabulary BROADCAST onto the postings; the semantic arm broadcasts the query vectors against one corpus scan (q19 at k=10 - RrfSpec pins the k-prefix property); fusion full-outer-joins two <=k-per-query rank lists and windows over <=2k census rows. Absent-arm candidates contribute 0 (not NULL); ties break by cand_id - both pinned by hand-RRF arithmetic in RrfSpec.",
     "q129_cluster_agreement" ->
       "Cluster validation before k-means-derived curation trusts its cells: ONE persisted quantized corpus, broadcast-centroid assignment, ONE co-keyed id join to attach reference labels, then everything lives on the <=k x |labels| contingency census (purity windows partition by cid over census rows). The q53/q55/q60 family keys decisions on these cells; low purity here means those steps mix strata they believe they separate.",
     "q130_rand_index" ->

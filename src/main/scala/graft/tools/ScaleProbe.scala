@@ -64,11 +64,25 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
 
   /** Build the probe dir for one scale: scaled documents/embeddings
-    * written as parquet, every other fixture table symlinked at 1×. */
+    * written as parquet, every other fixture table symlinked at 1×.
+    * A `_COMPLETE` sentinel (recording the source dir) is written LAST:
+    * a dir without it is a partial build (crash mid-write), and one whose
+    * sentinel names a different srcDir was scaled from other data —
+    * either would silently corrupt the growth ratios if reused, so both
+    * are torn down and rebuilt. */
   private def buildDir(spark: SparkSession, srcDir: String, root: String, k: Int): String = {
     val dir = s"$root/x$k"
     val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p)) return dir // reuse across runs
+    val sentinel = p.resolve("_COMPLETE")
+    if (java.nio.file.Files.exists(sentinel) &&
+        new String(java.nio.file.Files.readAllBytes(sentinel), "UTF-8") == srcDir)
+      return dir // verified complete build from the same source — reuse
+    if (java.nio.file.Files.exists(p)) {
+      System.err.println(s"[probe] $dir incomplete or from a different source — rebuilding")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
     java.nio.file.Files.createDirectories(p)
     val scaledTables = Set("documents", "embeddings")
     graft.oracle.Views.TableNames.filterNot(scaledTables).foreach { t =>
@@ -80,6 +94,7 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     scaleEmbeds(Tables.table(spark, srcDir, "embeddings"), k)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    java.nio.file.Files.write(sentinel, srcDir.getBytes("UTF-8"))
     dir
   }
 

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registration lockstep (round-9 verdict Next #7): two rounds in a row a
+  * closing commit registered queries without their gates (q132/q133 in r8,
+  * q139–q141 in r9), and the miss only surfaced minutes into the suite
+  * (PlanManifestSpec / BenchSpec both need a SparkSession). This spec
+  * needs NO Spark — Registry.all is a static Seq of (name, fn, sql) — so
+  * a query registered without BOTH a Floors entry and a PLAN_MANIFEST.txt
+  * line fails here in seconds:
+  *
+  *   sbt "testOnly graft.GateLockstepSpec"
+  *
+  * The reverse direction (stale floor / manifest entries for names no
+  * longer registered) is pinned too, so renames can't leave orphans. */
+class GateLockstepSpec extends AnyFunSuite {
+
+  private lazy val names = graft.oracle.Registry.all.map(_.name)
+  private lazy val prefixes = names.map(_.takeWhile(_ != '_')).toSet
+
+  test("every registered query has a recorded floor") {
+    val missing = names.filter(n => Floors.forQuery(n).isEmpty)
+    assert(missing.isEmpty,
+      s"registered without a Floors entry (record a min-of-5 cold floor " +
+        s"at sf0.1 and add it to Floors.sf01 + BASELINE.md): $missing")
+  }
+
+  test("no stale floor entries for unregistered prefixes") {
+    val stale = Floors.sf01.keySet -- prefixes
+    assert(stale.isEmpty, s"Floors entries with no registered query: $stale")
+  }
+
+  test("every registered query has a PLAN_MANIFEST.txt line") {
+    val path = java.nio.file.Paths.get("PLAN_MANIFEST.txt")
+    assert(java.nio.file.Files.exists(path), "PLAN_MANIFEST.txt missing")
+    val recorded = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(path)).asScala
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map(_.takeWhile(_ != ' ')).toSet
+    val missing = names.filterNot(recorded)
+    assert(missing.isEmpty,
+      s"""registered without a manifest line (run: sbt "runMain graft.tools.PlanManifest"): $missing""")
+    val stale = recorded -- names.toSet
+    assert(stale.isEmpty, s"manifest lines with no registered query: $stale")
+  }
+
+  test("registered names are unique and well-formed") {
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate registrations: $dups")
+    val malformed = names.filterNot(_.matches("q\\d+_[a-z0-9_]+"))
+    assert(malformed.isEmpty, s"names not matching qNN_snake_case: $malformed")
+  }
+}

@@ -48,6 +48,26 @@ class PageRankSpec extends SparkSpec {
     assert(ranks(6L) == 277500L, s"sink rank after 3 exact rounds: $ranks")
   }
 
+  test("4-node graph with a dangling node: exact ranks at iters 1 and 3") {
+    // u1: 1→2→3→1 (each edge w1); u2: 2→4. out_w: 1:1, 2:2, 3:1;
+    // node 4 is DANGLING (no out-edges — its mass drops, per the doc).
+    val rows = walk(1, Seq(1, 2, 3, 1)) ++ walk(2, Seq(2, 4))
+    // Round 1 from r0 = 1e6: contrib 2←1e6 (all of 1), 3←5e5 (half of
+    // 2), 4←5e5, 1←1e6 (all of 3); rank = 150000 + (c*8500) div 10000.
+    assert(prOf(rows, iters = 1) ==
+      Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 575000L, 4L -> 575000L))
+    // Rounds 2–3 by the same integer formula (hand-unrolled):
+    //   r2 = {1:638750, 2:1000000, 3:575000, 4:575000}
+    //   r3(2) = 150000 + (638750*8500) div 10000 = 692937 (truncated .5)
+    val r3 = prOf(rows, iters = 3)
+    assert(r3 == Map(1L -> 638750L, 2L -> 692937L, 3L -> 575000L, 4L -> 575000L))
+    // ordering stability across iteration counts: {1,2} stay the top
+    // pair, {3,4} the bottom pair — more rounds refine, not reorder
+    val top1 = prOf(rows, iters = 1).toSeq.sortBy(-_._2).take(2).map(_._1).toSet
+    val top3 = r3.toSeq.sortBy(-_._2).take(2).map(_._1).toSet
+    assert(top1 == Set(1L, 2L) && top3 == Set(1L, 2L))
+  }
+
   test("self-loops are dropped and total mass is conserved-ish (bounded)") {
     val ranks = prOf(walk(1, Seq(7, 7, 7)) ++ walk(2, Seq(8, 9, 8)))
     assert(!ranks.contains(7L), "self-loop-only item forms no edge (dropped)")

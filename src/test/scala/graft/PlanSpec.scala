@@ -897,6 +897,35 @@ class PlanSpec extends SparkSpec {
     assert(!p130.contains("CartesianProduct"), s"q130: never cartesian:\n$p130")
   }
 
+  test("q139 pagerank: cached edge census feeds every round; no cartesian, no corpus sort") {
+    val p = executedPortion(plan(Registry.byName("q139_pagerank").run(spark, sf0001)))
+    // edges are read per round and nodes per round + init — all from cache
+    assert(countOccurrences(p, "InMemoryTableScan") >= 7,
+      s"3 rounds must read the persisted edges (x3) and nodes (x4):\n$p")
+    assert(!p.contains("CartesianProduct"), s"rounds are keyed joins:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"the per-user lag sorts within hash partitions, never globally:\n$p")
+  }
+
+  test("q140 fuzzy match: block equi-join, vocab persisted for census + both pair sides") {
+    val p = executedPortion(plan(Registry.byName("q140_fuzzy_match").run(spark, sf0001)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairing must stay an equi-join on the block key:\n$p")
+    assert(countOccurrences(p, "InMemoryTableScan") >= 3,
+      s"the name vocabulary is built once and read by the cap census and both join sides:\n$p")
+  }
+
+  test("q141 hybrid rrf: one tokenized corpus for three readers; only the cosine theta-join BNLJs") {
+    val p = executedPortion(plan(Registry.byName("q141_hybrid_rrf").run(spark, sf0001)))
+    assert(countOccurrences(p, "InMemoryTableScan") >= 3,
+      s"postings, df census and doc lengths must share the persisted token table:\n$p")
+    assert(countOccurrences(p, "BroadcastNestedLoopJoin") <= 1,
+      s"only q19's broadcast theta-join (20 query vectors) may BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded query vocabulary must broadcast onto the postings:\n$p")
+  }
+
   test("q128 source affinity: corpus joined once; pairwise only over the census") {
     val p = executedPortion(plan(Registry.byName("q128_source_affinity").run(spark, sf0001)))
     // the one corpus-sized join attributes vectors to sources
