@@ -17,9 +17,8 @@ import org.apache.spark.sql.functions._
   *     multiplicities come back as `pair_mass = n_a·n_b` for free.
   *  2. **Blocking on the last token.** Candidates must share their
   *     trailing word (the head noun in adjective-noun names); within a
-  *     block the quadratic is bounded by `blockCap` (throws if a block
-  *     exceeds it — the q12 banded-bucket discipline, a cap that fails
-  *     loudly instead of detonating a reducer). DECLARED RECALL TRADE:
+  *     block the quadratic is bounded by `blockCap` (the q12
+  *     banded-bucket discipline). DECLARED RECALL TRADE:
   *     a pair whose edit distance is ≤ maxDist but whose last tokens
   *     differ ("blue rod" / "blue rim") is NOT a candidate — standard
   *     blocking semantics, mirrored exactly in the oracle. A block

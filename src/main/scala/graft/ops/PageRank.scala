@@ -52,6 +52,11 @@ object PageRank {
     val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
     val hops = events
       .select(col("user_id"), col("event_id"),
+        // props.k is INTEGER-VALUED in the fixtures (TESTDATA.md). On a
+        // non-integer numeric string the engines diverge (Spark's
+        // cast("long") truncates '12.5'→12; DuckDB's TRY_CAST rounds or
+        // NULLs) — if the item key ever becomes fractional, normalize
+        // both sides with an integer-pattern guard before the cast.
         get_json_object(col("props"), "$.k").cast("long").as("item"), tUs.as("t"))
       .filter(col("item").isNotNull)
       .withColumn("src", lag(col("item"), 1).over(w))

@@ -21,7 +21,17 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
+  /** When non-null, every [[table]] call records its table name — the
+    * ScaleProbe detection hook. Recording at the single fixture entry
+    * point is immune to the cache-substitution blind spot that broke
+    * `df.inputFiles`-based detection: once a subtree is persisted, the
+    * OPTIMIZED plan replaces its file relations with InMemoryRelation and
+    * the file lineage vanishes from plan-level APIs. */
+  @volatile private[graft] var readLog: java.util.Set[String] = null
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val log = readLog
+    if (log != null) log.add(name)
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")

@@ -1,17 +1,20 @@
 package graft.tools
 
+import graft.Floors
 import graft.oracle.{Registry, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-growth probe (round-8 verdict Next #3): the 2× bench gate runs at
-  * sf0.1, so the 100 TB claims otherwise rest on plan shapes alone. This
-  * harness synthesizes ~3× and ~10× sf0.1 corpora (self-union with
-  * hash-perturbed keys/content — copy i shifts doc_id/vec_id by i·10⁹,
-  * appends a per-copy token to text, and adds a per-copy epsilon to
-  * embeddings, so exact-dup collapse can't fake sub-linear growth while
-  * near-dup structure inside each copy survives), then times the most
-  * expensive registered queries at 1×/3×/10× and asserts runtime growth
+/** Scale-growth probe (round-8 verdict Next #3; probe-set derivation and
+  * events scaling per round-10 verdict Next #1/#5): the 2× bench gate runs
+  * at sf0.1, so the 100 TB claims otherwise rest on plan shapes alone. This
+  * harness synthesizes ~3×/~10× (optionally ~30×) sf0.1 corpora
+  * (self-union with hash-perturbed keys/content — copy i shifts ids by
+  * i·10⁹, appends a per-copy token to text, adds a per-copy epsilon to
+  * embeddings, and offsets event times by i·366 days, so exact-dup
+  * collapse can't fake sub-linear growth while near-dup/cluster/session
+  * structure inside each copy survives), then times the most expensive
+  * scaled-table-bound queries at each scale and asserts runtime growth
   * stays ≤ ~1.5× data growth. A hidden quadratic (pair expansion without a
   * cap) or a census that silently became corpus-sized (a "bounded"
   * collect whose bound tracks n) shows up here as g10 ≫ 15 — the exact
@@ -19,10 +22,26 @@ import org.apache.spark.sql.functions._
   *
   *   SPARK_GRAFT_PROBE_REPS=2 sbt "runMain graft.tools.ScaleProbe"
   *
-  * Emits one JSON line per query — {"query","t1","t3","t10","g3","g10",
-  * "exp"} with exp = log(t10/t1)/log 10 (1.0 = perfectly linear) — and a
-  * closing summary with any violations (g3 > 4.5 or g10 > 15). Exit 1 on
-  * violation so the probe can gate.
+  * THE PROBE SET IS DERIVED AT RUNTIME, never hardcoded (a round-10
+  * finding: a hardcoded list went stale the moment new queries landed).
+  * Selection: every registered query is planned once at sf0.001 and its
+  * physical scan set is read off `df.inputFiles`; a query qualifies if it
+  * scans at least one scaled table (documents/embeddings/events). The
+  * probed set is then
+  *   { qualifying q with floor ≥ SPARK_GRAFT_PROBE_FLOOR (default 1.2 s) }
+  *   ∪ { per scaled table: top-SPARK_GRAFT_PROBE_PER_TABLE (default 5)
+  *       qualifying readers by floor }
+  * — the union covers both the globally-expensive queries and each table
+  * family's local top (the events family's floors are all sub-second, so
+  * a pure global threshold would never probe events-bound plans).
+  * SPARK_GRAFT_PROBE_ONLY=prefix,prefix restricts the derived set (for
+  * targeted deep runs, e.g. 30× on the three cost classes).
+  *
+  * Emits one JSON line per query — {"query","t1","t3","t10"[,"t30"],
+  * "g3","g10"[,"g30"],"exp"} with exp = log(gMax)/log(maxScale) (1.0 =
+  * perfectly linear) — and a closing summary with any violations
+  * (g_k > 1.5·k at any probed scale). Exit 1 on violation so the probe
+  * can gate. Scales via SPARK_GRAFT_PROBE_SCALES (default "1,3,10").
   *
   * The 10-copy corpus makes every document a member of a ~10-doc
   * near-duplicate cluster — ALSO a stress test of the banded-LSH caps and
@@ -30,15 +49,14 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  /** Most expensive registered queries by recorded floor (Floors.sf01) —
-    * all documents/embeddings-bound, the two tables the probe scales. */
-  val TopQueries: Seq[String] = Seq(
-    "q52_curation_dag", "q61_vector_curation", "q99_ivfpq_search",
-    "q98_pq_codebook", "q76_dsir_resample", "q62_cluster_topics",
-    "q117_cluster_histogram", "q38_dedup_clusters", "q80_dedup_sweep",
-    "q85_bigram_surprisal")
+  /** Tables the probe synthesizes at >1×; all other fixture tables are
+    * symlinked at 1× into every probe dir. */
+  val ScaledTables: Set[String] = Set("documents", "embeddings", "events")
 
-  private val Scales = Seq(1, 3, 10)
+  /** Bumped whenever the synthesis recipe changes (v2: events scaling
+    * added) — a dir whose sentinel carries an older version was built by a
+    * different recipe and would silently corrupt growth ratios if reused. */
+  private val BuildVersion = 2
 
   /** documents self-union: copy i shifts doc_id and appends ` probe<i>`
     * so copies are near- but not exact-duplicates. */
@@ -63,29 +81,50 @@ object ScaleProbe {
         col("label"))
     }.reduce(_ unionByName _)
 
-  /** Build the probe dir for one scale: scaled documents/embeddings
+  /** events self-union: copy i shifts event_id AND user_id by i·10⁹ and
+    * offsets ts by i·366 days. New user ids mean per-user sequences keep
+    * their 1× depth while the user population grows k× — the realistic
+    * growth axis for sessionization, funnels and the item-graph build
+    * (per-user lag partitions multiply in COUNT, not depth). The time
+    * offset keeps per-copy window populations disjoint so windowed
+    * aggregations grow in group count, not group size. props/event_type
+    * are untouched: the item vocabulary stays 1×-bounded, so q139's
+    * "edge census is vocab²-bounded, never corpus-sized" claim is exactly
+    * what a violation here would falsify. */
+  private def scaleEvents(base: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      base.select(
+        (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+        (if (i == 0) col("ts") else col("ts") + expr(s"INTERVAL ${i * 366} DAYS")).as("ts"),
+        (col("user_id") + lit(i.toLong * 1000000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+
+  /** Build the probe dir for one scale: scaled documents/embeddings/events
     * written as parquet, every other fixture table symlinked at 1×.
-    * A `_COMPLETE` sentinel (recording the source dir) is written LAST:
-    * a dir without it is a partial build (crash mid-write), and one whose
-    * sentinel names a different srcDir was scaled from other data —
-    * either would silently corrupt the growth ratios if reused, so both
-    * are torn down and rebuilt. */
+    * A `_COMPLETE` sentinel (recording source dir + recipe version) is
+    * written LAST: a dir without it is a partial build (crash mid-write),
+    * and one whose sentinel names a different srcDir or version was scaled
+    * from other data or by an older recipe — either would silently corrupt
+    * the growth ratios if reused, so both are torn down and rebuilt. */
   private def buildDir(spark: SparkSession, srcDir: String, root: String, k: Int): String = {
     val dir = s"$root/x$k"
     val p = java.nio.file.Paths.get(dir)
     val sentinel = p.resolve("_COMPLETE")
+    val expected = s"$srcDir#v$BuildVersion"
     if (java.nio.file.Files.exists(sentinel) &&
-        new String(java.nio.file.Files.readAllBytes(sentinel), "UTF-8") == srcDir)
-      return dir // verified complete build from the same source — reuse
+        new String(java.nio.file.Files.readAllBytes(sentinel), "UTF-8") == expected)
+      return dir // verified complete build from the same source + recipe — reuse
     if (java.nio.file.Files.exists(p)) {
-      System.err.println(s"[probe] $dir incomplete or from a different source — rebuilding")
+      System.err.println(s"[probe] $dir incomplete, stale-recipe, or from a different source — rebuilding")
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { walk =>
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
     }
     java.nio.file.Files.createDirectories(p)
-    val scaledTables = Set("documents", "embeddings")
-    graft.oracle.Views.TableNames.filterNot(scaledTables).foreach { t =>
+    graft.oracle.Views.TableNames.filterNot(ScaledTables).foreach { t =>
       java.nio.file.Files.createSymbolicLink(
         p.resolve(s"$t.parquet"),
         java.nio.file.Paths.get(s"$srcDir/$t.parquet"))
@@ -94,8 +133,53 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     scaleEmbeds(Tables.table(spark, srcDir, "embeddings"), k)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    java.nio.file.Files.write(sentinel, srcDir.getBytes("UTF-8"))
+    scaleEvents(Tables.table(spark, srcDir, "events"), k)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    java.nio.file.Files.write(sentinel, expected.getBytes("UTF-8"))
     dir
+  }
+
+  /** Which scaled tables each registered query reads, recorded at the
+    * single fixture entry point ([[Tables.table]]) while each query is
+    * BUILT at sf0.001 — the builder runs for real (model-fitting builders
+    * run their bounded collects at the smallest fixture), so the answer
+    * reflects the actual reads, not a hand-maintained map that can drift.
+    * Plan-level detection (`df.inputFiles`) was tried first and is a trap:
+    * every query that persists a subtree loses its file lineage to the
+    * InMemoryRelation cache substitution. A query whose builder throws is
+    * reported and keeps whatever it read before throwing. */
+  def scaledTableReaders(spark: SparkSession, detectDir: String,
+                         only: Option[Seq[String]] = None): Map[String, Set[String]] = {
+    val candidates = Registry.all.filter(q => only.forall(_.exists(q.name.startsWith)))
+    val out = candidates.map { q =>
+      val log = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      Tables.readLog = log
+      try q.run(spark, detectDir)
+      catch {
+        case t: Throwable =>
+          System.err.println(s"[probe] detect failed for ${q.name}: ${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).linesIterator.take(1).mkString.take(300)}")
+      } finally Tables.readLog = null
+      import scala.jdk.CollectionConverters._
+      q.name -> log.asScala.toSet.intersect(ScaledTables)
+    }.toMap
+    Tables.releasePersisted(); spark.catalog.clearCache()
+    out
+  }
+
+  /** The derived probe set (see object doc): global floor threshold ∪
+    * per-scaled-table top-K, restricted to `only` prefixes if given. */
+  def deriveProbeSet(readers: Map[String, Set[String]], floorMin: Double,
+                     perTable: Int, only: Option[Seq[String]]): Seq[String] = {
+    val qualifying = readers.collect {
+      case (name, ts) if ts.nonEmpty && Floors.forQuery(name).isDefined =>
+        (name, ts, Floors.forQuery(name).get)
+    }.toSeq
+    val global = qualifying.filter(_._3 >= floorMin).map(_._1)
+    val perTbl = ScaledTables.toSeq.flatMap { t =>
+      qualifying.filter(_._2.contains(t)).sortBy(-_._3).take(perTable).map(_._1)
+    }
+    (global ++ perTbl).distinct.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
   }
 
   private def timeCold(spark: SparkSession, name: String, dir: String, reps: Int): Double = {
@@ -116,6 +200,12 @@ object ScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "2").toInt
     val root = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "/tmp/graft_scale_probe")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_PROBE_SCALES", "1,3,10")
+      .split(",").map(_.trim.toInt).toSeq.sorted
+    require(scales.headOption.contains(1), s"scales must start at 1, got $scales")
+    val floorMin = sys.env.getOrElse("SPARK_GRAFT_PROBE_FLOOR", "1.2").toDouble
+    val perTable = sys.env.getOrElse("SPARK_GRAFT_PROBE_PER_TABLE", "5").toInt
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").toSeq)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -126,32 +216,52 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dirs = Scales.map(k => k -> buildDir(spark, srcDir, root, k)).toMap
-    Scales.foreach { k =>
+    val readers = scaledTableReaders(spark, "/root/testdata/sf0.001", only)
+    val probeSet = deriveProbeSet(readers, floorMin, perTable, only)
+    System.err.println(s"[probe] derived set (${probeSet.size}): ${probeSet.mkString(", ")}")
+    // list-only mode: report the derivation (per-query scaled tables +
+    // the derived set) and exit — the cheap way to audit set drift
+    if (sys.env.get("SPARK_GRAFT_PROBE_LIST").contains("1")) {
+      readers.toSeq.sortBy(_._1).foreach { case (n, ts) =>
+        println(s"$n tables=${ts.toSeq.sorted.mkString(",")} floor=${Floors.forQuery(n).getOrElse(-1.0)}")
+      }
+      spark.stop(); return
+    }
+    if (probeSet.isEmpty) {
+      System.err.println("[probe] nothing to probe (no qualifying scaled-table reader) — exiting")
+      spark.stop(); return
+    }
+
+    val dirs = scales.map(k => k -> buildDir(spark, srcDir, root, k)).toMap
+    scales.foreach { k =>
       val n = spark.read.parquet(s"${dirs(k)}/documents.parquet").count()
-      System.err.println(s"[probe] x$k: $n documents")
+      val ne = spark.read.parquet(s"${dirs(k)}/events.parquet").count()
+      System.err.println(s"[probe] x$k: $n documents, $ne events")
     }
 
     // warmup at the smallest fixture so JIT cost doesn't land on x1
-    TopQueries.foreach { q =>
+    probeSet.foreach { q =>
       try Registry.byName(q).run(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
     Tables.releasePersisted(); spark.catalog.clearCache()
 
-    val results = TopQueries.map { q =>
-      val ts = Scales.map(k => k -> timeCold(spark, q, dirs(k), reps)).toMap
-      val g3 = ts(3) / ts(1)
-      val g10 = ts(10) / ts(1)
-      val exp = math.log(g10) / math.log(10.0)
-      println(f"""{"query":"$q","t1":${ts(1)}%.3f,"t3":${ts(3)}%.3f,"t10":${ts(10)}%.3f,"g3":$g3%.2f,"g10":$g10%.2f,"exp":$exp%.2f}""")
-      (q, g3, g10, exp)
+    val maxScale = scales.max
+    val results = probeSet.map { q =>
+      val ts = scales.map(k => k -> timeCold(spark, q, dirs(k), reps)).toMap
+      val gs = scales.filter(_ > 1).map(k => k -> ts(k) / ts(1))
+      val exp = math.log(ts(maxScale) / ts(1)) / math.log(maxScale.toDouble)
+      val tsJson = scales.map(k => f""""t$k":${ts(k)}%.3f""").mkString(",")
+      val gsJson = gs.map { case (k, g) => f""""g$k":$g%.2f""" }.mkString(",")
+      println(s"""{"query":"$q",$tsJson,$gsJson,"exp":${f"$exp%.2f"},"tables":${readers(q).toSeq.sorted.mkString("[\"", "\",\"", "\"]")}}""")
+      (q, gs, exp)
     }
-    val violations = results.filter { case (_, g3, g10, _) => g3 > 4.5 || g10 > 15.0 }
-    val worst = results.maxBy(_._4)
-    println(f"""{"metric":"scale_probe","queries":${results.size},"violations":${violations.size},"worst_exp":["${worst._1}",${worst._4}%.2f]}""")
-    violations.foreach { case (q, g3, g10, e) =>
-      System.err.println(f"[probe] VIOLATION $q: g3=$g3%.2f g10=$g10%.2f exp=$e%.2f")
+    val violations = results.filter { case (_, gs, _) => gs.exists { case (k, g) => g > 1.5 * k } }
+    val worst = results.maxBy(_._3)
+    println(f"""{"metric":"scale_probe","queries":${results.size},"scales":[${scales.mkString(",")}],"violations":${violations.size},"worst_exp":["${worst._1}",${worst._3}%.2f]}""")
+    violations.foreach { case (q, gs, e) =>
+      val gsS = gs.map { case (k, g) => f"g$k=$g%.2f" }.mkString(" ")
+      System.err.println(f"[probe] VIOLATION $q: $gsS exp=$e%.2f")
     }
     spark.stop()
     if (violations.nonEmpty) sys.exit(1)
