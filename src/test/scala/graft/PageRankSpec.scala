@@ -74,6 +74,40 @@ class PageRankSpec extends SparkSpec {
     assert(ranks.keySet == Set(8L, 9L))
   }
 
+  private def prFullOf(rows: Seq[(Long, Long, java.sql.Timestamp, String)], iters: Int = 3) = {
+    val ev = rows.toDF("event_id", "user_id", "ts", "props")
+    PageRank.pageRankFullOf(ev, unix_micros(col("ts")), iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("q142 dangling graph: redistributed mass, exact ranks at iters 1 and 3") {
+    // Same 4-node graph as the q139 test: edges 1→2, 2→3, 2→4, 3→1
+    // (w1 each; out_w 1:1, 2:2, 3:1), node 4 DANGLING, n = 4. Hand-
+    // unrolled full-matrix rounds (share = D div n FIRST, then damping):
+    //  D1 = 1e6,   share 250000, term (250000·8500) div 10000 = 212500
+    //    r1 = {1:1212500, 2:1212500, 3:787500, 4:787500}
+    //  D2 = 787500, share 196875, term 167343
+    //    r2 = {1:986718, 2:1347968, 3:832655, 4:832655}
+    //  D3 = 832655, share 208163, term 176938
+    //    r3 = {1:1034694, 2:1165648, 3:899824, 4:899824}
+    val rows = walk(1, Seq(1, 2, 3, 1)) ++ walk(2, Seq(2, 4))
+    assert(prFullOf(rows, iters = 1) ==
+      Map(1L -> 1212500L, 2L -> 1212500L, 3L -> 787500L, 4L -> 787500L))
+    assert(prFullOf(rows, iters = 3) ==
+      Map(1L -> 1034694L, 2L -> 1165648L, 3L -> 899824L, 4L -> 899824L))
+    // vs q139 on the same graph: every node strictly gains (the leaked
+    // dangling mass comes back), ordering unchanged
+    val lossy = prOf(rows, iters = 3)
+    val full = prFullOf(rows, iters = 3)
+    assert(full.forall { case (k, v) => v > lossy(k) })
+  }
+
+  test("q142 degenerates to q139 exactly when no node is dangling") {
+    // two disjoint cycles: every node has an out-edge, D = 0 every round
+    val rows = walk(1, Seq(1, 2, 1)) ++ walk(2, Seq(3, 4, 5, 3))
+    assert(prFullOf(rows, iters = 3) == prOf(rows, iters = 3))
+  }
+
   test("fixture census is item-vocabulary-bounded and all-positive") {
     val rows = PageRank.q139(spark, sf0001).collect()
     assert(rows.length <= 100, "item vocabulary is 0..99")

@@ -907,6 +907,30 @@ class PlanSpec extends SparkSpec {
       s"the per-user lag sorts within hash partitions, never globally:\n$p")
   }
 
+  test("q142 full pagerank: flat last round over checkpointed rank; only 1-row census BNLJs") {
+    // NOT executedPortion: q142's build-time checkpoints finalize the
+    // NESTED cached plans, whose "== Initial Plan ==" markers would
+    // truncate the string before the dangling cache / RDD scans. The top
+    // level is un-finalized (no duplication), and the only ≤ assertion
+    // (BNLJ) counts an operator that never occurs inside cache lineage.
+    val p = plan(Registry.byName("q142_pagerank_full").run(spark, sf0001))
+    // intermediate rounds are localCheckpointed (rank has TWO consumers —
+    // contrib join + dangling census — so un-checkpointed lineage doubles
+    // per round); the executed plan is the LAST round only: persisted
+    // edges/nodes/dangling caches + the round-2 rank as an RDD scan
+    assert(countOccurrences(p, "InMemoryTableScan") >= 3,
+      s"last round must read persisted edges/nodes/dangling from cache:\n$p")
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 2,
+      s"both rank consumers must read the CHECKPOINTED round, not lineage:\n$p")
+    assert(!p.contains("CartesianProduct"), s"rounds are keyed joins:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"the per-user lag sorts within hash partitions, never globally:\n$p")
+    // the ONLY nested-loop work is the two 1-row censuses (dangling mass +
+    // node count) broadcast onto the node table
+    assert(countOccurrences(p, "BroadcastNestedLoopJoin") <= 2,
+      s"only the 1-row dMass and nCount censuses may BNLJ:\n$p")
+  }
+
   test("q140 fuzzy match: block equi-join, vocab persisted for census + both pair sides") {
     val p = executedPortion(plan(Registry.byName("q140_fuzzy_match").run(spark, sf0001)))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
