@@ -47,7 +47,8 @@ object Floors {
     "q125" -> 0.27, "q126" -> 1.46, "q127" -> 0.13, "q128" -> 0.33,
     "q129" -> 1.40, "q130" -> 1.37, "q131" -> 0.55,
     "q132" -> 0.47, "q133" -> 1.61, "q134" -> 1.18, "q135" -> 0.57, "q136" -> 0.36, "q137" -> 0.22, "q138" -> 0.49,
-    "q139" -> 1.53, "q140" -> 0.41, "q141" -> 1.28, "q142" -> 2.94)
+    "q139" -> 1.53, "q140" -> 0.41, "q141" -> 1.28, "q142" -> 2.94,
+    "q143" -> 2.17)
 
   /** Floor for a full query name ("q44_source_divergence" → the "q44"
     * prefix entry), if recorded. */

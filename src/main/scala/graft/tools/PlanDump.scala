@@ -207,6 +207,8 @@ object PlanDump {
       "q139 with the documented simplification closed: dangling mass is redistributed each round via ONE 1-row census (rank joined to the persisted vocab-bounded dangling-node list, then a global sum) broadcast back over the node table together with a second 1-row node-count census - the ops/Components 1-row-crossJoin posture, so the only BNLJs are 1-row broadcasts (PlanSpec pins <= 2). Because each round's rank now has TWO consumers, it localCheckpoints every intermediate round - un-checkpointed lineage doubled per round (first build: 144 plan scans vs q139's 22) and re-executed the duplicated subtrees; the checkpoint materializes <= |vocab| rows. Integer division order declared (share = D div n first, then damping); degenerates bit-exactly to q139 on dangling-free graphs (PageRankSpec pins both that and a hand-unrolled dangling graph).",
     "q140_fuzzy_match" ->
       "Approximate string join without the O(n^2) distance matrix: levenshtein runs on the distinct-name VOCABULARY (multiplicities return as pair_mass = n_a*n_b), candidates must share their last token (blocking - the declared recall trade, mirrored in the oracle), and a block bigger than blockCap is dropped BEFORE pair expansion with the identical HAVING on both engines. The pair join is an equi-join on the block key - no cartesian, no BNLJ (PlanSpec + FuzzyMatchSpec pin it).",
+    "q143_entity_resolution" ->
+      "Entity resolution end-to-end: q140's match graph closed into entities by min-label connected components over STRING vertices, reported as a full canonicalization census (unpaired names resolve to themselves). ONE persisted vocabulary scan feeds the blocking census, both pair-expansion sides and the final census attach; CC runs on the match-graph-sized pair list, never the row corpus; transitivity is scoped by blocking (chains cannot cross blocks - spec-pinned). n_names/row_mass partition the catalog exactly (conservation spec).",
     "q141_hybrid_rrf" ->
       "Two-tower retrieval fused by reciprocal-rank fusion in integer ppm: the tokenized corpus persists ONCE for three readers (postings, df census, doc lengths); the lexical arm is q14's df-capped inverted index with the bounded 20-query vocabulary BROADCAST onto the postings; the semantic arm broadcasts the query vectors against one corpus scan (q19 at k=10 - RrfSpec pins the k-prefix property); fusion full-outer-joins two <=k-per-query rank lists and windows over <=2k census rows. Absent-arm candidates contribute 0 (not NULL); ties break by cand_id - both pinned by hand-RRF arithmetic in RrfSpec.",
     "q129_cluster_agreement" ->

@@ -56,6 +56,49 @@ class FuzzyMatchSpec extends SparkSpec {
       "gadget block (4 > cap 3) must be excluded wholesale")
   }
 
+  test("q143 hand case: transitive chain fuses into one entity; singleton stays itself") {
+    // within block "rod": aa↔ab (dist 1) and ab↔zz (dist 2) chain — even
+    // though dist(aa,zz)=2 also pairs directly, the ENTITY is the
+    // transitive closure either way, canonical = lexicographic min.
+    // "qq tube" never pairs → its own entity. Multiplicities price the
+    // merge: row_mass sums rows, not names.
+    val rows = FuzzyMatch.entityResolutionOf(
+      named("aa rod", "aa rod", "ab rod", "zz rod", "qq tube"), "p_name")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows == Map(
+      "aa rod" -> (3L, 4L), // 3 names, 2+1+1 rows
+      "qq tube" -> (1L, 1L)), s"got $rows")
+  }
+
+  test("q143 blocking scopes transitivity: chains cannot cross blocks") {
+    // "blue rod" and "blue rim" are dist 2 but different blocks — they
+    // must land in DIFFERENT entities even though a blind transitive
+    // closure over raw edit distance would merge them
+    val rows = FuzzyMatch.entityResolutionOf(
+      named("blue rod", "bl_e rod", "blue rim"), "p_name")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("bl_e rod" -> 2L, "blue rim" -> 1L), s"got $rows")
+  }
+
+  test("q143 census conservation on the fixture: names and rows fully partitioned") {
+    val parts = graft.oracle.Tables.table(spark, sf0001, "part")
+    val ents = FuzzyMatch.q143(spark, sf0001).collect()
+    val totalNames = parts.select("p_name").distinct().count()
+    val totalRows = parts.count()
+    assert(ents.map(_.getLong(1)).sum == totalNames,
+      "every distinct name belongs to exactly one entity")
+    assert(ents.map(_.getLong(2)).sum == totalRows,
+      "row_mass partitions the part table exactly")
+    // reconciliation with q140: every paired name sits in a multi-name
+    // entity, so multi-name mass ≥ the paired-name count
+    val paired = FuzzyMatch.q140(spark, sf0001)
+      .select("name_a").union(FuzzyMatch.q140(spark, sf0001).select("name_b"))
+      .distinct().count()
+    val multiMass = ents.filter(_.getLong(1) >= 2L).map(_.getLong(1)).sum
+    assert(multiMass == paired,
+      s"multi-name entities must contain exactly the q140-paired names: $multiMass vs $paired")
+  }
+
   test("plan: block equi-join only — no cartesian, no nested loop") {
     val plan = FuzzyMatch.q140(spark, sf0001)
       .queryExecution.explainString(SimpleMode)

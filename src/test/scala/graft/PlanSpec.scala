@@ -939,6 +939,16 @@ class PlanSpec extends SparkSpec {
       s"the name vocabulary is built once and read by the cap census and both join sides:\n$p")
   }
 
+  test("q143 entity resolution: one vocab scan for blocking + census; equi-joins only") {
+    val p = plan(Registry.byName("q143_entity_resolution").run(spark, sf0001))
+    // the vocabulary persists once and is read by the blocking census,
+    // both pair sides, and the final census attach (+ CC loop caches)
+    assert(countOccurrences(p, "InMemoryTableScan") >= 4,
+      s"vocab must persist once for blocking, both pair sides and the census:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairing and census attach must stay equi-joins:\n$p")
+  }
+
   test("q141 hybrid rrf: one tokenized corpus for three readers; only the cosine theta-join BNLJs") {
     val p = executedPortion(plan(Registry.byName("q141_hybrid_rrf").run(spark, sf0001)))
     assert(countOccurrences(p, "InMemoryTableScan") >= 3,
