@@ -949,6 +949,17 @@ class PlanSpec extends SparkSpec {
       s"pairing and census attach must stay equi-joins:\n$p")
   }
 
+  test("q144 local clustering: persisted edge census feeds wedges + closure; equi-joins only") {
+    val p = plan(Registry.byName("q144_local_clustering").run(spark, sf0001))
+    // pairs (closure side), oriented (both wedge sides) and deg (output
+    // attach) all come off persisted censuses — the corpus lag runs once,
+    // upstream of q144_pairs
+    assert(countOccurrences(p, "InMemoryTableScan") >= 4,
+      s"edge census + orientation + degree table must persist and be re-read:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge and closure must stay equi-joins (degree-ordered orientation):\n$p")
+  }
+
   test("q141 hybrid rrf: one tokenized corpus for three readers; only the cosine theta-join BNLJs") {
     val p = executedPortion(plan(Registry.byName("q141_hybrid_rrf").run(spark, sf0001)))
     assert(countOccurrences(p, "InMemoryTableScan") >= 3,
