@@ -24,10 +24,12 @@ import org.apache.spark.sql.functions._
   *
   * THE PROBE SET IS DERIVED AT RUNTIME, never hardcoded (a round-10
   * finding: a hardcoded list went stale the moment new queries landed).
-  * Selection: every registered query is planned once at sf0.001 and its
-  * physical scan set is read off `df.inputFiles`; a query qualifies if it
-  * scans at least one scaled table (documents/embeddings/events). The
-  * probed set is then
+  * Selection: every registered query is BUILT once at sf0.001 with the
+  * fixture read-recorder on ([[graft.oracle.Tables.table]]'s readLog —
+  * not `df.inputFiles`, which loses file lineage to InMemoryRelation
+  * substitution the moment a subtree persists); a query qualifies if it
+  * reads at least one scaled table ([[ScaledTables]]). The probed set is
+  * then
   *   { qualifying q with floor ≥ SPARK_GRAFT_PROBE_FLOOR (default 1.2 s) }
   *   ∪ { per scaled table: top-SPARK_GRAFT_PROBE_PER_TABLE (default 5)
   *       qualifying readers by floor }
@@ -51,28 +53,38 @@ object ScaleProbe {
 
   /** Tables the probe synthesizes at >1×; all other fixture tables are
     * symlinked at 1× into every probe dir. */
-  val ScaledTables: Set[String] = Set("documents", "embeddings", "events")
+  val ScaledTables: Set[String] = Set("documents", "embeddings", "events", "part")
 
   /** Bumped whenever the synthesis recipe changes (v2: events scaling
-    * added; v3: doc copies decade-grouped) — a dir whose sentinel carries
-    * an older version was built by a different recipe and would silently
-    * corrupt growth ratios if reused. */
-  private val BuildVersion = 3
+    * added; v3/v4: doc copies decade-grouped; v5: part scaling added) — a
+    * dir whose sentinel carries an older version was built by a different
+    * recipe and would silently corrupt growth ratios if reused. */
+  private val BuildVersion = 5
 
   /** documents self-union: copy i shifts doc_id and appends ` probe<i>`
     * so copies are near- but not exact-duplicates. Copies are grouped in
     * DECADES (d = i div 10): decade 0 keeps the base text, decade d > 0
-    * additionally inserts a decade token after every 3rd word, which drops
-    * cross-decade 3-shingle Jaccard to ~0.14 — below the 0.2 pair
-    * threshold — while leaving within-decade similarity untouched. So
-    * near-dup CLUSTER SIZE saturates at 10 and scales beyond 10× grow
-    * cluster COUNT, the realistic corpus-growth axis. (The v2 recipe let
-    * cluster size track k, so a 30× run measured duplication-RATE stress:
-    * pair mass grows combinatorially as C(k,2) — q117 at v2 30× read
-    * g30 = 100, which matches C(30,2)/C(10,2) = 9.7× pairs per 3× data
-    * exactly; an inherent property of pair expansion, not a plan defect —
-    * see BASELINE.md round-11 notes. For k ≤ 10 the two recipes emit
-    * byte-identical corpora.) */
+    * additionally inserts a decade token after EVERY SECOND word — with
+    * 3-word shingles every window then contains a decade token, so the
+    * cross-decade shingle intersection is exactly ZERO: decades share no
+    * postings at all, posting-list length (and with it pair-expansion
+    * mass) is capped by the within-decade 10, and scales beyond 10× grow
+    * cluster COUNT — the realistic corpus-growth axis. Within a decade the
+    * insertions are identical, so copies stay near-dups.
+    *
+    * Recipe history (BASELINE.md round-11 notes tell the full story):
+    * v2 let cluster size track k — a 30× run measured duplication-RATE
+    * stress, pair mass C(k,2): q117 read g30 = 100 ≈ the
+    * C(30,2)/C(10,2) = 9.7× pair growth per 3× data, an inherent
+    * property of pair expansion, not a plan defect. v3 inserted after
+    * every THIRD word — but the word-ALIGNED third of 3-shingles carries
+    * no inserted token and stayed shared across ALL copies, so posting
+    * lists still grew with k and q117 got WORSE (g30 = 160: same
+    * C(k,2) leakage through aligned shingles + 33% more shingle
+    * instances). The every-2nd-word form is the unique minimal insertion
+    * period at which NO 3-window escapes. For k ≤ 10 all recipes emit
+    * byte-identical corpora, so recorded 1×/3×/10× sweeps stay
+    * comparable. */
   private def scaleDocs(base: DataFrame, k: Int): DataFrame =
     (0 until k).map { i =>
       val d = i / 10
@@ -80,7 +92,7 @@ object ScaleProbe {
         if (d == 0) col("text")
         else expr(
           s"""array_join(flatten(transform(split(text, ' '), (w, j) ->
-             |  CASE WHEN j % 3 = 2 THEN array(w, 'grp$d') ELSE array(w) END)), ' ')""".stripMargin)
+             |  CASE WHEN j % 2 = 1 THEN array(w, 'grp$d') ELSE array(w) END)), ' ')""".stripMargin)
       val newText =
         if (i == 0) col("text") else concat(decadeText, lit(s" probe$i"))
       base.select(
@@ -121,7 +133,33 @@ object ScaleProbe {
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
 
-  /** Build the probe dir for one scale: scaled documents/embeddings/events
+  /** part self-union (v5, for the q140/q143 name-vocabulary family):
+    * copy i shifts p_partkey by i·10⁹ and appends `i` to p_name WITHOUT a
+    * space — the digit glues onto the LAST token ("… rod" → "… rod3"), so
+    * each copy opens its own parallel last-token-block universe: the name
+    * vocabulary and the block COUNT grow k× while per-block membership
+    * stays at its 1× size (fixture: 64 names in 8 blocks). That is the
+    * catalog-growth axis entity resolution actually faces — more products,
+    * not denser name collisions — and it keeps pair-expansion mass linear
+    * in k by construction (a space-separated suffix would instead pool
+    * every copy-i name into ONE giant `probe-i` block and trip blockCap).
+    *
+    * Caveat, documented on purpose: scaled p_partkeys have NO matching
+    * lineitem/partsupp rows (those tables stay symlinked at 1×), so for
+    * part-JOIN queries the probe measures scan + build-side growth (a
+    * k×-bigger broadcast is a real stress — AQE may flip the strategy),
+    * not match-output growth. The probe set's per-table top-K is floor-
+    * ranked, which lands on q143/q140 — the queries whose whole cost IS
+    * the part name vocabulary. */
+  private def scalePart(base: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      base.select(
+        (col("p_partkey") + lit(i.toLong * 1000000000L)).as("p_partkey"),
+        (if (i == 0) col("p_name") else concat(col("p_name"), lit(i.toString))).as("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+    }.reduce(_ unionByName _)
+
+  /** Build the probe dir for one scale: every [[ScaledTables]] member
     * written as parquet, every other fixture table symlinked at 1×.
     * A `_COMPLETE` sentinel (recording source dir + recipe version) is
     * written LAST: a dir without it is a partial build (crash mid-write),
@@ -156,6 +194,8 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     scaleEvents(Tables.table(spark, srcDir, "events"), k)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    scalePart(Tables.table(spark, srcDir, "part"), k)
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
     java.nio.file.Files.write(sentinel, expected.getBytes("UTF-8"))
     dir
   }
