@@ -66,20 +66,21 @@ object Triangles {
       .select(col("a"), col("b"))
   }
 
-  /** (item, degree, n_triangles, lcc_bp) over any canonical (a < b)
-    * undirected edge list; lcc_bp is NULL for degree-1 nodes (no possible
-    * wedge — the engines disagree on integer x/0, so the guard is a CASE
-    * on both sides, the q129 rule). */
-  def localClusteringOf(pairs0: DataFrame): DataFrame = {
-    val pairs = Tables.swapPersist("q144_pairs", pairs0.select(col("a"), col("b")))
-    val deg = Tables.swapPersist("q144_deg",
+  /** Shared triangle machinery: persist the canonical edge list, the
+    * degree table and the (degree, id)-oriented edge list under `key`-
+    * prefixed swap slots, and enumerate every triangle once as (x, y, z).
+    * Returns (pairs, deg, triangles); x/y/z carry no order guarantee
+    * beyond "each triangle appears exactly once". */
+  private def triangleFrames(pairs0: DataFrame, key: String): (DataFrame, DataFrame, DataFrame) = {
+    val pairs = Tables.swapPersist(s"${key}_pairs", pairs0.select(col("a"), col("b")))
+    val deg = Tables.swapPersist(s"${key}_deg",
       pairs.select(col("a").as("v")).unionAll(pairs.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d")))
     val ed = pairs
       .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
     val ord = struct(col("da"), col("a")) < struct(col("db"), col("b"))
-    val e = Tables.swapPersist("q144_oriented", ed.select(
+    val e = Tables.swapPersist(s"${key}_oriented", ed.select(
       when(ord, col("a")).otherwise(col("b")).as("src"),
       when(ord, col("b")).otherwise(col("a")).as("dst"),
       when(ord, col("db")).otherwise(col("da")).as("dd")))
@@ -90,6 +91,15 @@ object Triangles {
       .join(pairs, least(col("y"), col("z")) === col("a") &&
         greatest(col("y"), col("z")) === col("b"))
       .select(col("x"), col("y"), col("z"))
+    (pairs, deg, tri)
+  }
+
+  /** (item, degree, n_triangles, lcc_bp) over any canonical (a < b)
+    * undirected edge list; lcc_bp is NULL for degree-1 nodes (no possible
+    * wedge — the engines disagree on integer x/0, so the guard is a CASE
+    * on both sides, the q129 rule). */
+  def localClusteringOf(pairs0: DataFrame): DataFrame = {
+    val (_, deg, tri) = triangleFrames(pairs0, "q144")
     val triPerNode = tri
       .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("t"))
@@ -100,16 +110,133 @@ object Triangles {
           .as("lcc_bp"))
   }
 
+  /** Edge-embeddedness census (q145): for every edge, how many triangles
+    * run THROUGH it (= common neighbors of its endpoints), reported as a
+    * histogram — the edge-grain reading of the same triadic structure
+    * q144 reads node-grain. Embeddedness 0 is Granovetter's weak tie /
+    * bridge (the co-occurrence edge no third item corroborates — the
+    * first candidate to distrust in a noisy co-transition graph); high
+    * embeddedness marks intra-community edges. The histogram answers
+    * "how much of this graph is corroborated structure vs. bridges"
+    * in |distinct embeddedness| rows.
+    *
+    * Scale shape: triangles explode to exactly 3 edge increments each
+    * (canonical least/greatest id keys), aggregated edge-grain, then
+    * LEFT-joined back onto the persisted edge census so 0-embeddedness
+    * edges survive; the histogram is a ≤|distinct emb|-row aggregation
+    * and the share denominator is an empty-window sum over the histogram
+    * itself (≤|distinct emb| rows — no second edge-frame read, no BNLJ). */
+  /** (a, b, emb): every edge of the canonical edge list with its triangle
+    * support (0 included) — the per-edge frame [[edgeEmbeddednessOf]]
+    * histograms, exposed so the stream gate's two-hop wedge index can be
+    * reconciled against this independent compact-forward computation. */
+  def perEdgeEmbeddedness(pairs0: DataFrame, key: String = "q145"): DataFrame = {
+    val (pairs, _, tri) = triangleFrames(pairs0, key)
+    val perEdge = tri.select(explode(array(
+        struct(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b")),
+        struct(least(col("x"), col("z")).as("a"), greatest(col("x"), col("z")).as("b")),
+        struct(least(col("y"), col("z")).as("a"), greatest(col("y"), col("z")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("emb"))
+    pairs.join(perEdge, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("emb"), lit(0L)).as("emb"))
+  }
+
+  def edgeEmbeddednessOf(pairs0: DataFrame): DataFrame =
+    perEdgeEmbeddedness(pairs0)
+      .groupBy(col("emb")).agg(count(lit(1)).as("n_edges"))
+      // the share denominator is Σ n_edges over the histogram ITSELF — an
+      // empty-window sum over ≤|distinct emb| census rows, so no second
+      // read of the edge frame and no 1-row-census BNLJ at all
+      .withColumn("m", sum(col("n_edges")).over(Window.partitionBy()))
+      .select(col("emb").as("embeddedness"), col("n_edges"),
+        expr("n_edges * 10000 div m").as("share_bp"))
+
+  /** Two-hop wedge index over a canonical (a < b) edge list: (a, b,
+    * closures) for every DISTANCE-≤2 item pair with at least one common
+    * neighbor — the link-prediction-by-common-neighbors lookup table.
+    * Built from the full bidirectional adjacency (a census of ALL wedges
+    * is inherently Σ deg² work — the standard two-hop index cost; cap
+    * degrees upstream if the vocabulary ever makes that unaffordable).
+    * Keys align with the edge list's id-canonical (least, greatest). */
+  def wedgeIndexOf(pairs: DataFrame): DataFrame = {
+    val adj = pairs.select(col("a").as("c"), col("b").as("n"))
+      .unionAll(pairs.select(col("b").as("c"), col("a").as("n")))
+    adj.as("w1").join(adj.as("w2"),
+        col("w1.c") === col("w2.c") && col("w1.n") < col("w2.n"))
+      .groupBy(col("w1.n").as("a"), col("w2.n").as("b"))
+      .agg(count(lit(1)).as("closures"))
+  }
+
+  /** Stream-static triadic-closure gate — the graph family's ingestion
+    * face (the `*GateStreamStatic` pattern, q144/q145's streaming
+    * counterpart): freeze the support-filtered co-transition graph, its
+    * [[wedgeIndexOf two-hop wedge index]] and each user's last item; an
+    * arriving event forms the candidate edge (frozen last item → new
+    * item) and is scored by stream-static equi-joins — closures = how
+    * many triangles the candidate edge closes in the frozen graph (common-
+    * neighbor link prediction, the classic baseline), known_edge =
+    * whether the frozen graph already contains it. Alert on closures ≥
+    * `minClosures`: a triad-closing transition is the highest-structure
+    * signal an arrival can carry.
+    *
+    * 100 TB shape: every frozen frame is vocab-bounded (edge list, wedge
+    * index) or user-grain (last item), and each joins the stream on an
+    * equi-key — nothing collects to the driver and no literal carries
+    * corpus data (the RrfGate literal trick does NOT scale to user-grain
+    * state; the stream-static join is the right shape here). Stateless:
+    * no watermark, no state store (spec asserts stateOperators empty).
+    * Reconciliation: restricted to frozen-graph edges, the wedge index
+    * must equal [[perEdgeEmbeddedness]] — two independent computations
+    * (bidirectional Σ deg² census vs. oriented compact-forward) of the
+    * same triangle support, spec-pinned. */
+  def triadGateStreamStatic(streamEvents: DataFrame, staticEvents: DataFrame,
+                            staticTUs: Column, minW: Long = DefaultMinW,
+                            minClosures: Long = 1L): DataFrame = {
+    val pairs = Tables.swapPersist("triad_gate_pairs",
+      itemGraphOf(staticEvents, staticTUs, minW))
+    val wedges = Tables.swapPersist("triad_gate_wedges", wedgeIndexOf(pairs))
+    val lastItem = Tables.swapPersist("triad_gate_last",
+      staticEvents
+        .select(col("user_id"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"),
+          staticTUs.as("t"))
+        .filter(col("item").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(expr("max_by(item, struct(t, event_id))").as("last_item")))
+    streamEvents
+      .select(col("user_id"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+      .join(lastItem.select(col("user_id"), col("last_item")), Seq("user_id"))
+      .filter(col("last_item") =!= col("item"))
+      .select(col("user_id"), col("event_id"),
+        least(col("last_item"), col("item")).as("a"),
+        greatest(col("last_item"), col("item")).as("b"))
+      .join(wedges, Seq("a", "b"), "left")
+      .join(pairs.withColumn("known_edge", lit(true)), Seq("a", "b"), "left")
+      .select(col("user_id"), col("event_id"), col("a"), col("b"),
+        coalesce(col("closures"), lit(0L)).as("closures"),
+        coalesce(col("known_edge"), lit(false)).as("known_edge"))
+      .filter(col("closures") >= minClosures)
+  }
+
   // ---------------------------------------------------------------- q144
   def q144(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")
     localClusteringOf(itemGraphOf(ev, Tables.tsMicros(ev)))
   }
 
-  /** Mirror of [[q144]]: q139's e0/lag CTEs, least/greatest edge pooling,
-    * the identical (degree, id) row-value orientation, wedge + closure
-    * joins, and the CASE-guarded integer lcc. */
-  private def q144Sql(minW: Long = DefaultMinW): String =
+  // ---------------------------------------------------------------- q145
+  def q145(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.table(spark, sfDir, "events")
+    edgeEmbeddednessOf(itemGraphOf(ev, Tables.tsMicros(ev)))
+  }
+
+  /** Shared oracle CTE stack through triangle enumeration: q139's e0/lag
+    * CTEs, least/greatest edge pooling, the identical (degree, id)
+    * row-value orientation, and the wedge + closure joins. */
+  private def graphCtes(minW: Long): String =
     s"""WITH e0 AS (
        |  SELECT user_id, event_id,
        |         TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
@@ -131,7 +258,12 @@ object Triangles {
        |tr AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
        |       FROM o e1 JOIN o e2
        |         ON e1.src = e2.src AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
-       |       JOIN p ON p.a = least(e1.dst, e2.dst) AND p.b = greatest(e1.dst, e2.dst)),
+       |       JOIN p ON p.a = least(e1.dst, e2.dst) AND p.b = greatest(e1.dst, e2.dst))""".stripMargin
+
+  /** Mirror of [[q144]]: [[graphCtes]] + per-node triangle incidence and
+    * the CASE-guarded integer lcc. */
+  private def q144Sql(minW: Long = DefaultMinW): String =
+    s"""${graphCtes(minW)},
        |tpn AS (SELECT v, CAST(count(*) AS BIGINT) AS nt FROM (
        |          SELECT x AS v FROM tr
        |          UNION ALL SELECT y FROM tr
@@ -143,6 +275,23 @@ object Triangles {
        |       END AS lcc_bp
        |FROM deg LEFT JOIN tpn ON tpn.v = deg.v""".stripMargin
 
+  /** Mirror of [[q145]]: [[graphCtes]] + per-edge triangle incidence
+    * (3 canonical edges per triangle), zero-embeddedness edges kept via
+    * LEFT JOIN, histogram over the edge census. */
+  private def q145Sql(minW: Long = DefaultMinW): String =
+    s"""${graphCtes(minW)},
+       |et AS (SELECT least(x, y) AS a, greatest(x, y) AS b FROM tr
+       |       UNION ALL SELECT least(x, z), greatest(x, z) FROM tr
+       |       UNION ALL SELECT least(y, z), greatest(y, z) FROM tr),
+       |ec AS (SELECT a, b, CAST(count(*) AS BIGINT) AS emb FROM et GROUP BY a, b),
+       |pe AS (SELECT COALESCE(ec.emb, 0) AS emb
+       |       FROM p LEFT JOIN ec ON ec.a = p.a AND ec.b = p.b)
+       |SELECT CAST(emb AS BIGINT) AS embeddedness,
+       |       CAST(count(*) AS BIGINT) AS n_edges,
+       |       CAST(count(*) * 10000 // SUM(count(*)) OVER () AS BIGINT) AS share_bp
+       |FROM pe GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q144_local_clustering", q144, Some(q144Sql())))
+    QueryDef("q144_local_clustering", q144, Some(q144Sql())),
+    QueryDef("q145_edge_embeddedness", q145, Some(q145Sql())))
 }

@@ -211,6 +211,8 @@ object PlanDump {
       "Entity resolution end-to-end: q140's match graph closed into entities by min-label connected components over STRING vertices, reported as a full canonicalization census (unpaired names resolve to themselves). ONE persisted vocabulary scan feeds the blocking census, both pair-expansion sides and the final census attach; CC runs on the match-graph-sized pair list, never the row corpus; transitivity is scoped by blocking (chains cannot cross blocks - spec-pinned). n_names/row_mass partition the catalog exactly (conservation spec).",
     "q144_local_clustering" ->
       "Per-item local clustering coefficient over q139's co-transition graph: the corpus-sized per-user lag runs ONCE upstream of the persisted vocab^2-bounded undirected edge census (both transition directions pool via least/greatest BEFORE the census; support >= 3 filters noise edges). Triangle enumeration is degree-ordered compact-forward: each edge oriented low->high by (degree, id), the wedge self-join on src carries the sqrt(m) arboricity out-degree bound (a hub's spokes all point IN, so hub skew cannot go quadratic - the wheel-graph spec pins it), closure is an equi-join against the canonical a<b edge list. Output is node-grain (item-vocabulary-bounded); lcc is integer bp with the CASE guard for degree-1 nodes (engines diverge on x/0).",
+    "q145_edge_embeddedness" ->
+      "Edge-grain reading of q144's triadic structure: per-edge triangle support (common neighbors of the endpoints), reported as a histogram. Shares q144's whole stack - persisted canonical edge census, degree table, (degree,id) orientation, wedge+closure equi-joins - then each triangle explodes to exactly 3 canonical edge increments, aggregated edge-grain and LEFT-joined back onto the edge census so 0-embeddedness bridges (Granovetter weak ties, the first co-occurrence edges to distrust) survive into the histogram. Output is <=|distinct embeddedness| rows; the share denominator is an empty-window sum over the histogram ITSELF (a single-partition window over census-grain rows), so no second edge-frame read and no BNLJ at all (PlanSpec pins 0).",
     "q141_hybrid_rrf" ->
       "Two-tower retrieval fused by reciprocal-rank fusion in integer ppm: the tokenized corpus persists ONCE for three readers (postings, df census, doc lengths); the lexical arm is q14's df-capped inverted index with the bounded 20-query vocabulary BROADCAST onto the postings; the semantic arm broadcasts the query vectors against one corpus scan (q19 at k=10 - RrfSpec pins the k-prefix property); fusion full-outer-joins two <=k-per-query rank lists and windows over <=2k census rows. Absent-arm candidates contribute 0 (not NULL); ties break by cand_id - both pinned by hand-RRF arithmetic in RrfSpec.",
     "q129_cluster_agreement" ->

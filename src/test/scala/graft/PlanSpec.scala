@@ -960,6 +960,14 @@ class PlanSpec extends SparkSpec {
       s"wedge and closure must stay equi-joins (degree-ordered orientation):\n$p")
   }
 
+  test("q145 edge embeddedness: shared census; no BNLJ — the share denominator is a window over the histogram") {
+    val p = plan(Registry.byName("q145_edge_embeddedness").run(spark, sf0001))
+    assert(countOccurrences(p, "InMemoryTableScan") >= 4,
+      s"edge census + orientation + degree table must persist and be re-read:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairing, closure and the share denominator must stay join-free of BNLJ:\n$p")
+  }
+
   test("q141 hybrid rrf: one tokenized corpus for three readers; only the cosine theta-join BNLJs") {
     val p = executedPortion(plan(Registry.byName("q141_hybrid_rrf").run(spark, sf0001)))
     assert(countOccurrences(p, "InMemoryTableScan") >= 3,

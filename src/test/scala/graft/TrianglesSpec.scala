@@ -54,6 +54,40 @@ class TrianglesSpec extends SparkSpec {
     }
   }
 
+  private def embHist(pairs: (Long, Long)*): Set[(Long, Long, Long)] =
+    Triangles.edgeEmbeddednessOf(pairs.toSeq.toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("q145 hand histogram: triangle edges embed once, bridges at zero") {
+    // {1,2,3} closed + pendant 1-4 + isolated 5-6: the three triangle
+    // edges carry embeddedness 1; the two bridges 0. Shares over 5 edges.
+    val h = embHist((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (5L, 6L))
+    assert(h == Set((1L, 3L, 6000L), (0L, 2L, 4000L)), s"got $h")
+  }
+
+  test("q145 K4 collapses to one row: every edge sits in exactly 2 triangles") {
+    val h = embHist((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(h == Set((2L, 6L, 10000L)), s"got $h")
+  }
+
+  test("q145 wheel: spokes embed twice, rim once; mass reconciles to 3 triangles each") {
+    val h = embHist((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L),
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L))
+    assert(h == Set((2L, 5L, 5000L), (1L, 5L, 5000L)), s"got $h")
+  }
+
+  test("q144/q145 reconciliation on the fixture: node mass == edge mass == 3·triangles") {
+    // every triangle contributes 3 node incidences AND 3 edge incidences,
+    // so the two censuses must agree on total triangle mass
+    val nodeMass = graft.oracle.Registry.byName("q144_local_clustering")
+      .run(spark, sf0001).agg(sum(col("n_triangles"))).collect()(0).getLong(0)
+    val edgeMass = graft.oracle.Registry.byName("q145_edge_embeddedness")
+      .run(spark, sf0001)
+      .agg(sum(col("embeddedness") * col("n_edges"))).collect()(0).getLong(0)
+    assert(nodeMass == edgeMass, s"node-grain $nodeMass vs edge-grain $edgeMass")
+    assert(nodeMass % 3 == 0, s"triangle mass must be a multiple of 3: $nodeMass")
+  }
+
   /** Events walking items in ts order (the PageRankSpec builder). */
   private def walk(user: Long, items: Seq[Long]) =
     items.zipWithIndex.map { case (it, i) =>
