@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Support-backbone extraction over the weighted item co-transition graph
+  * — the shared substrate for the round-11 graph-topology family
+  * (q146 k-core, q147 link prediction, q148 harmonic centrality, q149
+  * label-propagation communities).
+  *
+  * Why a backbone: the raw support-filtered graph densifies with data
+  * volume — at sf0.1 the fixture item graph is already COMPLETE (every
+  * pair co-transitions ≥ 3 times), and at 100 TB any absolute support
+  * floor saturates the same way, collapsing every topological question
+  * (cores, communities, distances) to a trivial answer on K_n. The
+  * standard fix for co-occurrence graphs is a RELATIVE strength filter:
+  * keep the top decile of edges by support. That backbone stays
+  * structure-bearing at any scale because its size tracks the edge
+  * census, not the corpus.
+  *
+  * Exact semantics (both engines, bit-identical): rank edges by
+  * (w DESC, a, b); τ = min support among the first ⌈m·topBp/10⁴⌉ edges
+  * (= the ⌈m/10⌉-th largest support counting duplicates — tie-order
+  * inside the prefix cannot change a min over equal values); keep every
+  * edge with w ≥ τ, so boundary ties all survive (deterministic, no
+  * arbitrary cut inside a tie class).
+  *
+  * Scale shape: both windows run over the vocab²-bounded edge CENSUS,
+  * never the corpus — the global row_number is a single-partition sort
+  * of ≤|vocab|² rows (the same bounded-census posture as q145's
+  * empty-window share denominator); τ broadcasts back as a 1-row census.
+  * Callers persist the weighted census once (it feeds the ranking window
+  * AND the final filter). */
+object Backbone {
+
+  /** Top-`topBp`/10000 of edges by support weight from a weighted
+    * canonical edge census (a, b, w); ties at the threshold all kept. */
+  def backboneOf(pw: DataFrame, topBp: Long = 1000L): DataFrame = {
+    require(topBp >= 1L && topBp <= 10000L, s"topBp out of [1,10000]: $topBp")
+    val ranked = pw
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("w").desc, col("a"), col("b"))))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+    val tau = ranked
+      .filter(expr(s"rn <= (m * ${topBp}L + 9999L) div 10000L"))
+      .agg(min(col("w")).as("tau"))
+    pw.crossJoin(broadcast(tau))
+      .filter(col("w") >= col("tau"))
+      .select(col("a"), col("b"))
+  }
+
+  /** DuckDB mirror of [[graft.ops.Triangles.weightedItemGraphOf]] +
+    * [[backboneOf]]: CTE stack ending in `strong(a, b)`. Shared by the
+    * q146–q149 oracles. */
+  private[ops] def backboneCtes(minW: Long = Triangles.DefaultMinW,
+                                topBp: Long = 1000L): String =
+    s"""WITH e0 AS (
+       |  SELECT user_id, event_id,
+       |         TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
+       |         epoch_us(ts) AS t
+       |  FROM events),
+       |e AS (SELECT * FROM e0 WHERE item IS NOT NULL),
+       |l AS (SELECT item,
+       |             lag(item) OVER (PARTITION BY user_id ORDER BY t, event_id) AS src
+       |      FROM e),
+       |pw AS (SELECT least(src, item) AS a, greatest(src, item) AS b,
+       |              CAST(count(*) AS BIGINT) AS w
+       |       FROM l WHERE src IS NOT NULL AND src <> item
+       |       GROUP BY 1, 2 HAVING count(*) >= $minW),
+       |wr AS (SELECT w, row_number() OVER (ORDER BY w DESC, a, b) AS rn,
+       |              count(*) OVER () AS m
+       |       FROM pw),
+       |tau AS (SELECT min(w) AS t FROM wr WHERE rn <= (m * $topBp + 9999) // 10000),
+       |strong AS (SELECT a, b FROM pw, tau WHERE w >= tau.t)""".stripMargin
+}

@@ -48,9 +48,12 @@ object Triangles {
   /** Absolute co-transition support an edge needs to enter the graph. */
   val DefaultMinW = 3L
 
-  /** Undirected support-filtered item graph: (a, b) with a < b, from
-    * consecutive-event transitions pooled over both directions. */
-  def itemGraphOf(events: DataFrame, tUs: Column, minW: Long = DefaultMinW): DataFrame = {
+  /** Undirected support-filtered item graph WITH pooled support weights:
+    * (a, b, w) with a < b, from consecutive-event transitions pooled over
+    * both directions — the weighted census [[graft.ops.Backbone]] ranks
+    * and [[itemGraphOf]] projects down to the unweighted edge list. */
+  def weightedItemGraphOf(events: DataFrame, tUs: Column,
+                          minW: Long = DefaultMinW): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
     events
       .select(col("user_id"), col("event_id"),
@@ -63,8 +66,12 @@ object Triangles {
         greatest(col("src"), col("item")).as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
       .filter(col("w") >= minW)
-      .select(col("a"), col("b"))
   }
+
+  /** Undirected support-filtered item graph: (a, b) with a < b, from
+    * consecutive-event transitions pooled over both directions. */
+  def itemGraphOf(events: DataFrame, tUs: Column, minW: Long = DefaultMinW): DataFrame =
+    weightedItemGraphOf(events, tUs, minW).select(col("a"), col("b"))
 
   /** Shared triangle machinery: persist the canonical edge list, the
     * degree table and the (degree, id)-oriented edge list under `key`-

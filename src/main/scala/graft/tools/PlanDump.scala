@@ -213,6 +213,14 @@ object PlanDump {
       "Per-item local clustering coefficient over q139's co-transition graph: the corpus-sized per-user lag runs ONCE upstream of the persisted vocab^2-bounded undirected edge census (both transition directions pool via least/greatest BEFORE the census; support >= 3 filters noise edges). Triangle enumeration is degree-ordered compact-forward: each edge oriented low->high by (degree, id), the wedge self-join on src carries the sqrt(m) arboricity out-degree bound (a hub's spokes all point IN, so hub skew cannot go quadratic - the wheel-graph spec pins it), closure is an equi-join against the canonical a<b edge list. Output is node-grain (item-vocabulary-bounded); lcc is integer bp with the CASE guard for degree-1 nodes (engines diverge on x/0).",
     "q145_edge_embeddedness" ->
       "Edge-grain reading of q144's triadic structure: per-edge triangle support (common neighbors of the endpoints), reported as a histogram. Shares q144's whole stack - persisted canonical edge census, degree table, (degree,id) orientation, wedge+closure equi-joins - then each triangle explodes to exactly 3 canonical edge increments, aggregated edge-grain and LEFT-joined back onto the edge census so 0-embeddedness bridges (Granovetter weak ties, the first co-occurrence edges to distrust) survive into the histogram. Output is <=|distinct embeddedness| rows; the share denominator is an empty-window sum over the histogram ITSELF (a single-partition window over census-grain rows), so no second edge-frame read and no BNLJ at all (PlanSpec pins 0).",
+    "q146_kcore_backbone" ->
+      "k-core decomposition of the top-decile support backbone: the corpus-sized lag/pool work runs ONCE inside the persisted weighted census; the backbone threshold tau is a 1-row census off a single-partition window over <=|vocab|^2 edges (boundary ties all kept - deterministic, both engines); each peel round is one degree aggregation + one two-sided semi-join on the surviving edge set, localCheckpointed EVERY round because the edge frame has two consumers (the q142 doubled-pass rule) - un-checkpointed the lazy plan doubles per round. Unconverged-past-cap THROWS (a partial peel is not a k-core); the oracle unrolls exactly maxIter MATERIALIZED rounds, idempotent past the fixpoint, so convergence makes the texts identical.",
+    "q147_link_prediction" ->
+      "Common-neighbor link prediction over the backbone: candidates = the bidirectional wedge index (sigma deg^2, census-bounded degrees) ANTI-joined against the edge list, thresholded, degree-annotated; score is the overlap coefficient in integer bp (closures <= min(deg) by construction, so exact). Reconciliation contract (spec-pinned): the wedge index restricted to EDGES is exactly q145's embeddedness census, so {q145 rows} and {q147 pre-threshold candidates} partition the two-hop census. The persisted backbone feeds wedges, anti-join and degrees - nothing corpus-sized moves past the upstream weighted census.",
+    "q148_harmonic_centrality" ->
+      "Bounded-hop (3-ball) harmonic centrality - reach ranking in exact integers (x6 so 1/1, 1/2, 1/3 are integral): the classic distributed BFS frontier, each hop = the persisted bidirectional adjacency equi-joined onto the previous DISTINCT frontier, anti-joined against the closer hops so every node counts at its true shortest distance once. Frontiers are vocab^2-bounded pairs; no global sort anywhere; the hop bound is the declared scale move vs all-pairs shortest paths (quadratic state, unbounded rounds).",
+    "q149_lpa_communities" ->
+      "Synchronous label propagation, exactly `rounds` sweeps (convergence is NOT well-defined for sync LPA - oscillation - so fixed rounds with the (count DESC, label ASC) argmax is the deterministic contract both engines share): each sweep = one adjacency><labels equi-join, one (node,label) count, one per-node top-1 window (partitioned by node - no global sort) over the vocab-bounded label table. Containment contract (spec-pinned): labels travel only along edges, so every community sits inside one connected component - LPA refines q38's CC, never crosses it. Final label frame localCheckpoints once for its two census readers.",
     "q141_hybrid_rrf" ->
       "Two-tower retrieval fused by reciprocal-rank fusion in integer ppm: the tokenized corpus persists ONCE for three readers (postings, df census, doc lengths); the lexical arm is q14's df-capped inverted index with the bounded 20-query vocabulary BROADCAST onto the postings; the semantic arm broadcasts the query vectors against one corpus scan (q19 at k=10 - RrfSpec pins the k-prefix property); fusion full-outer-joins two <=k-per-query rank lists and windows over <=2k census rows. Absent-arm candidates contribute 0 (not NULL); ties break by cand_id - both pinned by hand-RRF arithmetic in RrfSpec.",
     "q129_cluster_agreement" ->

@@ -968,6 +968,62 @@ class PlanSpec extends SparkSpec {
       s"pairing, closure and the share denominator must stay join-free of BNLJ:\n$p")
   }
 
+  test("q146 k-core: checkpointed peel — final plan is census-only, the corpus never re-moves") {
+    val p = plan(Registry.byName("q146_kcore_backbone").run(spark, sf0001))
+    // the loop localCheckpoints every round (doubled-pass rule), so the
+    // final degree census reads the last round's edges as an RDD twice
+    // (both union arms) and NOTHING upstream — no parquet, no backbone
+    // window, no tau census survives into the executed lineage
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 2,
+      s"both degree-union arms must read the checkpointed final edge set:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"the corpus pass is upstream of the checkpoint, never in the final plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"peel rounds are keyed joins:\n$p")
+  }
+
+  test("q147 link prediction: wedges/anti/degrees off the persisted backbone; the only BNLJ shape is the 1-row tau census") {
+    val p = plan(Registry.byName("q147_link_prediction").run(spark, sf0001))
+    // strong persists once and feeds both wedge sides + the anti-join;
+    // deg persists for both endpoint attaches
+    assert(countOccurrences(p, "InMemoryTableScan") >= 4,
+      s"backbone + degree censuses must persist and be re-read:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"wedge, anti and degree attach must stay equi-joins:\n$p")
+    // the backbone's 1-row tau census is the sole BNLJ producer; it
+    // appears replicated through DISPLAYED cache lineage (the manifest
+    // line counts those copies) but executes once inside the cache build —
+    // pin the executed top level, above the first nested cached plan
+    val firstCache = p.indexOf("InMemoryTableScan")
+    val top = if (firstCache >= 0) p.substring(0, firstCache) else p
+    assert(!top.contains("BroadcastNestedLoopJoin"),
+      s"no BNLJ above the persisted censuses (tau lives inside the cache build):\n$p")
+  }
+
+  test("q148 harmonic: BFS frontiers are equi-joins on the persisted adjacency; distances anti-joined exact") {
+    val p = plan(Registry.byName("q148_harmonic_centrality").run(spark, sf0001))
+    // adj persists once (hop-2 both sides, hop-3, n1 census); d2 persists
+    // for hop-3 expansion + its own census + the d3 anti-join
+    assert(countOccurrences(p, "InMemoryTableScan") >= 5,
+      s"adjacency and the d2 frontier must persist for their multiple readers:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"hops must stay keyed joins:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no global sort anywhere in the frontier machinery:\n$p")
+  }
+
+  test("q149 lpa: checkpointed final labels — the census reads the RDD twice; sweeps partition by node") {
+    val p = plan(Registry.byName("q149_lpa_communities").run(spark, sf0001))
+    // the final label frame localCheckpoints for its two census readers
+    // (size agg + attach join); the sweeps are upstream of the checkpoint
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 2,
+      s"both census readers must read the checkpointed labels, not lineage:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"corpus + sweeps are upstream of the checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct"), s"sweeps are keyed joins:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"the top-1 window partitions by node — no global sort:\n$p")
+  }
+
   test("q141 hybrid rrf: one tokenized corpus for three readers; only the cosine theta-join BNLJs") {
     val p = executedPortion(plan(Registry.byName("q141_hybrid_rrf").run(spark, sf0001)))
     assert(countOccurrences(p, "InMemoryTableScan") >= 3,

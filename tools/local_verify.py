@@ -31,6 +31,15 @@ for t in TABLES:
 
 oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
 
+# Mirror Verify's SPARK_GRAFT_ONLY prefix filter: without this, an ONLY run
+# compares every OTHER query against whatever-SF dumps happen to be lying in
+# OUT — widespread bogus "value mismatch with matching row counts" noise.
+import os
+only = os.environ.get("SPARK_GRAFT_ONLY")
+if only:
+    prefixes = tuple(only.split(","))
+    oracle = {k: v for k, v in oracle.items() if k.startswith(prefixes)}
+
 def canon(v):
     if v is None: return "NULL"
     if isinstance(v, float):
