@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import graft.oracle.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -49,6 +50,68 @@ object Backbone {
       .filter(col("w") >= col("tau"))
       .select(col("a"), col("b"))
   }
+
+  /** 1-row census of what the backbone cut keeps (q150) — the tuning
+    * view a curator reads BEFORE trusting q146–q149's topology: how many
+    * edges survive the top-decile cut (kept_share_bp — boundary ties can
+    * push it past topBp, that's the determinism trade made explicit) and
+    * how much of the total co-transition SUPPORT mass they carry
+    * (mass_share_bp — on a heavy-tailed support distribution the top
+    * decile of edges carries far more than 10% of the mass; a
+    * mass_share_bp near kept_share_bp means the support is flat and the
+    * relative cut is arbitrary, the signal to re-tune topBp). All
+    * integer bp, zero-guarded (engines disagree on x/0).
+    *
+    * Scale shape: the same two census-grain passes as [[backboneOf]]
+    * (ranking window + τ census) folded into ONE output row — the
+    * corpus never moves; the only BNLJ is the 1-row τ broadcast. */
+  def backboneCensusOf(pw: DataFrame, topBp: Long = 1000L): DataFrame = {
+    require(topBp >= 1L && topBp <= 10000L, s"topBp out of [1,10000]: $topBp")
+    val ranked = pw
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("w").desc, col("a"), col("b"))))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+    val tau = ranked
+      .filter(expr(s"rn <= (m * ${topBp}L + 9999L) div 10000L"))
+      .agg(min(col("w")).as("tau"))
+    pw.crossJoin(broadcast(tau))
+      .agg(
+        count(lit(1)).as("m_total"),
+        coalesce(sum(when(col("w") >= col("tau"), lit(1L)).otherwise(lit(0L))), lit(0L)).as("m_kept"),
+        min(col("tau")).as("tau"),
+        coalesce(sum(col("w")), lit(0L)).as("w_total"),
+        coalesce(sum(when(col("w") >= col("tau"), col("w")).otherwise(lit(0L))), lit(0L)).as("w_kept"))
+      .select(col("m_total"), col("m_kept"), col("tau"), col("w_total"), col("w_kept"),
+        when(col("m_total") > 0L, expr("m_kept * 10000 div m_total")).as("kept_share_bp"),
+        when(col("w_total") > 0L, expr("w_kept * 10000 div w_total")).as("mass_share_bp"))
+  }
+
+  // ---------------------------------------------------------------- q150
+  def q150(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.table(spark, sfDir, "events")
+    val pw = Tables.swapPersist("q150_pw",
+      Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev)))
+    backboneCensusOf(pw)
+  }
+
+  /** Mirror of [[backboneCensusOf]] over [[backboneCtes]]'s pw/tau. */
+  private def q150Sql(topBp: Long = 1000L): String =
+    s"""${backboneCtes(topBp = topBp)}
+       |SELECT CAST(count(*) AS BIGINT) AS m_total,
+       |       CAST(coalesce(sum(CASE WHEN w >= tau.t THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_kept,
+       |       CAST(min(tau.t) AS BIGINT) AS tau,
+       |       CAST(coalesce(sum(w), 0) AS BIGINT) AS w_total,
+       |       CAST(coalesce(sum(CASE WHEN w >= tau.t THEN w ELSE 0 END), 0) AS BIGINT) AS w_kept,
+       |       CASE WHEN count(*) > 0 THEN CAST(
+       |         coalesce(sum(CASE WHEN w >= tau.t THEN 1 ELSE 0 END), 0) * 10000 // count(*)
+       |         AS BIGINT) END AS kept_share_bp,
+       |       CASE WHEN coalesce(sum(w), 0) > 0 THEN CAST(
+       |         coalesce(sum(CASE WHEN w >= tau.t THEN w ELSE 0 END), 0) * 10000 // sum(w)
+       |         AS BIGINT) END AS mass_share_bp
+       |FROM pw, tau""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q150_backbone_census", q150, Some(q150Sql())))
 
   /** DuckDB mirror of [[graft.ops.Triangles.weightedItemGraphOf]] +
     * [[backboneOf]]: CTE stack ending in `strong(a, b)`. Shared by the

@@ -1024,6 +1024,15 @@ class PlanSpec extends SparkSpec {
       s"the top-1 window partitions by node — no global sort:\n$p")
   }
 
+  test("q150 backbone census: persisted weighted census feeds ranking + fold; only the 1-row tau BNLJs") {
+    val p = plan(Registry.byName("q150_backbone_census").run(spark, sf0001))
+    assert(countOccurrences(p, "InMemoryTableScan") >= 2,
+      s"the weighted census must persist once for the ranking window and the fold:\n$p")
+    assert(countOccurrences(p, "BroadcastNestedLoopJoin") <= 1,
+      s"only the 1-row tau census may BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
+  }
+
   test("q141 hybrid rrf: one tokenized corpus for three readers; only the cosine theta-join BNLJs") {
     val p = executedPortion(plan(Registry.byName("q141_hybrid_rrf").run(spark, sf0001)))
     assert(countOccurrences(p, "InMemoryTableScan") >= 3,
