@@ -38,15 +38,14 @@ object Lpa {
 
   val DefaultRounds = 4
 
-  /** (item, community, community_size) after `rounds` synchronous LPA
-    * sweeps over a canonical (a < b) edge list. */
-  def lpaOf(strong0: DataFrame, rounds: Int = DefaultRounds,
-            key: String = "q149"): DataFrame = {
+  /** The bare sweep loop: final (v, lbl) after `rounds` synchronous
+    * sweeps over a PERSISTED bidirectional adjacency (c, n). The caller
+    * owns persisting `adj` (each sweep reads it once) and checkpointing
+    * the result (every known consumer reads it more than once). Shared
+    * by q149 and q151's Spark sides, exactly as [[lpaSweepCtes]] is
+    * shared by their oracles. */
+  private[ops] def sweep(adj: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val strong = Tables.swapPersist(s"${key}_strong", strong0.select(col("a"), col("b")))
-    val adj = Tables.swapPersist(s"${key}_adj",
-      strong.select(col("a").as("c"), col("b").as("n"))
-        .unionAll(strong.select(col("b").as("c"), col("a").as("n"))))
     var lbl = adj.select(col("c").as("v")).distinct()
       .select(col("v"), col("v").as("lbl"))
     val top1 = Window.partitionBy(col("v")).orderBy(col("cnt").desc, col("lbl"))
@@ -57,7 +56,18 @@ object Lpa {
         .filter(col("rn") === 1)
         .select(col("v"), col("lbl"))
     }
-    val fin = lbl.localCheckpoint() // two readers below
+    lbl
+  }
+
+  /** (item, community, community_size) after `rounds` synchronous LPA
+    * sweeps over a canonical (a < b) edge list. */
+  def lpaOf(strong0: DataFrame, rounds: Int = DefaultRounds,
+            key: String = "q149"): DataFrame = {
+    val strong = Tables.swapPersist(s"${key}_strong", strong0.select(col("a"), col("b")))
+    val adj = Tables.swapPersist(s"${key}_adj",
+      strong.select(col("a").as("c"), col("b").as("n"))
+        .unionAll(strong.select(col("b").as("c"), col("a").as("n"))))
+    val fin = sweep(adj, rounds).localCheckpoint() // two readers below
     fin.join(fin.groupBy(col("lbl")).agg(count(lit(1)).as("community_size")), Seq("lbl"))
       .select(col("v").as("item"), col("lbl").as("community"), col("community_size"))
   }
@@ -70,10 +80,12 @@ object Lpa {
     lpaOf(Backbone.backboneOf(pw))
   }
 
-  /** Mirror of [[lpaOf]] over [[Backbone.backboneCtes]], the `rounds`
-    * sweeps unrolled. */
-  private def q149Sql(rounds: Int = DefaultRounds): String = {
-    val head = s"""${Backbone.backboneCtes()},
+  /** The adj + l0..l`rounds` sweep CTEs (appended after
+    * [[Backbone.backboneCtes]]'s `strong`) — the final labels live in
+    * `l$rounds(v, lbl)`. Shared by the q149 and q151 oracles so the two
+    * engines' LPA texts cannot drift apart. */
+  private[ops] def lpaSweepCtes(rounds: Int = DefaultRounds): String = {
+    val head = s""",
                   |adj AS (SELECT a AS c, b AS n FROM strong
                   |        UNION ALL SELECT b, a FROM strong),
                   |l0 AS (SELECT DISTINCT c AS v, c AS lbl FROM adj)""".stripMargin
@@ -87,12 +99,17 @@ object Lpa {
          |          FROM n$r) t
          |        WHERE rn = 1)""".stripMargin
     }.mkString
-    s"""$head$sweeps,
+    head + sweeps
+  }
+
+  /** Mirror of [[lpaOf]] over [[Backbone.backboneCtes]], the `rounds`
+    * sweeps unrolled. */
+  private def q149Sql(rounds: Int = DefaultRounds): String =
+    s"""${Backbone.backboneCtes()}${lpaSweepCtes(rounds)},
        |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
        |       FROM l$rounds GROUP BY lbl)
        |SELECT l$rounds.v AS item, l$rounds.lbl AS community, sz.community_size
        |FROM l$rounds JOIN sz ON l$rounds.lbl = sz.lbl""".stripMargin
-  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q149_lpa_communities", q149, Some(q149Sql())))

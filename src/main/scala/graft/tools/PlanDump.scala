@@ -223,6 +223,8 @@ object PlanDump {
       "Synchronous label propagation, exactly `rounds` sweeps (convergence is NOT well-defined for sync LPA - oscillation - so fixed rounds with the (count DESC, label ASC) argmax is the deterministic contract both engines share): each sweep = one adjacency><labels equi-join, one (node,label) count, one per-node top-1 window (partitioned by node - no global sort) over the vocab-bounded label table. Containment contract (spec-pinned): labels travel only along edges, so every community sits inside one connected component - LPA refines q38's CC, never crosses it. Final label frame localCheckpoints once for its two census readers.",
     "q150_backbone_census" ->
       "The tuning view a curator reads before trusting the q146-q149 topology: how many edges survive the relative top-decile cut (kept_share_bp - boundary ties can push it past topBp, the determinism trade made explicit) and how much total co-transition SUPPORT mass they carry (mass_share_bp; near kept_share_bp means flat support and an arbitrary cut - the re-tune signal). Same two census-grain passes as the backbone itself (single-partition ranking window over the <=vocab^2 edge census + the 1-row tau census, the only BNLJ) folded into ONE output row; the persisted weighted census feeds both, the corpus never moves twice. Integer bp, zero-guarded on both engines (x/0 divergence).",
+    "q151_modularity" ->
+      "The audit that says whether q149's communities are REAL: Newman-Girvan modularity in exact integer ppm, per-community census + the global Q repeated per row. With M2 = 2m = sum(d_c) (derived from the census itself via an empty-window sum - the q145 posture, no second edge pass, no BNLJ), contrib_c = 2*M2*e_c - d_c^2 and q_ppm = sum(contrib)*10^6 div M2^2 staged through DECIMAL(38,0)/HUGEINT; both engines truncate division toward zero (verified on negative quotients). The sweep is the SAME Lpa.sweep/lpaSweepCtes q149 runs, so the partitions cannot drift (reconciliation spec); labels localCheckpoint once for their three readers (dStats + both edge endpoints). Fixture finding, documented in BASELINE.md: the saturated sf backbones score Q <= 0 - the census correctly reports that sync-LPA labels carry no structure there, while the hand-graph specs pin that real structure scores positive.",
     "q141_hybrid_rrf" ->
       "Two-tower retrieval fused by reciprocal-rank fusion in integer ppm: the tokenized corpus persists ONCE for three readers (postings, df census, doc lengths); the lexical arm is q14's df-capped inverted index with the bounded 20-query vocabulary BROADCAST onto the postings; the semantic arm broadcasts the query vectors against one corpus scan (q19 at k=10 - RrfSpec pins the k-prefix property); fusion full-outer-joins two <=k-per-query rank lists and windows over <=2k census rows. Absent-arm candidates contribute 0 (not NULL); ties break by cand_id - both pinned by hand-RRF arithmetic in RrfSpec.",
     "q129_cluster_agreement" ->

@@ -1033,6 +1033,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
   }
 
+  test("q151 modularity: checkpointed labels for three readers; global folds are windows over the census (no BNLJ above the caches)") {
+    val p = plan(Registry.byName("q151_modularity").run(spark, sf0001))
+    // the sweep result materializes once and is read by dStats + both
+    // edge-endpoint attaches
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 3,
+      s"all three label readers must read the CHECKPOINTED sweep, not lineage:\n$p")
+    assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
+    // two_m and the q_ppm numerator are empty-window sums over the
+    // <=|communities|-row census — no 1-row census join at this level
+    // (the backbone tau BNLJ lives inside the persisted strong's build)
+    val firstCache = p.indexOf("InMemoryTableScan")
+    val top = if (firstCache >= 0) p.substring(0, firstCache) else p
+    assert(!top.contains("BroadcastNestedLoopJoin"),
+      s"global folds must be windows over the census, not BNLJs:\n$p")
+  }
+
   test("q141 hybrid rrf: one tokenized corpus for three readers; only the cosine theta-join BNLJs") {
     val p = executedPortion(plan(Registry.byName("q141_hybrid_rrf").run(spark, sf0001)))
     assert(countOccurrences(p, "InMemoryTableScan") >= 3,
