@@ -20,36 +20,50 @@ import org.apache.spark.sql.functions._
   * structure-bearing at any scale because its size tracks the edge
   * census, not the corpus.
   *
-  * Exact semantics (both engines, bit-identical): rank edges by
-  * (w DESC, a, b); τ = min support among the first ⌈m·topBp/10⁴⌉ edges
-  * (= the ⌈m/10⌉-th largest support counting duplicates — tie-order
-  * inside the prefix cannot change a min over equal values); keep every
-  * edge with w ≥ τ, so boundary ties all survive (deterministic, no
-  * arbitrary cut inside a tie class).
+  * Exact semantics (both engines, bit-identical): τ = the
+  * ⌈m·topBp/10⁴⌉-th largest support counting duplicates — equivalently
+  * the largest w whose ≥-w cumulative edge count reaches that target
+  * (the two forms agree because a min over the equal-valued tail of a
+  * ranked prefix cannot depend on tie order); keep every edge with
+  * w ≥ τ, so boundary ties all survive (deterministic, no arbitrary
+  * cut inside a tie class).
   *
-  * Scale shape: both windows run over the vocab²-bounded edge CENSUS,
-  * never the corpus — the global row_number is a single-partition sort
-  * of ≤|vocab|² rows (the same bounded-census posture as q145's
-  * empty-window share denominator); τ broadcasts back as a 1-row census.
-  * Callers persist the weighted census once (it feeds the ranking window
-  * AND the final filter). */
+  * Scale shape (v2): τ comes off the support-weight HISTOGRAM — one
+  * map-side-combining exchange on w into |distinct supports| rows
+  * (bounded by the support RANGE, typically hundreds), then the
+  * cumulative window runs over that histogram, never over edges. The
+  * v1 shape ranked every edge through a single-partition row_number —
+  * census-bounded but still the family's one sort that grew with
+  * vocab²; the histogram form removes it. τ broadcasts back as a 1-row
+  * census. Callers persist the weighted census once (it feeds the
+  * histogram AND the final filter). */
 object Backbone {
+
+  /** The τ census shared by [[backboneOf]] and [[backboneCensusOf]]:
+    * 1 row (tau). v2 shape — τ comes off the support-weight HISTOGRAM,
+    * not a per-edge row_number: the target-th largest support counting
+    * duplicates equals the largest w whose ≥-w cumulative edge count
+    * reaches the target, so the only ordered window runs over
+    * |distinct supports| rows (bounded by the support RANGE, typically
+    * hundreds) instead of the vocab²-bounded edge census — the v1
+    * single-partition edge sort was the one documented scale ceiling in
+    * this family, and this removes it. The histogram itself aggregates
+    * map-side (one exchange on w). */
+  private def tauOf(pw: DataFrame, topBp: Long): DataFrame = {
+    require(topBp >= 1L && topBp <= 10000L, s"topBp out of [1,10000]: $topBp")
+    pw.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("w").desc)))
+      .withColumn("m", sum(col("c")).over(Window.partitionBy()))
+      .filter(expr(s"cum >= (m * ${topBp}L + 9999L) div 10000L"))
+      .agg(max(col("w")).as("tau"))
+  }
 
   /** Top-`topBp`/10000 of edges by support weight from a weighted
     * canonical edge census (a, b, w); ties at the threshold all kept. */
-  def backboneOf(pw: DataFrame, topBp: Long = 1000L): DataFrame = {
-    require(topBp >= 1L && topBp <= 10000L, s"topBp out of [1,10000]: $topBp")
-    val ranked = pw
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("w").desc, col("a"), col("b"))))
-      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
-    val tau = ranked
-      .filter(expr(s"rn <= (m * ${topBp}L + 9999L) div 10000L"))
-      .agg(min(col("w")).as("tau"))
-    pw.crossJoin(broadcast(tau))
+  def backboneOf(pw: DataFrame, topBp: Long = 1000L): DataFrame =
+    pw.crossJoin(broadcast(tauOf(pw, topBp)))
       .filter(col("w") >= col("tau"))
       .select(col("a"), col("b"))
-  }
 
   /** 1-row census of what the backbone cut keeps (q150) — the tuning
     * view a curator reads BEFORE trusting q146–q149's topology: how many
@@ -63,18 +77,11 @@ object Backbone {
     * integer bp, zero-guarded (engines disagree on x/0).
     *
     * Scale shape: the same two census-grain passes as [[backboneOf]]
-    * (ranking window + τ census) folded into ONE output row — the
+    * (the support-histogram τ derivation + the 1-row τ broadcast)
+    * folded into ONE output row — the
     * corpus never moves; the only BNLJ is the 1-row τ broadcast. */
   def backboneCensusOf(pw: DataFrame, topBp: Long = 1000L): DataFrame = {
-    require(topBp >= 1L && topBp <= 10000L, s"topBp out of [1,10000]: $topBp")
-    val ranked = pw
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("w").desc, col("a"), col("b"))))
-      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
-    val tau = ranked
-      .filter(expr(s"rn <= (m * ${topBp}L + 9999L) div 10000L"))
-      .agg(min(col("w")).as("tau"))
-    pw.crossJoin(broadcast(tau))
+    pw.crossJoin(broadcast(tauOf(pw, topBp)))
       .agg(
         count(lit(1)).as("m_total"),
         coalesce(sum(when(col("w") >= col("tau"), lit(1L)).otherwise(lit(0L))), lit(0L)).as("m_kept"),
@@ -131,9 +138,10 @@ object Backbone {
        |              CAST(count(*) AS BIGINT) AS w
        |       FROM l WHERE src IS NOT NULL AND src <> item
        |       GROUP BY 1, 2 HAVING count(*) >= $minW),
-       |wr AS (SELECT w, row_number() OVER (ORDER BY w DESC, a, b) AS rn,
-       |              count(*) OVER () AS m
-       |       FROM pw),
-       |tau AS (SELECT min(w) AS t FROM wr WHERE rn <= (m * $topBp + 9999) // 10000),
+       |wh AS (SELECT w, count(*) AS c FROM pw GROUP BY w),
+       |wc AS (SELECT w, sum(c) OVER (ORDER BY w DESC) AS cum,
+       |              sum(c) OVER () AS m
+       |       FROM wh),
+       |tau AS (SELECT max(w) AS t FROM wc WHERE cum >= (m * $topBp + 9999) // 10000),
        |strong AS (SELECT a, b FROM pw, tau WHERE w >= tau.t)""".stripMargin
 }

@@ -214,7 +214,7 @@ object PlanDump {
     "q145_edge_embeddedness" ->
       "Edge-grain reading of q144's triadic structure: per-edge triangle support (common neighbors of the endpoints), reported as a histogram. Shares q144's whole stack - persisted canonical edge census, degree table, (degree,id) orientation, wedge+closure equi-joins - then each triangle explodes to exactly 3 canonical edge increments, aggregated edge-grain and LEFT-joined back onto the edge census so 0-embeddedness bridges (Granovetter weak ties, the first co-occurrence edges to distrust) survive into the histogram. Output is <=|distinct embeddedness| rows; the share denominator is an empty-window sum over the histogram ITSELF (a single-partition window over census-grain rows), so no second edge-frame read and no BNLJ at all (PlanSpec pins 0).",
     "q146_kcore_backbone" ->
-      "k-core decomposition of the top-decile support backbone: the corpus-sized lag/pool work runs ONCE inside the persisted weighted census; the backbone threshold tau is a 1-row census off a single-partition window over <=|vocab|^2 edges (boundary ties all kept - deterministic, both engines); each peel round is one degree aggregation + one two-sided semi-join on the surviving edge set, localCheckpointed EVERY round because the edge frame has two consumers (the q142 doubled-pass rule) - un-checkpointed the lazy plan doubles per round. Unconverged-past-cap THROWS (a partial peel is not a k-core); the oracle unrolls exactly maxIter MATERIALIZED rounds, idempotent past the fixpoint, so convergence makes the texts identical.",
+      "k-core decomposition of the top-decile support backbone: the corpus-sized lag/pool work runs ONCE inside the persisted weighted census; the backbone threshold tau is a 1-row census off the support-weight HISTOGRAM (|distinct supports| rows - the v2 shape; v1's single-partition row_number over the edge census was the family's one vocab^2-growing sort and is gone; boundary ties all kept - deterministic, both engines); each peel round is one degree aggregation + one two-sided semi-join on the surviving edge set, localCheckpointed EVERY round because the edge frame has two consumers (the q142 doubled-pass rule) - un-checkpointed the lazy plan doubles per round. Unconverged-past-cap THROWS (a partial peel is not a k-core); the oracle unrolls exactly maxIter MATERIALIZED rounds, idempotent past the fixpoint, so convergence makes the texts identical.",
     "q147_link_prediction" ->
       "Common-neighbor link prediction over the backbone: candidates = the bidirectional wedge index (sigma deg^2, census-bounded degrees) ANTI-joined against the edge list, thresholded, degree-annotated; score is the overlap coefficient in integer bp (closures <= min(deg) by construction, so exact). Reconciliation contract (spec-pinned): the wedge index restricted to EDGES is exactly q145's embeddedness census, so {q145 rows} and {q147 pre-threshold candidates} partition the two-hop census. The persisted backbone feeds wedges, anti-join and degrees - nothing corpus-sized moves past the upstream weighted census.",
     "q148_harmonic_centrality" ->
@@ -222,7 +222,7 @@ object PlanDump {
     "q149_lpa_communities" ->
       "Synchronous label propagation, exactly `rounds` sweeps (convergence is NOT well-defined for sync LPA - oscillation - so fixed rounds with the (count DESC, label ASC) argmax is the deterministic contract both engines share): each sweep = one adjacency><labels equi-join, one (node,label) count, one per-node top-1 window (partitioned by node - no global sort) over the vocab-bounded label table. Containment contract (spec-pinned): labels travel only along edges, so every community sits inside one connected component - LPA refines q38's CC, never crosses it. Final label frame localCheckpoints once for its two census readers.",
     "q150_backbone_census" ->
-      "The tuning view a curator reads before trusting the q146-q149 topology: how many edges survive the relative top-decile cut (kept_share_bp - boundary ties can push it past topBp, the determinism trade made explicit) and how much total co-transition SUPPORT mass they carry (mass_share_bp; near kept_share_bp means flat support and an arbitrary cut - the re-tune signal). Same two census-grain passes as the backbone itself (single-partition ranking window over the <=vocab^2 edge census + the 1-row tau census, the only BNLJ) folded into ONE output row; the persisted weighted census feeds both, the corpus never moves twice. Integer bp, zero-guarded on both engines (x/0 divergence).",
+      "The tuning view a curator reads before trusting the q146-q149 topology: how many edges survive the relative top-decile cut (kept_share_bp - boundary ties can push it past topBp, the determinism trade made explicit) and how much total co-transition SUPPORT mass they carry (mass_share_bp; near kept_share_bp means flat support and an arbitrary cut - the re-tune signal). Same two census-grain passes as the backbone itself (support-histogram tau derivation over |distinct supports| rows + the 1-row tau census, the only BNLJ) folded into ONE output row; the persisted weighted census feeds both, the corpus never moves twice. Integer bp, zero-guarded on both engines (x/0 divergence).",
     "q151_modularity" ->
       "The audit that says whether q149's communities are REAL: Newman-Girvan modularity in exact integer ppm, per-community census + the global Q repeated per row. With M2 = 2m = sum(d_c) (derived from the census itself via an empty-window sum - the q145 posture, no second edge pass, no BNLJ), contrib_c = 2*M2*e_c - d_c^2 and q_ppm = sum(contrib)*10^6 div M2^2 staged through DECIMAL(38,0)/HUGEINT; both engines truncate division toward zero (verified on negative quotients). The sweep is the SAME Lpa.sweep/lpaSweepCtes q149 runs, so the partitions cannot drift (reconciliation spec); labels localCheckpoint once for their three readers (dStats + both edge endpoints). Fixture finding, documented in BASELINE.md: the saturated sf backbones score Q <= 0 - the census correctly reports that sync-LPA labels carry no structure there, while the hand-graph specs pin that real structure scores positive.",
     "q141_hybrid_rrf" ->
