@@ -225,6 +225,10 @@ object PlanDump {
       "The tuning view a curator reads before trusting the q146-q149 topology: how many edges survive the relative top-decile cut (kept_share_bp - boundary ties can push it past topBp, the determinism trade made explicit) and how much total co-transition SUPPORT mass they carry (mass_share_bp; near kept_share_bp means flat support and an arbitrary cut - the re-tune signal). Same two census-grain passes as the backbone itself (support-histogram tau derivation over |distinct supports| rows + the 1-row tau census, the only BNLJ) folded into ONE output row; the persisted weighted census feeds both, the corpus never moves twice. Integer bp, zero-guarded on both engines (x/0 divergence).",
     "q151_modularity" ->
       "The audit that says whether q149's communities are REAL: Newman-Girvan modularity in exact integer ppm, per-community census + the global Q repeated per row. With M2 = 2m = sum(d_c) (derived from the census itself via an empty-window sum - the q145 posture, no second edge pass, no BNLJ), contrib_c = 2*M2*e_c - d_c^2 and q_ppm = sum(contrib)*10^6 div M2^2 staged through DECIMAL(38,0)/HUGEINT; both engines truncate division toward zero (verified on negative quotients). The sweep is the SAME Lpa.sweep/lpaSweepCtes q149 runs, so the partitions cannot drift (reconciliation spec); labels localCheckpoint once for their three readers (dStats + both edge endpoints). Fixture finding, documented in BASELINE.md: the saturated sf backbones score Q <= 0 - the census correctly reports that sync-LPA labels carry no structure there, while the hand-graph specs pin that real structure scores positive.",
+    "q152_backbone_drift" ->
+      "Temporal stability audit of the co-transition structure: per-(user, epoch-week) transitions (the lag window partitions by user AND week, so no edge crosses a period boundary and each week's graph is computable from that week's shard alone - the incremental-recompute contract), per-week weighted census with NO absolute support floor (the relative top-decile cut replaces it - a fixed floor would thin sparse periods to nothing while saturating dense ones), per-week tau off the (wk, w) support histogram with the cumulative window PARTITIONED by wk - unlike the global backbone there is no single-partition window anywhere, periods rank in parallel; tau joins back as a |weeks|-row broadcast. The drift join is a (wk, a, b) equi-join of the persisted per-week backbone against its own week-shifted projection; output is |weeks|-1 rows of exact-integer overlap (jaccard/retained/fresh bp - denominators >=1 by the inner join on week sizes, so no zero guards and both engines truncate identically). High retention means last period's topology artifacts (communities, link predictions) are still valid - the early-stop signal for incremental recompute at 100 TB.",
+    "q153_walk_pairs" ->
+      "The skip-gram positive-pair corpus a graph-embedding trainer (DeepWalk / node2vec p=q=1) consumes, generated DETERMINISTICALLY: one walk per backbone node, 4 steps, next hop = the neighbor whose per-node rank equals H mod deg with H = first-8-hex of md5('walk|<walk>|<step>') - the q54/q55/q83 md5 idiom, so both engines replay byte-identical trajectories (no RNG, retry-stable; a plain-Scala mirror in WalkPairsSpec reproduces the census bit-for-bit). Ranked adjacency (rn, deg from two node-partitioned windows, no global sort) persists for the 4 step joins; each |nodes|-row frontier localCheckpoints every round (doubled-pass rule: next step + trajectory union). The pair census is a walk-keyed equi-join of the (Steps+1)*|nodes|-row trajectory table against itself with in-walk fan-out <= 25, excluding same-node revisits. Everything lives on the vocab^2-bounded backbone; the corpus-sized lag/pool pass runs ONCE upstream inside the persisted weighted census. Embarrassingly parallel in walk count - the standard distributed DeepWalk round.",
     "q141_hybrid_rrf" ->
       "Two-tower retrieval fused by reciprocal-rank fusion in integer ppm: the tokenized corpus persists ONCE for three readers (postings, df census, doc lengths); the lexical arm is q14's df-capped inverted index with the bounded 20-query vocabulary BROADCAST onto the postings; the semantic arm broadcasts the query vectors against one corpus scan (q19 at k=10 - RrfSpec pins the k-prefix property); fusion full-outer-joins two <=k-per-query rank lists and windows over <=2k census rows. Absent-arm candidates contribute 0 (not NULL); ties break by cand_id - both pinned by hand-RRF arithmetic in RrfSpec.",
     "q129_cluster_agreement" ->

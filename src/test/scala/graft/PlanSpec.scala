@@ -1049,6 +1049,37 @@ class PlanSpec extends SparkSpec {
       s"global folds must be windows over the census, not BNLJs:\n$p")
   }
 
+  test("q152 backbone drift: per-week tau is a KEYED broadcast (no BNLJ at all); both censuses persist; periods rank in parallel") {
+    val p = plan(Registry.byName("q152_backbone_drift").run(spark, sf0001))
+    // unlike the global backbone there is no 1-row crossJoin anywhere:
+    // tau carries its week key, so every join in the query is keyed
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"tau must join on wk, not BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
+    // pw persists for histogram + strong filter; strong persists for
+    // sizes + both sides of the drift join
+    assert(countOccurrences(p, "InMemoryTableScan") >= 5,
+      s"per-week census and backbone must persist for their multiple readers:\n$p")
+    // every window partitions by wk, so NOTHING funnels through one
+    // partition — the v2 global backbone still has its (tiny) histogram
+    // fold; here even that ranks in parallel across periods
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-partition exchange — periods must rank in parallel:\n$p")
+  }
+
+  test("q153 walk pairs: checkpointed frontiers — the pair join reads ONLY trajectory RDDs, keyed by walk") {
+    val p = plan(Registry.byName("q153_walk_pairs").run(spark, sf0001))
+    // every frontier localCheckpoints (doubled-pass rule), so the final
+    // pair join reads both union-of-trajectory arms as RDD scans —
+    // nothing upstream (no parquet, no adjacency window, no backbone
+    // tau) survives into the executed lineage
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 2,
+      s"both pair-join arms must read checkpointed trajectories:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"the corpus pass is upstream of the checkpoints, never in the final plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the pair join is an equi-join on walk:\n$p")
+  }
+
   test("q141 hybrid rrf: one tokenized corpus for three readers; only the cosine theta-join BNLJs") {
     val p = executedPortion(plan(Registry.byName("q141_hybrid_rrf").run(spark, sf0001)))
     assert(countOccurrences(p, "InMemoryTableScan") >= 3,
