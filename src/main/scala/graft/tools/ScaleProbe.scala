@@ -56,10 +56,17 @@ object ScaleProbe {
   val ScaledTables: Set[String] = Set("documents", "embeddings", "events", "part")
 
   /** Bumped whenever the synthesis recipe changes (v2: events scaling
-    * added; v3/v4: doc copies decade-grouped; v5: part scaling added) — a
-    * dir whose sentinel carries an older version was built by a different
-    * recipe and would silently corrupt growth ratios if reused. */
-  private val BuildVersion = 5
+    * added; v3/v4: doc copies decade-grouped; v5: part scaling added;
+    * v6: events items axis added — users-axis output is byte-identical
+    * to v5, but a first broken items build shipped under the v5#items
+    * sentinel, so the bump retires it; v7: items-axis guard digit — v6
+    * rendered base k=0 copies as leading-zero numbers, malformed JSON
+    * that Spark NULLs and DuckDB rejects, silently dropping item 0 from
+    * every copied universe. users-axis output is again byte-identical,
+    * and the already-recorded v6 users sweep stands) — a dir whose
+    * sentinel carries an older version was built by a different recipe
+    * and would silently corrupt growth ratios if reused. */
+  private val BuildVersion = 7
 
   /** documents self-union: copy i shifts doc_id and appends ` probe<i>`
     * so copies are near- but not exact-duplicates. Copies are grouped in
@@ -114,23 +121,45 @@ object ScaleProbe {
         col("label"))
     }.reduce(_ unionByName _)
 
-  /** events self-union: copy i shifts event_id AND user_id by i·10⁹ and
-    * offsets ts by i·366 days. New user ids mean per-user sequences keep
-    * their 1× depth while the user population grows k× — the realistic
-    * growth axis for sessionization, funnels and the item-graph build
-    * (per-user lag partitions multiply in COUNT, not depth). The time
-    * offset keeps per-copy window populations disjoint so windowed
-    * aggregations grow in group count, not group size. props/event_type
-    * are untouched: the item vocabulary stays 1×-bounded, so q139's
-    * "edge census is vocab²-bounded, never corpus-sized" claim is exactly
-    * what a violation here would falsify. */
-  private def scaleEvents(base: DataFrame, k: Int): DataFrame =
+  /** events self-union. Default axis (`users`): copy i shifts
+    * event_id/user_id by i·10⁹ and offsets ts by i·366 days — the user
+    * POPULATION grows k× with per-user depth constant (lag partitions
+    * multiply in COUNT, not depth; disjoint time ranges keep windowed
+    * aggregations growing in group count, not group size); the item
+    * vocabulary stays at 1×, so graph censuses saturate and the probe
+    * measures the corpus-lag slice.
+    *
+    * v7 `items` axis (SPARK_GRAFT_PROBE_EVENTS_AXIS=items): copy i > 0
+    * ADDITIONALLY rewrites the numeric props key k by gluing a leading
+    * guard digit 1 plus a zero-padded copy suffix onto its TEXT
+    * ("k": 17 → "k": 117042 for copy 42 — concat("1", base, pad3(i)),
+    * injective per (base, copy) and disjoint from the base's k ≤ 99; no
+    * JSON parsing and both engines read the same bytes). The guard
+    * digit exists because base 0 + suffix would render "k": 0042 — a
+    * leading-zero number that is MALFORMED JSON, which Spark's
+    * get_json_object silently NULLs and DuckDB errors on (the v6 recipe
+    * had exactly this bug: item 0's copies vanished per universe).
+    * Because user_id shifts too, transitions never cross copies: the
+    * graph becomes k disjoint universes — the item CATALOG-growth axis,
+    * where the edge census, the backbone, the label/degree tables and
+    * every census-grain pass grow k× while per-universe structure stays
+    * at its 1× shape. This is the axis that stresses the census-grain
+    * machinery itself (the declared vocab²-bounded posture), not the
+    * upstream lag. */
+  private def scaleEvents(base: DataFrame, k: Int, axis: String): DataFrame =
     (0 until k).map { i =>
+      val props =
+        if (axis == "items" && i > 0)
+          // fixture props spell it `"k": 69` (space after the colon) —
+          // match both spellings, emit the spaced one
+          regexp_replace(col("props"), "\"k\": ?(\\d+)",
+            "\"k\": 1$1" + "%03d".format(i))
+        else col("props")
       base.select(
         (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
         (if (i == 0) col("ts") else col("ts") + expr(s"INTERVAL ${i * 366} DAYS")).as("ts"),
         (col("user_id") + lit(i.toLong * 1000000000L)).as("user_id"),
-        col("event_type"), col("value"), col("props"))
+        col("event_type"), col("value"), props.as("props"))
     }.reduce(_ unionByName _)
 
   /** part self-union (v5, for the q140/q143 name-vocabulary family):
@@ -166,11 +195,14 @@ object ScaleProbe {
     * and one whose sentinel names a different srcDir or version was scaled
     * from other data or by an older recipe — either would silently corrupt
     * the growth ratios if reused, so both are torn down and rebuilt. */
-  private def buildDir(spark: SparkSession, srcDir: String, root: String, k: Int): String = {
-    val dir = s"$root/x$k"
+  private def buildDir(spark: SparkSession, srcDir: String, root: String, k: Int,
+                       eventsAxis: String): String = {
+    // the items axis writes a DIFFERENT events universe — its dirs and
+    // sentinels are namespaced so the two axes can never cross-pollute
+    val dir = if (eventsAxis == "items") s"${root}_items/x$k" else s"$root/x$k"
     val p = java.nio.file.Paths.get(dir)
     val sentinel = p.resolve("_COMPLETE")
-    val expected = s"$srcDir#v$BuildVersion"
+    val expected = s"$srcDir#v$BuildVersion#$eventsAxis"
     if (java.nio.file.Files.exists(sentinel) &&
         new String(java.nio.file.Files.readAllBytes(sentinel), "UTF-8") == expected)
       return dir // verified complete build from the same source + recipe — reuse
@@ -192,7 +224,7 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     scaleEmbeds(Tables.table(spark, srcDir, "embeddings"), k)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    scaleEvents(Tables.table(spark, srcDir, "events"), k)
+    scaleEvents(Tables.table(spark, srcDir, "events"), k, eventsAxis)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     scalePart(Tables.table(spark, srcDir, "part"), k)
       .write.mode("overwrite").parquet(s"$dir/part.parquet")
@@ -293,7 +325,10 @@ object ScaleProbe {
       spark.stop(); return
     }
 
-    val dirs = scales.map(k => k -> buildDir(spark, srcDir, root, k)).toMap
+    val eventsAxis = sys.env.getOrElse("SPARK_GRAFT_PROBE_EVENTS_AXIS", "users")
+    require(eventsAxis == "users" || eventsAxis == "items",
+      s"SPARK_GRAFT_PROBE_EVENTS_AXIS must be users|items, got $eventsAxis")
+    val dirs = scales.map(k => k -> buildDir(spark, srcDir, root, k, eventsAxis)).toMap
     scales.foreach { k =>
       val n = spark.read.parquet(s"${dirs(k)}/documents.parquet").count()
       val ne = spark.read.parquet(s"${dirs(k)}/events.parquet").count()
