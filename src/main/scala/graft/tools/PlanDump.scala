@@ -229,6 +229,8 @@ object PlanDump {
       "Temporal stability audit of the co-transition structure: per-(user, epoch-week) transitions (the lag window partitions by user AND week, so no edge crosses a period boundary and each week's graph is computable from that week's shard alone - the incremental-recompute contract), per-week weighted census with NO absolute support floor (the relative top-decile cut replaces it - a fixed floor would thin sparse periods to nothing while saturating dense ones), per-week tau off the (wk, w) support histogram with the cumulative window PARTITIONED by wk - unlike the global backbone there is no single-partition window anywhere, periods rank in parallel; tau joins back as a |weeks|-row broadcast. The drift join is a (wk, a, b) equi-join of the persisted per-week backbone against its own week-shifted projection; output is |weeks|-1 rows of exact-integer overlap (jaccard/retained/fresh bp - denominators >=1 by the inner join on week sizes, so no zero guards and both engines truncate identically). High retention means last period's topology artifacts (communities, link predictions) are still valid - the early-stop signal for incremental recompute at 100 TB.",
     "q153_walk_pairs" ->
       "The skip-gram positive-pair corpus a graph-embedding trainer (DeepWalk / node2vec p=q=1) consumes, generated DETERMINISTICALLY: one walk per backbone node, 4 steps, next hop = the neighbor whose per-node rank equals H mod deg with H = first-8-hex of md5('walk|<walk>|<step>') - the q54/q55/q83 md5 idiom, so both engines replay byte-identical trajectories (no RNG, retry-stable; a plain-Scala mirror in WalkPairsSpec reproduces the census bit-for-bit). Ranked adjacency (rn, deg from two node-partitioned windows, no global sort) persists for the 4 step joins; each |nodes|-row frontier localCheckpoints every round (doubled-pass rule: next step + trajectory union). The pair census is a walk-keyed equi-join of the (Steps+1)*|nodes|-row trajectory table against itself with in-walk fan-out <= 25, excluding same-node revisits. Everything lives on the vocab^2-bounded backbone; the corpus-sized lag/pool pass runs ONCE upstream inside the persisted weighted census. Embarrassingly parallel in walk count - the standard distributed DeepWalk round.",
+    "q154_census_delta" ->
+      "The incremental-maintenance proof for the weighted co-transition census (the substrate of q139-q153): at 100 TB the census is never recomputed from scratch - a delta shard lands and the update needs only (a) transitions WITHIN the delta and (b) one straddle transition per user, (last settled item -> first delta item), computable from USER-GRAIN frontier state (exactly what a streaming job checkpoints). This query computes the delta-side components the production way - the settled corpus is never lagged on that path - merges them with the settled census and reconciles against the monolithic full census: one audit row whose three mismatch counters the decomposition identity pins to zero, plus the straddle mass (how much the frontier carries). One corpus lag classes every transition by cut side (S/D/B); the prepped item-event frame persists once for its three window readers; everything after the lags is census-grain; the only BNLJ is the 1-row straddle-mass census. No absolute support floor - components must merge additively, so floors apply after the merge.",
     "q141_hybrid_rrf" ->
       "Two-tower retrieval fused by reciprocal-rank fusion in integer ppm: the tokenized corpus persists ONCE for three readers (postings, df census, doc lengths); the lexical arm is q14's df-capped inverted index with the bounded 20-query vocabulary BROADCAST onto the postings; the semantic arm broadcasts the query vectors against one corpus scan (q19 at k=10 - RrfSpec pins the k-prefix property); fusion full-outer-joins two <=k-per-query rank lists and windows over <=2k census rows. Absent-arm candidates contribute 0 (not NULL); ties break by cand_id - both pinned by hand-RRF arithmetic in RrfSpec.",
     "q129_cluster_agreement" ->

@@ -1080,6 +1080,18 @@ class PlanSpec extends SparkSpec {
       s"the pair join is an equi-join on walk:\n$p")
   }
 
+  test("q154 census delta: prepped frame + classed census + straddle census all persist; only the 1-row straddle mass BNLJs") {
+    val p = plan(Registry.byName("q154_census_delta").run(spark, sf0001))
+    // e feeds three window readers (full classed lag, delta lag, settled
+    // frontier); classed feeds the full rollup + the settled class; cb
+    // feeds merged + the straddle mass
+    assert(countOccurrences(p, "InMemoryTableScan") >= 7,
+      s"all three swap-persisted frames must be re-read, not rebuilt:\n$p")
+    assert(countOccurrences(executedPortion(p), "BroadcastNestedLoopJoin") <= 1,
+      s"only the 1-row straddle-mass census may BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
+  }
+
   test("q141 hybrid rrf: one tokenized corpus for three readers; only the cosine theta-join BNLJs") {
     val p = executedPortion(plan(Registry.byName("q141_hybrid_rrf").run(spark, sf0001)))
     assert(countOccurrences(p, "InMemoryTableScan") >= 3,
