@@ -99,11 +99,13 @@ object WalkPairs {
   }
 
   /** Mirror of [[walkPairsOf]] over [[Backbone.backboneCtes]]: the
-    * [[Steps]] step CTEs unrolled. MATERIALIZED is load-bearing (the
-    * q146 lesson): each step is referenced by the next step AND the
-    * trajectory union, so un-materialized inlining doubles per step —
-    * and each reference re-expands the 8-term hexVal polynomial. */
-  private def q153Sql: String = {
+    * [[Steps]] step CTEs unrolled, ending in `pairs(a, b, cnt)` —
+    * shared by the q153 oracle and q155's PMI layer. MATERIALIZED is
+    * load-bearing (the q146 lesson): each step is referenced by the
+    * next step AND the trajectory union, so un-materialized inlining
+    * doubles per step — and each reference re-expands the 8-term
+    * hexVal polynomial. */
+  private[ops] def walkPairCtes: String = {
     val steps = (1 to Steps).map { s =>
       s"""s$s AS MATERIALIZED (
          |  SELECT f.walk, a.v AS cur
@@ -122,14 +124,19 @@ object WalkPairs {
        |        UNION ALL SELECT b AS u, a AS v FROM strong)),
        |s0 AS MATERIALIZED (SELECT DISTINCT u AS walk, u AS cur FROM adj),
        |$steps,
-       |traj AS MATERIALIZED ($trajArms)
-       |SELECT least(t1.node, t2.node) AS a, greatest(t1.node, t2.node) AS b,
-       |       CAST(count(*) AS BIGINT) AS cnt
-       |FROM traj t1
-       |JOIN traj t2 ON t1.walk = t2.walk AND t1.step < t2.step
-       |            AND t1.node <> t2.node
-       |GROUP BY 1, 2""".stripMargin
+       |traj AS MATERIALIZED ($trajArms),
+       |pairs AS MATERIALIZED (
+       |  SELECT least(t1.node, t2.node) AS a, greatest(t1.node, t2.node) AS b,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM traj t1
+       |  JOIN traj t2 ON t1.walk = t2.walk AND t1.step < t2.step
+       |              AND t1.node <> t2.node
+       |  GROUP BY 1, 2)""".stripMargin
   }
+
+  private def q153Sql: String =
+    s"""$walkPairCtes
+       |SELECT a, b, cnt FROM pairs""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q153_walk_pairs", q153, Some(q153Sql)))

@@ -1092,6 +1092,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
   }
 
+  test("q155 walk pmi: pair census persists for its three readers; T is an empty-window fold — no BNLJ anywhere") {
+    val p = plan(Registry.byName("q155_walk_pmi").run(spark, sf0001))
+    // q155_pairs feeds the two-arm occupancy explode, the T fold and the
+    // final row; the walk machinery upstream is checkpoint-truncated
+    assert(countOccurrences(p, "InMemoryTableScan") >= 3,
+      s"the pair census must persist and be re-read three ways:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"T attaches via the empty-window sum over the census itself (q145 posture):\n$p")
+    assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
+  }
+
   test("q141 hybrid rrf: one tokenized corpus for three readers; only the cosine theta-join BNLJs") {
     val p = executedPortion(plan(Registry.byName("q141_hybrid_rrf").run(spark, sf0001)))
     assert(countOccurrences(p, "InMemoryTableScan") >= 3,
