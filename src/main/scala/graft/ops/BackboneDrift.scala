@@ -110,6 +110,54 @@ object BackboneDrift {
       .withColumn("fresh_bp", expr("(m_cur - m_common) * 10000L div m_cur"))
   }
 
+  /** Stream-static drift gate — q152's ingestion face: classify each
+    * arriving co-transition edge against the FROZEN corpus structure,
+    * surfacing novel structure the moment it appears instead of waiting
+    * for the next period's drift census. Per arriving event: candidate
+    * edge = (user's frozen last item, arriving item); verdict `strong`
+    * if the edge is in the frozen backbone, `weak` if in the frozen
+    * census but below the cut, `novel` if never seen. q152 then prices
+    * how much `novel`/`weak` mass the NEXT census run will absorb.
+    *
+    * Scale shape (the triadGate posture): every frozen frame is vocab-
+    * or user-grain and persisted once (weighted census + backbone flag +
+    * per-user last item); the stream side is three stream-static
+    * equi-joins — stateless append, no watermark, no state store (the
+    * spec pins stateOperators empty and stream == batch). */
+  def driftGateStreamStatic(streamEvents: DataFrame, staticEvents: DataFrame,
+                            staticTUs: Column,
+                            minW: Long = Triangles.DefaultMinW,
+                            topBp: Long = 1000L): DataFrame = {
+    val pw = Tables.swapPersist("drift_gate_pw",
+      Triangles.weightedItemGraphOf(staticEvents, staticTUs, minW))
+    val strong = Tables.swapPersist("drift_gate_strong",
+      Backbone.backboneOf(pw, topBp).withColumn("in_backbone", lit(true)))
+    val lastItem = Tables.swapPersist("drift_gate_last",
+      staticEvents
+        .select(col("user_id"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"),
+          staticTUs.as("t"))
+        .filter(col("item").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(expr("max_by(item, struct(t, event_id))").as("last_item")))
+    streamEvents
+      .select(col("user_id"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+      .join(lastItem.select(col("user_id"), col("last_item")), Seq("user_id"))
+      .filter(col("last_item") =!= col("item"))
+      .select(col("user_id"), col("event_id"),
+        least(col("last_item"), col("item")).as("a"),
+        greatest(col("last_item"), col("item")).as("b"))
+      .join(pw, Seq("a", "b"), "left")
+      .join(strong.select(col("a"), col("b"), col("in_backbone")), Seq("a", "b"), "left")
+      .select(col("user_id"), col("event_id"), col("a"), col("b"),
+        coalesce(col("w"), lit(0L)).as("w"),
+        when(coalesce(col("in_backbone"), lit(false)), lit("strong"))
+          .when(col("w").isNotNull, lit("weak"))
+          .otherwise(lit("novel")).as("verdict"))
+  }
+
   // ---------------------------------------------------------------- q152
   def q152(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")
