@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.oracle.{QueryDef, Tables}
+
+/** q156 — fixed-point spectral coordinate of the PPMI walk matrix: the
+  * first step of the SVD-over-PPMI embedding of Levy & Goldberg (the
+  * matrix q155 materializes IS the one SGNS factorizes; its dominant
+  * eigenvector is the first spectral embedding coordinate). Power
+  * iteration runs in scaled int64/decimal fixed point so both engines
+  * replay the identical trajectory — no float sums anywhere, so the
+  * result is independent of partitioning and aggregation order.
+  *
+  * Semantics (both engines, bit-identical):
+  *   - weight w_fp = round(pmi·10⁶) over positive-PMI pairs (PPMI). The
+  *     pmi doubles are identical on both engines (q155's guarantee:
+  *     integer products before the double cast, then round to 6 dp), so
+  *     scaling the 6-dp double by 10⁶ and rounding to an integer is
+  *     deterministic — round FIRST, cast after, because Spark's
+  *     double→long cast truncates while DuckDB's rounds.
+  *   - matrix M = symmetric PPMI + σ·I with σ = [[Scale]] (1.0 in fixed
+  *     point). The diagonal shift makes M primitive on every connected
+  *     component (PPMI graphs can be bipartite — a star's walk matrix
+  *     oscillates under plain power iteration; with the shift the
+  *     iteration converges per component instead). Folding σ into the
+  *     edge list keeps each round a single equi-join.
+  *   - v₀ = Scale for every PPMI node; round r: raw_i = Σ_j M_ij·v_j
+  *     (int64 products, DECIMAL(38,0) sums), then v = (raw·10⁶) div
+  *     max(raw) — floor division on non-negative operands, identical on
+  *     both engines (Spark `div`, DuckDB `//`). [[Rounds]] fixed rounds:
+  *     the output is a deterministic census whether or not the iteration
+  *     has converged; consumers judge convergence by comparing runs at
+  *     adjacent depths, they never get a partition-dependent answer.
+  *
+  * Int64/decimal bounds: w_fp ≤ pmi_max·10⁶ (pmi ≤ ln T, so < 4·10⁷ far
+  * past 100 TB), v ≤ 10⁶ → per-term product ≤ 4·10¹³ (int64-safe);
+  * raw ≤ deg·4·10¹³ ≤ 4·10¹⁹ at a 10⁶-node catalog (DECIMAL(38,0) sums,
+  * never bare int64); raw·10⁶ ≤ 4·10²⁵ ≪ 10³⁸.
+  *
+  * Scale shape: the corpus-sized pass runs ONCE upstream (q153's
+  * persisted weighted census); the PPMI matrix is walk-census-bounded
+  * (≤ (Steps+1)²·|nodes| entries) and persists once for the
+  * [[Rounds]] round joins. Each round = one node-keyed equi-join + one
+  * map-side-combining sum exchange + a 1-row max census broadcast back
+  * (the q142 posture). raw feeds the census AND the division row — the
+  * doubled-pass rule — so each round localCheckpoints (q142/q153
+  * precedent). */
+object SpectralEmbed {
+
+  /** Fixed-point scale (1.0) AND the diagonal shift σ — shared verbatim
+    * by the Spark loop and the oracle's unrolled CTEs. */
+  val Scale = 1000000L
+
+  /** Power-iteration depth — fixed and unrolled in the oracle. */
+  val Rounds = 4
+
+  /** (node, vfp) after [[Rounds]] shifted power-iteration rounds over the
+    * positive-PMI entries of a `pmi(a, b, …, pmi)` census. vfp ∈ [0, 10⁶]
+    * with max-norm 10⁶ per global max (components normalize against the
+    * globally dominant one). */
+  def spectralOf(pmi: DataFrame): DataFrame = {
+    val pos = pmi.filter(col("pmi") > 0)
+      .select(col("a"), col("b"),
+        round(col("pmi") * lit(1000000.0), 0).cast("long").as("wfp"))
+    val sym = pos.select(col("a").as("i"), col("b").as("j"), col("wfp"))
+      .unionAll(pos.select(col("b").as("i"), col("a").as("j"), col("wfp")))
+    val nodes = sym.select(col("i")).distinct()
+    // walk-census-bounded matrix: persists once, read Rounds times
+    val mat = Tables.swapPersist("q156_mat",
+      sym.unionByName(nodes.select(col("i"), col("i").as("j"),
+        lit(Scale).as("wfp"))))
+
+    var v = nodes.select(col("i").as("node"), lit(Scale).as("v"))
+      .localCheckpoint()
+    for (_ <- 1 to Rounds) {
+      // raw has TWO consumers (max census + division row) — it is the
+      // frame the doubled-pass rule checkpoints; v stays a lazy
+      // projection rooted AT the checkpoint (bounded depth, one
+      // checkpoint per round instead of two)
+      val raw = mat.join(v, mat("j") === v("node"))
+        .groupBy(col("i"))
+        .agg(sum((col("wfp") * col("v")).cast(DecimalType(38, 0))).as("raw"))
+        .localCheckpoint()
+      val m = raw.agg(max(col("raw")).as("m"))
+      v = raw.crossJoin(broadcast(m))
+        .select(col("i").as("node"), expr("(raw * 1000000) div m").as("v"))
+    }
+    v.select(col("node"), col("v").as("vfp"))
+  }
+
+  // ---------------------------------------------------------------- q156
+  def q156(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.table(spark, sfDir, "events")
+    val pw = Tables.swapPersist("q156_pw",
+      Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev)))
+    spectralOf(WalkPmi.pmiOf(WalkPairs.walkPairsOf(Backbone.backboneOf(pw))))
+  }
+
+  /** Mirror of [[spectralOf]] over [[WalkPmi.pmiCtes]]: PPMI + diagonal,
+    * then [[Rounds]] unrolled (raw, v) CTE pairs. MATERIALIZED is
+    * load-bearing (each vK feeds rK+1's join; each rK feeds its max
+    * census and its division). */
+  private[ops] def spectralCtes: String = {
+    val rounds = (1 to Rounds).map { r =>
+      s"""r$r AS MATERIALIZED (
+         |  SELECT m.i, sum(m.wfp * v.v) AS raw
+         |  FROM mat m JOIN v${r - 1} v ON m.j = v.node GROUP BY m.i),
+         |v$r AS MATERIALIZED (
+         |  SELECT i AS node,
+         |         CAST((raw * 1000000) // (SELECT max(raw) FROM r$r) AS BIGINT) AS v
+         |  FROM r$r)""".stripMargin
+    }.mkString(",\n")
+    s"""${WalkPmi.pmiCtes},
+       |ppmi AS MATERIALIZED (
+       |  SELECT a, b, CAST(round(pmi * 1000000, 0) AS BIGINT) AS wfp
+       |  FROM pmi WHERE pmi > 0),
+       |nodes AS (SELECT a AS i FROM ppmi UNION SELECT b FROM ppmi),
+       |mat AS MATERIALIZED (
+       |  SELECT a AS i, b AS j, wfp FROM ppmi
+       |  UNION ALL SELECT b, a, wfp FROM ppmi
+       |  UNION ALL SELECT i, i, CAST($Scale AS BIGINT) FROM nodes),
+       |v0 AS MATERIALIZED (
+       |  SELECT i AS node, CAST($Scale AS BIGINT) AS v FROM nodes),
+       |$rounds""".stripMargin
+  }
+
+  private def q156Sql: String =
+    s"""$spectralCtes
+       |SELECT node, v AS vfp FROM v$Rounds""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q156_spectral_embed", q156, Some(q156Sql)))
+}

@@ -58,19 +58,27 @@ object WalkPmi {
     pmiOf(WalkPairs.walkPairsOf(Backbone.backboneOf(pw)))
   }
 
-  private def q155Sql: String =
+  /** Mirror of [[pmiOf]] over [[WalkPairs.walkPairCtes]]'s `pairs`: CTE
+    * stack ending in `pmi(a, b, cnt, occ_a, occ_b, t_mass, pmi)` — shared
+    * by the q155 oracle and the spectral/similarity consumers (q156+). */
+  private[ops] def pmiCtes: String =
     s"""${WalkPairs.walkPairCtes},
        |occ AS (SELECT x, CAST(sum(cnt) AS BIGINT) AS occ FROM (
        |          SELECT a AS x, cnt FROM pairs
        |          UNION ALL SELECT b AS x, cnt FROM pairs)
        |        GROUP BY x),
-       |pt AS (SELECT *, CAST(sum(cnt) OVER () AS BIGINT) AS t_mass FROM pairs)
-       |SELECT pt.a, pt.b, pt.cnt, oa.occ AS occ_a, ob.occ AS occ_b, pt.t_mass,
-       |       round(ln(CAST(pt.cnt * pt.t_mass AS DOUBLE)
-       |                / CAST(oa.occ * ob.occ AS DOUBLE)), 6) AS pmi
-       |FROM pt
-       |JOIN occ oa ON pt.a = oa.x
-       |JOIN occ ob ON pt.b = ob.x""".stripMargin
+       |pt AS (SELECT *, CAST(sum(cnt) OVER () AS BIGINT) AS t_mass FROM pairs),
+       |pmi AS MATERIALIZED (
+       |  SELECT pt.a, pt.b, pt.cnt, oa.occ AS occ_a, ob.occ AS occ_b, pt.t_mass,
+       |         round(ln(CAST(pt.cnt * pt.t_mass AS DOUBLE)
+       |                  / CAST(oa.occ * ob.occ AS DOUBLE)), 6) AS pmi
+       |  FROM pt
+       |  JOIN occ oa ON pt.a = oa.x
+       |  JOIN occ ob ON pt.b = ob.x)""".stripMargin
+
+  private def q155Sql: String =
+    s"""$pmiCtes
+       |SELECT a, b, cnt, occ_a, occ_b, t_mass, pmi FROM pmi""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q155_walk_pmi", q155, Some(q155Sql)))

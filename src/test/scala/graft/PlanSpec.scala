@@ -1103,6 +1103,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
   }
 
+  test("q156 spectral embed: checkpoint-truncated rounds — the final division reads ONLY the last raw RDD plus its 1-row max census") {
+    val p = plan(Registry.byName("q156_spectral_embed").run(spark, sf0001))
+    // every round's raw localCheckpoints (it feeds the max census AND the
+    // division row — the doubled-pass rule), so the output plan roots at
+    // the round-4 checkpoint twice and NOTHING upstream (matrix persist,
+    // walk machinery, corpus scan) survives into the executed lineage
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 2,
+      s"division row and max census must both read the checkpointed raw:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"the corpus pass is upstream of the checkpoints, never in the final plan:\n$p")
+    assert(countOccurrences(p, "BroadcastNestedLoopJoin") <= 1,
+      s"only the 1-row max-census broadcast may BNLJ (q142 posture):\n$p")
+    assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
+  }
+
   test("q141 hybrid rrf: one tokenized corpus for three readers; only the cosine theta-join BNLJs") {
     val p = executedPortion(plan(Registry.byName("q141_hybrid_rrf").run(spark, sf0001)))
     assert(countOccurrences(p, "InMemoryTableScan") >= 3,
