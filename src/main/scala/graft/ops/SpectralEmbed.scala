@@ -62,9 +62,11 @@ object SpectralEmbed {
     * with max-norm 10⁶ per global max (components normalize against the
     * globally dominant one). */
   def spectralOf(pmi: DataFrame): DataFrame = {
-    val pos = pmi.filter(col("pmi") > 0)
+    // persisted: the PMI layer upstream is census-grain but multi-stage —
+    // without this, sym's two arms re-execute it end to end
+    val pos = Tables.swapPersist("q156_ppmi", pmi.filter(col("pmi") > 0)
       .select(col("a"), col("b"),
-        round(col("pmi") * lit(1000000.0), 0).cast("long").as("wfp"))
+        round(col("pmi") * lit(1000000.0), 0).cast("long").as("wfp")))
     val sym = pos.select(col("a").as("i"), col("b").as("j"), col("wfp"))
       .unionAll(pos.select(col("b").as("i"), col("a").as("j"), col("wfp")))
     val nodes = sym.select(col("i")).distinct()

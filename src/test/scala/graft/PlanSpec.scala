@@ -1118,6 +1118,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
   }
 
+  test("q157 pmi neighbors: sim checkpoint truncates the plan; both orientation arms read it; node-partitioned top-K, no BNLJ") {
+    val p = plan(Registry.byName("q157_pmi_neighbors").run(spark, sf0001))
+    // the sim census localCheckpoints (two orientation readers), so the
+    // final plan roots there twice and the ppm/capped persists plus the
+    // walk machinery stay upstream of the displayed lineage
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 2,
+      s"both orientation arms must read the checkpointed sim census:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"the corpus pass is upstream of the checkpoint, never in the final plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the dot self-join is a context-keyed equi-join, never all-pairs:\n$p")
+    // the top-K window partitions by node — nothing funnels through one
+    // partition (the backbone-v2 lesson)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-partition exchange — nodes rank in parallel:\n$p")
+  }
+
   test("q141 hybrid rrf: one tokenized corpus for three readers; only the cosine theta-join BNLJs") {
     val p = executedPortion(plan(Registry.byName("q141_hybrid_rrf").run(spark, sf0001)))
     assert(countOccurrences(p, "InMemoryTableScan") >= 3,
