@@ -1135,6 +1135,23 @@ class PlanSpec extends SparkSpec {
       s"no single-partition exchange — nodes rank in parallel:\n$p")
   }
 
+  test("q158 pmi agreement: checkpointed pmi census feeds both faces; only the K^2-histogram share fold funnels") {
+    val p = plan(Registry.byName("q158_pmi_agreement").run(spark, sf0001))
+    // the pmi census localCheckpoints (similarity stack + direct-edge arm),
+    // and q157's sim checkpoint truncates the similarity face — so the
+    // final plan roots at RDDs, never at the corpus
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 3,
+      s"sim's two arms and the direct arm must read checkpoints:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"the corpus pass is upstream of the checkpoints:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the direct join is a (node,nbr) equi-join:\n$p")
+    // exactly one funnel: the empty-window share fold over the <=K^2
+    // histogram (the q145 posture) — nothing node- or edge-grain
+    assert(countOccurrences(p, "Exchange SinglePartition") <= 1,
+      s"only the tiny histogram may fold through one partition:\n$p")
+  }
+
   test("q141 hybrid rrf: one tokenized corpus for three readers; only the cosine theta-join BNLJs") {
     val p = executedPortion(plan(Registry.byName("q141_hybrid_rrf").run(spark, sf0001)))
     assert(countOccurrences(p, "InMemoryTableScan") >= 3,
