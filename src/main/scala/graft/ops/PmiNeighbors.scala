@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -106,6 +106,63 @@ object PmiNeighbors {
       .filter(col("rk") <= k)
       .select(col("node"), col("nbr"), col("rk").cast("long").as("rk"),
         col("dot"), col("cos2_bp"))
+  }
+
+  /** Stream-static link-materialization gate — q157's ingestion face:
+    * alert the moment an arriving co-transition REALIZES a predicted
+    * link, i.e. forms an item pair that (a) the frozen similarity layer
+    * ranked into some top-K list but (b) never co-transitioned in the
+    * frozen corpus. This is the online validation loop of the link
+    * predictor: every alert is a prediction coming true, so the alert
+    * rate IS the predictor's realized precision, measured for free at
+    * ingestion time. "Never co-transitioned" is judged against the
+    * CO-TRANSITION census pw (the same universe driftGate's `novel`
+    * uses) — deliberately NOT q158's matrix-direct notion: an arriving
+    * event is a transition, so the first-time fact is about pw; a pair
+    * can sit in the walk co-visit matrix (2-hop company) yet never have
+    * co-transitioned — exactly the pairs this gate watches.
+    *
+    * Scale shape (the triadGate/driftGate posture): every frozen frame
+    * is vocab- or user-grain and computed once — the predicted-pair set
+    * is ≤ K·|nodes| rows canonicalized and anti-joined against pw, the
+    * per-user last item is user-grain; the stream side is two
+    * stream-static equi-joins — stateless append, no watermark, no
+    * state store (the spec pins stateOperators empty and
+    * stream == batch). */
+  def linkGateStreamStatic(streamEvents: DataFrame, staticEvents: DataFrame,
+                           staticTUs: Column,
+                           minW: Long = Triangles.DefaultMinW,
+                           topBp: Long = 1000L): DataFrame = {
+    val pw = Tables.swapPersist("link_gate_pw",
+      Triangles.weightedItemGraphOf(staticEvents, staticTUs, minW))
+    val nn = neighborsOf(
+      WalkPmi.pmiOf(WalkPairs.walkPairsOf(Backbone.backboneOf(pw, topBp))))
+    // canonical predicted pairs that never co-transitioned: vocab-grain
+    val pred = Tables.swapPersist("link_gate_pred",
+      nn.select(least(col("node"), col("nbr")).as("a"),
+          greatest(col("node"), col("nbr")).as("b"), col("cos2_bp"))
+        .distinct()
+        .join(pw.select(col("a"), col("b")), Seq("a", "b"), "left_anti"))
+    val lastItem = Tables.swapPersist("link_gate_last",
+      staticEvents
+        .select(col("user_id"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"),
+          staticTUs.as("t"))
+        .filter(col("item").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(expr("max_by(item, struct(t, event_id))").as("last_item")))
+    streamEvents
+      .select(col("user_id"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+      .join(lastItem.select(col("user_id"), col("last_item")), Seq("user_id"))
+      .filter(col("last_item") =!= col("item"))
+      .select(col("user_id"), col("event_id"),
+        least(col("last_item"), col("item")).as("a"),
+        greatest(col("last_item"), col("item")).as("b"))
+      .join(pred, Seq("a", "b"))
+      .select(col("user_id"), col("event_id"), col("a"), col("b"),
+        col("cos2_bp"))
   }
 
   // ---------------------------------------------------------------- q157
