@@ -61,21 +61,30 @@ object SpectralEmbed {
     * positive-PMI entries of a `pmi(a, b, …, pmi)` census. vfp ∈ [0, 10⁶]
     * with max-norm 10⁶ per global max (components normalize against the
     * globally dominant one). */
-  def spectralOf(pmi: DataFrame): DataFrame = {
+  def spectralOf(pmi: DataFrame): DataFrame =
+    dominantOf(ppmiMatOf(pmi, "q156")).select(col("node"), col("v").as("vfp"))
+
+  /** The persisted symmetric-PPMI + σ·I matrix of a pmi census (keyed so
+    * q156/q159 don't collide under the concurrent bench). */
+  private def ppmiMatOf(pmi: DataFrame, key: String): DataFrame = {
     // persisted: the PMI layer upstream is census-grain but multi-stage —
     // without this, sym's two arms re-execute it end to end
-    val pos = Tables.swapPersist("q156_ppmi", pmi.filter(col("pmi") > 0)
+    val pos = Tables.swapPersist(s"${key}_ppmi", pmi.filter(col("pmi") > 0)
       .select(col("a"), col("b"),
         round(col("pmi") * lit(1000000.0), 0).cast("long").as("wfp")))
     val sym = pos.select(col("a").as("i"), col("b").as("j"), col("wfp"))
       .unionAll(pos.select(col("b").as("i"), col("a").as("j"), col("wfp")))
     val nodes = sym.select(col("i")).distinct()
     // walk-census-bounded matrix: persists once, read Rounds times
-    val mat = Tables.swapPersist("q156_mat",
+    Tables.swapPersist(s"${key}_mat",
       sym.unionByName(nodes.select(col("i"), col("i").as("j"),
         lit(Scale).as("wfp"))))
+  }
 
-    var v = nodes.select(col("i").as("node"), lit(Scale).as("v"))
+  /** (node, v) dominant-eigenvector fixed point after [[Rounds]] rounds. */
+  private def dominantOf(mat: DataFrame): DataFrame = {
+    var v = mat.select(col("i").as("node")).distinct()
+      .withColumn("v", lit(Scale))
       .localCheckpoint()
     for (_ <- 1 to Rounds) {
       // raw has TWO consumers (max census + division row) — it is the
@@ -90,7 +99,69 @@ object SpectralEmbed {
       v = raw.crossJoin(broadcast(m))
         .select(col("i").as("node"), expr("(raw * 1000000) div m").as("v"))
     }
-    v.select(col("node"), col("v").as("vfp"))
+    v
+  }
+
+  /** (node, v1fp, v2fp) — the 2-D spectral embedding: v1 = [[dominantOf]],
+    * v2 = the second coordinate by DEFLATED power iteration, every round
+    * projecting out the v1 component in exact integer arithmetic:
+    *
+    *   w  = M·u                    (int64 products, DECIMAL(38,0) sums)
+    *   w' = w − (⟨v1,w⟩ div ⟨v1,v1⟩)·v1   (truncate-toward-zero both
+    *                               engines — the q151-verified contract;
+    *                               the quotient's truncation is the one
+    *                               declared rounding per round)
+    *   u  = (w'·10⁶) div max|w'|, 0 when max|w'| = 0 (single-node
+    *                               components: the complement is empty)
+    *
+    * u₀ breaks symmetry deterministically: (H mod 2000001) − 10⁶ with
+    * H = first-8-hex of md5("spec2|<node>") — the q153 md5 idiom, signed
+    * so both eigendirections are reachable; the SIGN of v2 is therefore
+    * a deterministic function of the corpus, not a convention.
+    *
+    * Bounds: |w| ≤ 4·10¹⁹ (q156's bound), ⟨v1,w⟩ ≤ 4·10³¹ at a 10⁶-node
+    * catalog, quotient·v1 ≤ 4·10²⁵, w'·10⁶ ≤ 8·10³¹ — all inside
+    * DECIMAL(38,0)/HUGEINT.
+    *
+    * Scale shape: v1's loop, then one pre-join of the persisted matrix
+    * with the checkpointed v1 (matv persists for the round joins); each
+    * deflation round = one node-keyed equi-join + one DECIMAL sum
+    * exchange + three 1-row censuses (⟨v1,w⟩; the constant ⟨v1,v1⟩
+    * recomputed from the checkpointed v1; max|w'|) broadcast back — the
+    * q142 posture; w and w' each feed two consumers, so both checkpoint
+    * (doubled-pass rule). */
+  def spectralPairOf(pmi: DataFrame): DataFrame = {
+    val mat = ppmiMatOf(pmi, "q159")
+    val v1 = dominantOf(mat).localCheckpoint()
+    val den = v1.agg(sum((col("v") * col("v")).cast(DecimalType(38, 0)))
+      .as("den"))
+    val matv = Tables.swapPersist("q159_matv",
+      mat.join(v1.select(col("node").as("i"), col("v").as("v1i")), Seq("i")))
+    val h = graft.ext.TextOps.hexVal(
+      "md5(concat('spec2|', CAST(node AS STRING)))", 1, duck = false)
+    var u = v1.select(col("node"),
+      expr(s"CAST($h % 2000001 - 1000000 AS BIGINT)").as("u"))
+    for (_ <- 1 to Rounds) {
+      val w = matv.join(u.select(col("node").as("un"), col("u")),
+          col("j") === col("un"))
+        .groupBy(col("i"))
+        .agg(sum((col("wfp") * col("u")).cast(DecimalType(38, 0))).as("w"),
+          max(col("v1i")).as("v1i"))
+        .localCheckpoint()
+      val num = w.agg(sum(col("v1i").cast(DecimalType(38, 0)) * col("w"))
+        .as("num"))
+      val qf = num.crossJoin(den).select(expr("num div den").as("qq"))
+      val wp = w.crossJoin(broadcast(qf))
+        .select(col("i"), col("v1i"),
+          (col("w") - col("qq").cast(DecimalType(38, 0)) * col("v1i")).as("wp"))
+        .localCheckpoint()
+      val m = wp.agg(max(abs(col("wp"))).as("m"))
+      u = wp.crossJoin(broadcast(m))
+        .select(col("i").as("node"),
+          expr("CASE WHEN m > 0 THEN (wp * 1000000) div m ELSE 0 END").as("u"))
+    }
+    v1.select(col("node"), col("v").as("v1fp"))
+      .join(u.select(col("node"), col("u").as("v2fp")), Seq("node"))
   }
 
   // ---------------------------------------------------------------- q156
@@ -133,6 +204,51 @@ object SpectralEmbed {
     s"""$spectralCtes
        |SELECT node, v AS vfp FROM v$Rounds""".stripMargin
 
+  // ---------------------------------------------------------------- q159
+  def q159(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.table(spark, sfDir, "events")
+    val pw = Tables.swapPersist("q159_pw",
+      Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev)))
+    spectralPairOf(WalkPmi.pmiOf(WalkPairs.walkPairsOf(Backbone.backboneOf(pw))))
+  }
+
+  /** Mirror of [[spectralPairOf]] over [[spectralCtes]]'s v$Rounds:
+    * deflation rounds unrolled, scalar subqueries for the three per-round
+    * censuses, `//` truncation matching Spark's `div` (toward zero on
+    * negatives — q151-verified). */
+  private def q159Sql: String = {
+    val h = graft.ext.TextOps.hexVal(
+      "md5('spec2|' || CAST(node AS VARCHAR))", 1, duck = true)
+    val rounds = (1 to Rounds).map { r =>
+      s"""w$r AS MATERIALIZED (
+         |  SELECT m.i, sum(CAST(m.wfp AS HUGEINT) * u.u) AS w,
+         |         max(m.v1i) AS v1i
+         |  FROM matv m JOIN u${r - 1} u ON m.j = u.node GROUP BY m.i),
+         |q$r AS (SELECT sum(CAST(v1i AS HUGEINT) * w)
+         |               // (SELECT den FROM denc) AS qq FROM w$r),
+         |wp$r AS MATERIALIZED (
+         |  SELECT i, w - (SELECT qq FROM q$r) * v1i AS wp FROM w$r),
+         |u$r AS MATERIALIZED (
+         |  SELECT i AS node,
+         |         CAST(CASE WHEN (SELECT max(abs(wp)) FROM wp$r) > 0
+         |              THEN (wp * 1000000) // (SELECT max(abs(wp)) FROM wp$r)
+         |              ELSE 0 END AS BIGINT) AS u
+         |  FROM wp$r)""".stripMargin
+    }.mkString(",\n")
+    s"""$spectralCtes,
+       |v1n AS MATERIALIZED (SELECT node, v FROM v$Rounds),
+       |denc AS (SELECT sum(CAST(v AS HUGEINT) * v) AS den FROM v1n),
+       |matv AS MATERIALIZED (
+       |  SELECT m.i, m.j, m.wfp, v1.v AS v1i
+       |  FROM mat m JOIN v1n v1 ON m.i = v1.node),
+       |u0 AS MATERIALIZED (
+       |  SELECT node, CAST($h % 2000001 - 1000000 AS BIGINT) AS u FROM v1n),
+       |$rounds
+       |SELECT v1n.node, v1n.v AS v1fp, u$Rounds.u AS v2fp
+       |FROM v1n JOIN u$Rounds ON v1n.node = u$Rounds.node""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q156_spectral_embed", q156, Some(q156Sql)))
+    QueryDef("q156_spectral_embed", q156, Some(q156Sql)),
+    QueryDef("q159_spectral_pair", q159, Some(q159Sql)))
 }

@@ -1152,6 +1152,21 @@ class PlanSpec extends SparkSpec {
       s"only the tiny histogram may fold through one partition:\n$p")
   }
 
+  test("q159 spectral pair: checkpoint-truncated deflation — the final join reads v1 and the last division, census broadcasts only") {
+    val p = plan(Registry.byName("q159_spectral_pair").run(spark, sf0001))
+    // v1 localCheckpoints (den + matv + every projection + the output
+    // join read it) and each deflation round checkpoints w and w', so
+    // the output plan roots at checkpoints: the v1 arm plus the last
+    // wp (division row + its max census)
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 3,
+      s"v1 and the last wp's two faces must read checkpoints:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"the corpus pass is upstream of the checkpoints:\n$p")
+    assert(countOccurrences(p, "BroadcastNestedLoopJoin") <= 1,
+      s"only the 1-row max-census broadcast may BNLJ (q142 posture):\n$p")
+    assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
+  }
+
   test("q141 hybrid rrf: one tokenized corpus for three readers; only the cosine theta-join BNLJs") {
     val p = executedPortion(plan(Registry.byName("q141_hybrid_rrf").run(spark, sf0001)))
     assert(countOccurrences(p, "InMemoryTableScan") >= 3,
