@@ -178,7 +178,13 @@ object PmiNeighbors {
     * agreement census. */
   private[ops] def neighborCtes: String =
     s"""${WalkPmi.pmiCtes},
-       |ppm AS MATERIALIZED (
+       |$neighborCtesFromPmi""".stripMargin
+
+  /** The similarity stack alone (`ppm` → `nn`), assuming a `pmi` CTE is
+    * already in scope — composable next to the spectral stack (q160),
+    * whose CTE names it does not collide with. */
+  private[ops] def neighborCtesFromPmi: String =
+    s"""ppm AS MATERIALIZED (
        |  SELECT * FROM (
        |    SELECT a, b, CAST(round(pmi * 1000, 0) AS BIGINT) AS w
        |    FROM pmi WHERE pmi > 0)

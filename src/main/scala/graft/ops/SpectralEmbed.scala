@@ -216,7 +216,7 @@ object SpectralEmbed {
     * deflation rounds unrolled, scalar subqueries for the three per-round
     * censuses, `//` truncation matching Spark's `div` (toward zero on
     * negatives — q151-verified). */
-  private def q159Sql: String = {
+  private[ops] def spectralPairCtes: String = {
     val h = graft.ext.TextOps.hexVal(
       "md5('spec2|' || CAST(node AS VARCHAR))", 1, duck = true)
     val rounds = (1 to Rounds).map { r =>
@@ -243,10 +243,13 @@ object SpectralEmbed {
        |  FROM mat m JOIN v1n v1 ON m.i = v1.node),
        |u0 AS MATERIALIZED (
        |  SELECT node, CAST($h % 2000001 - 1000000 AS BIGINT) AS u FROM v1n),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def q159Sql: String =
+    s"""$spectralPairCtes
        |SELECT v1n.node, v1n.v AS v1fp, u$Rounds.u AS v2fp
        |FROM v1n JOIN u$Rounds ON v1n.node = u$Rounds.node""".stripMargin
-  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q156_spectral_embed", q156, Some(q156Sql)),

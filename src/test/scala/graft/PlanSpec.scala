@@ -1167,6 +1167,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
   }
 
+  test("q160 spectral coherence: checkpoint-rooted faces, canonical-pair equi-joins, 3-row census") {
+    val p = plan(Registry.byName("q160_spectral_coherence").run(spark, sf0001))
+    // the pmi census checkpoints for its three faces; coords checkpoint
+    // for both endpoint readers; q157's sim checkpoint truncates the
+    // similarity face — the final plan roots at RDDs, never the corpus
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 4,
+      s"coords (two endpoint arms), nn and the edge arm must read checkpoints:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"the corpus pass is upstream of the checkpoints:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"class and endpoint joins are equi-joins:\n$p")
+  }
+
   test("q141 hybrid rrf: one tokenized corpus for three readers; only the cosine theta-join BNLJs") {
     val p = executedPortion(plan(Registry.byName("q141_hybrid_rrf").run(spark, sf0001)))
     assert(countOccurrences(p, "InMemoryTableScan") >= 3,
