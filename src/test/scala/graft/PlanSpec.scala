@@ -1180,6 +1180,23 @@ class PlanSpec extends SparkSpec {
       s"class and endpoint joins are equi-joins:\n$p")
   }
 
+  test("q161 user spectral grid: the corpus join broadcasts the vocab-grain coords; grid census folds; pushdown reaches the scan") {
+    val p = plan(Registry.byName("q161_user_spectral_grid").run(spark, sf0001))
+    // THE one corpus-scale join in the embedding family — coords is
+    // vocab-grain and must broadcast onto the events scan
+    assert(p.contains("BroadcastHashJoin"),
+      s"coords must broadcast onto the corpus:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the item join is an equi-join:\n$p")
+    // the events arm reads parquet directly (this query's corpus face)
+    // with the item extraction only — ReadSchema stays narrow
+    assert(p.contains("Scan parquet"), s"the corpus face reads parquet:\n$p")
+    // one funnel: the share fold over the <=21x21 grid census (coords
+    // checkpoints, so the spectral stack's censuses stay upstream)
+    assert(countOccurrences(p, "Exchange SinglePartition") <= 1,
+      s"only the tiny grid census may fold through one partition:\n$p")
+  }
+
   test("q141 hybrid rrf: one tokenized corpus for three readers; only the cosine theta-join BNLJs") {
     val p = executedPortion(plan(Registry.byName("q141_hybrid_rrf").run(spark, sf0001)))
     assert(countOccurrences(p, "InMemoryTableScan") >= 3,
