@@ -61,8 +61,8 @@ object SpectralEmbed {
     * positive-PMI entries of a `pmi(a, b, …, pmi)` census. vfp ∈ [0, 10⁶]
     * with max-norm 10⁶ per global max (components normalize against the
     * globally dominant one). */
-  def spectralOf(pmi: DataFrame): DataFrame =
-    dominantOf(ppmiMatOf(pmi, "q156")).select(col("node"), col("v").as("vfp"))
+  def spectralOf(pmi: DataFrame, key: String = "q156"): DataFrame =
+    dominantOf(ppmiMatOf(pmi, key)).select(col("node"), col("v").as("vfp"))
 
   /** The persisted symmetric-PPMI + σ·I matrix of a pmi census (keyed so
     * q156/q159 don't collide under the concurrent bench). */
@@ -176,7 +176,15 @@ object SpectralEmbed {
     * then [[Rounds]] unrolled (raw, v) CTE pairs. MATERIALIZED is
     * load-bearing (each vK feeds rK+1's join; each rK feeds its max
     * census and its division). */
-  private[ops] def spectralCtes: String = {
+  private[ops] def spectralCtes: String =
+    s"""${WalkPmi.pmiCtes},
+       |$spectralRoundsFromPmi""".stripMargin
+
+  /** The power-iteration stack alone (`ppmi` → `v$Rounds`), assuming a
+    * `pmi(a, b, …, pmi)` CTE is already in scope — composable over ANY
+    * positive-weight pair census (q156/q159 feed it the walk matrix,
+    * q162 the document near-dup graph). */
+  private[graft] def spectralRoundsFromPmi: String = {
     val rounds = (1 to Rounds).map { r =>
       s"""r$r AS MATERIALIZED (
          |  SELECT m.i, sum(m.wfp * v.v) AS raw
@@ -186,8 +194,7 @@ object SpectralEmbed {
          |         CAST((raw * 1000000) // (SELECT max(raw) FROM r$r) AS BIGINT) AS v
          |  FROM r$r)""".stripMargin
     }.mkString(",\n")
-    s"""${WalkPmi.pmiCtes},
-       |ppmi AS MATERIALIZED (
+    s"""ppmi AS MATERIALIZED (
        |  SELECT a, b, CAST(round(pmi * 1000000, 0) AS BIGINT) AS wfp
        |  FROM pmi WHERE pmi > 0),
        |nodes AS (SELECT a AS i FROM ppmi UNION SELECT b FROM ppmi),

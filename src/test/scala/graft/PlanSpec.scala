@@ -1197,6 +1197,17 @@ class PlanSpec extends SparkSpec {
       s"only the tiny grid census may fold through one partition:\n$p")
   }
 
+  test("q162 neardup spectral: q14's capped pair census under q156's checkpointed loop — same truncated final shape") {
+    val p = plan(Registry.byName("q162_neardup_spectral").run(spark, sf0001))
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 2,
+      s"division row and max census must both read the checkpointed raw:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"the shingle pass is upstream of the checkpoints:\n$p")
+    assert(countOccurrences(p, "BroadcastNestedLoopJoin") <= 1,
+      s"only the 1-row max-census broadcast may BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
+  }
+
   test("q141 hybrid rrf: one tokenized corpus for three readers; only the cosine theta-join BNLJs") {
     val p = executedPortion(plan(Registry.byName("q141_hybrid_rrf").run(spark, sf0001)))
     assert(countOccurrences(p, "InMemoryTableScan") >= 3,
