@@ -144,7 +144,10 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .filter { case (n, _) => NameFilter.selected(only, n) }
+    // untimed byte-level warm of the timed input dir (see WarmRead: kills
+    // the recurring first-touch artifact after probe builds)
+    graft.tools.WarmRead.warm(sfDir)
     // warmup: full set at the smallest sf (untimed)
     queries.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }

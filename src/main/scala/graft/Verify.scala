@@ -18,10 +18,23 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY (dev loop only — the driver never sets it): dump
-    // just the named query prefixes; oracle_sql.json still covers all
+    // just the named queries (exact or `_`-prefix, see NameFilter);
+    // oracle_sql.json still covers all
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // _SF sentinel: records which sf dir the dumps in outDir came from, so
+    // local_verify can refuse a stale-SF compare (the trap was hit twice in
+    // round 11). Full dumps stamp unconditionally; an ONLY dump into a dir
+    // stamped with a DIFFERENT sf would silently mix scales — refuse.
+    val sfSentinel = Paths.get(s"$outDir/_SF")
+    if (only.isDefined && Files.exists(sfSentinel)) {
+      val prev = Files.readString(sfSentinel).trim
+      require(prev == sfDir,
+        s"$outDir holds dumps from $prev but SPARK_GRAFT_ONLY run targets $sfDir — " +
+          "wipe the dir or run a full dump first")
+    }
+    Files.writeString(sfSentinel, sfDir)
     SparkEntry.queries
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .filter { case (n, _) => NameFilter.selected(only, n) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -49,9 +49,11 @@ object PmiNeighbors {
   val TopK = 5
 
   /** (node, nbr, rk, dot, cos2_bp) top-`k` capped-cosine neighbors per
-    * node of a `pmi(a, b, …, pmi)` census. */
+    * node of a `pmi(a, b, …, pmi)` census. `key` namespaces the internal
+    * persists per registered caller (q157/q158/q160/linkGate all run
+    * this — a shared key means concurrent-bench cross-query eviction). */
   def neighborsOf(pmi: DataFrame, cap: Long = ContextCap,
-                  k: Int = TopK): DataFrame = {
+                  k: Int = TopK, key: String = "q157"): DataFrame = {
     require(cap >= 1L, s"cap must be >= 1, got $cap")
     require(k >= 1, s"k must be >= 1, got $k")
     // w > 0 AFTER rounding: a pmi under 0.0005 rounds to weight 0 at
@@ -60,7 +62,7 @@ object PmiNeighbors {
     // both engines instead
     // persisted: the PMI layer upstream is census-grain but multi-stage —
     // without this, sym's two arms re-execute it end to end
-    val pos = Tables.swapPersist("q157_ppm", pmi.filter(col("pmi") > 0)
+    val pos = Tables.swapPersist(s"${key}_ppm", pmi.filter(col("pmi") > 0)
       .select(col("a"), col("b"),
         round(col("pmi") * lit(1000.0), 0).cast("long").as("w"))
       .filter(col("w") > 0))
@@ -69,7 +71,7 @@ object PmiNeighbors {
     // capped matrix: three readers (norms + both dot arms); the degree
     // gate is a context-partitioned window over sym itself — one
     // exchange on j, no join-back
-    val capped = Tables.swapPersist("q157_capped",
+    val capped = Tables.swapPersist(s"${key}_capped",
       sym.withColumn("deg", count(lit(1)).over(Window.partitionBy(col("j"))))
         .filter(col("deg") <= cap)
         .select(col("i"), col("j"), col("w")))
@@ -136,7 +138,9 @@ object PmiNeighbors {
     val pw = Tables.swapPersist("link_gate_pw",
       Triangles.weightedItemGraphOf(staticEvents, staticTUs, minW))
     val nn = neighborsOf(
-      WalkPmi.pmiOf(WalkPairs.walkPairsOf(Backbone.backboneOf(pw, topBp))))
+      WalkPmi.pmiOf(WalkPairs.walkPairsOf(Backbone.backboneOf(pw, topBp),
+        key = "link_gate"), key = "link_gate"),
+      key = "link_gate")
     // canonical predicted pairs that never co-transitioned: vocab-grain
     val pred = Tables.swapPersist("link_gate_pred",
       nn.select(least(col("node"), col("nbr")).as("a"),
@@ -170,7 +174,9 @@ object PmiNeighbors {
     val ev = Tables.table(spark, sfDir, "events")
     val pw = Tables.swapPersist("q157_pw",
       Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev)))
-    neighborsOf(WalkPmi.pmiOf(WalkPairs.walkPairsOf(Backbone.backboneOf(pw))))
+    neighborsOf(WalkPmi.pmiOf(
+      WalkPairs.walkPairsOf(Backbone.backboneOf(pw), key = "q157"),
+      key = "q157"))
   }
 
   /** Mirror of [[neighborsOf]] over [[WalkPmi.pmiCtes]], ending in

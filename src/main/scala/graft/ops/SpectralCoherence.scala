@@ -34,13 +34,14 @@ import graft.oracle.{QueryDef, Tables}
   * q153's machinery. */
 object SpectralCoherence {
 
-  /** (cls, pairs, mean_d2) over a `pmi(a, b, …, pmi)` census. */
-  def coherenceOf(pmi: DataFrame): DataFrame = {
+  /** (cls, pairs, mean_d2) over a `pmi(a, b, …, pmi)` census. `key`
+    * namespaces both stacks' internal persists per registered caller. */
+  def coherenceOf(pmi: DataFrame, key: String = "q160"): DataFrame = {
     // three faces (doubled-pass rule, and the q158 display lesson)
     val p = pmi.localCheckpoint()
     // two endpoint readers
-    val coords = SpectralEmbed.spectralPairOf(p).localCheckpoint()
-    val nnp = PmiNeighbors.neighborsOf(p)
+    val coords = SpectralEmbed.spectralPairOf(p, key = key).localCheckpoint()
+    val nnp = PmiNeighbors.neighborsOf(p, key = key)
       .select(least(col("node"), col("nbr")).as("a"),
         greatest(col("node"), col("nbr")).as("b"))
       .distinct()
@@ -77,7 +78,9 @@ object SpectralCoherence {
     val ev = Tables.table(spark, sfDir, "events")
     val pw = Tables.swapPersist("q160_pw",
       Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev)))
-    coherenceOf(WalkPmi.pmiOf(WalkPairs.walkPairsOf(Backbone.backboneOf(pw))))
+    coherenceOf(WalkPmi.pmiOf(
+      WalkPairs.walkPairsOf(Backbone.backboneOf(pw), key = "q160"),
+      key = "q160"))
   }
 
   /** Mirror of [[coherenceOf]]: the spectral-pair stack and the

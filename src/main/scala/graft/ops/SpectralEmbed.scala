@@ -81,12 +81,35 @@ object SpectralEmbed {
         lit(Scale).as("wfp"))))
   }
 
+  /** The persisted symmetric-PPMI + σ·I matrix — q163's incremental
+    * variant builds ONE matrix for its warm and cold arms. */
+  private[ops] def matOf(pmi: DataFrame, key: String): DataFrame =
+    ppmiMatOf(pmi, key)
+
   /** (node, v) dominant-eigenvector fixed point after [[Rounds]] rounds. */
-  private def dominantOf(mat: DataFrame): DataFrame = {
-    var v = mat.select(col("i").as("node")).distinct()
-      .withColumn("v", lit(Scale))
-      .localCheckpoint()
-    for (_ <- 1 to Rounds) {
+  private def dominantOf(mat: DataFrame): DataFrame =
+    iterate(mat,
+      mat.select(col("i").as("node")).distinct().withColumn("v", lit(Scale)),
+      Rounds)
+
+  /** [[dominantOf]] from an explicit start vector — the warm-start face
+    * (q163): `start(node, v)` is aligned to the matrix's node set (a node
+    * the start doesn't cover gets v₀ = [[Scale]], the cold default; a
+    * start row with no matrix node is dropped — retired items). The
+    * round body is shared with the cold path ([[iterate]]), so
+    * warm-vs-cold differ ONLY in v₀ and round count by construction. */
+  private[ops] def dominantFrom(mat: DataFrame, start: DataFrame,
+                                rounds: Int): DataFrame =
+    iterate(mat,
+      mat.select(col("i").as("node")).distinct()
+        .join(start.select(col("node"), col("v").as("v0")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("v0"), lit(Scale)).as("v")),
+      rounds)
+
+  private def iterate(mat: DataFrame, v0: DataFrame,
+                      rounds: Int): DataFrame = {
+    var v = v0.localCheckpoint()
+    for (_ <- 1 to rounds) {
       // raw has TWO consumers (max census + division row) — it is the
       // frame the doubled-pass rule checkpoints; v stays a lazy
       // projection rooted AT the checkpoint (bounded depth, one
@@ -130,12 +153,12 @@ object SpectralEmbed {
     * recomputed from the checkpointed v1; max|w'|) broadcast back — the
     * q142 posture; w and w' each feed two consumers, so both checkpoint
     * (doubled-pass rule). */
-  def spectralPairOf(pmi: DataFrame): DataFrame = {
-    val mat = ppmiMatOf(pmi, "q159")
+  def spectralPairOf(pmi: DataFrame, key: String = "q159"): DataFrame = {
+    val mat = ppmiMatOf(pmi, key)
     val v1 = dominantOf(mat).localCheckpoint()
     val den = v1.agg(sum((col("v") * col("v")).cast(DecimalType(38, 0)))
       .as("den"))
-    val matv = Tables.swapPersist("q159_matv",
+    val matv = Tables.swapPersist(s"${key}_matv",
       mat.join(v1.select(col("node").as("i"), col("v").as("v1i")), Seq("i")))
     val h = graft.ext.TextOps.hexVal(
       "md5(concat('spec2|', CAST(node AS STRING)))", 1, duck = false)
@@ -169,7 +192,9 @@ object SpectralEmbed {
     val ev = Tables.table(spark, sfDir, "events")
     val pw = Tables.swapPersist("q156_pw",
       Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev)))
-    spectralOf(WalkPmi.pmiOf(WalkPairs.walkPairsOf(Backbone.backboneOf(pw))))
+    spectralOf(WalkPmi.pmiOf(
+      WalkPairs.walkPairsOf(Backbone.backboneOf(pw), key = "q156"),
+      key = "q156"))
   }
 
   /** Mirror of [[spectralOf]] over [[WalkPmi.pmiCtes]]: PPMI + diagonal,
@@ -216,7 +241,9 @@ object SpectralEmbed {
     val ev = Tables.table(spark, sfDir, "events")
     val pw = Tables.swapPersist("q159_pw",
       Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev)))
-    spectralPairOf(WalkPmi.pmiOf(WalkPairs.walkPairsOf(Backbone.backboneOf(pw))))
+    spectralPairOf(WalkPmi.pmiOf(
+      WalkPairs.walkPairsOf(Backbone.backboneOf(pw), key = "q159"),
+      key = "q159"))
   }
 
   /** Mirror of [[spectralPairOf]] over [[spectralCtes]]'s v$Rounds:

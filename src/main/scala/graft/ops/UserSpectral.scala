@@ -62,7 +62,10 @@ object UserSpectral {
     // checkpointed: truncates the spectral stack's lineage (its 1-row
     // census broadcasts) out of the corpus join's plan
     val coords = SpectralEmbed.spectralPairOf(
-      WalkPmi.pmiOf(WalkPairs.walkPairsOf(Backbone.backboneOf(pw))))
+      WalkPmi.pmiOf(
+        WalkPairs.walkPairsOf(Backbone.backboneOf(pw), key = "q161"),
+        key = "q161"),
+      key = "q161")
       .localCheckpoint()
     val items = ev
       .select(col("user_id"),

@@ -55,15 +55,18 @@ object WalkPairs {
   /** Within-walk co-visit pair census (a, b, cnt) of [[Steps]]-step
     * deterministic walks, one per node of the canonical (a < b) edge
     * list `strong`. */
-  def walkPairsOf(strong: DataFrame): DataFrame = {
+  def walkPairsOf(strong: DataFrame, key: String = "q153"): DataFrame = {
     val wU = Window.partitionBy(col("u"))
     val adj = strong.select(col("a").as("u"), col("b").as("v"))
       .unionAll(strong.select(col("b").as("u"), col("a").as("v")))
       .select(col("u"), col("v"),
         (row_number().over(wU.orderBy(col("v"))) - 1).as("rn"),
         count(lit(1)).over(wU).as("deg"))
-    // Steps + 1 readers: every step join re-reads the ranked adjacency
-    val adjP = Tables.swapPersist("q153_adj", adj)
+    // Steps + 1 readers: every step join re-reads the ranked adjacency.
+    // `key` namespaces the persist per REGISTERED caller (q153…q162 +
+    // gates all run this): under the concurrent bench a shared key means
+    // cross-query eviction that silently pollutes contention timings.
+    val adjP = Tables.swapPersist(s"${key}_adj", adj)
 
     var frontier = adjP.select(col("u").as("walk")).distinct()
       .withColumn("cur", col("walk"))

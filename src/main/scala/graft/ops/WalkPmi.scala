@@ -35,9 +35,11 @@ import graft.oracle.{QueryDef, Tables}
   * q153's machinery (persisted weighted census, checkpointed walks). */
 object WalkPmi {
 
-  /** (a, b, cnt, occ_a, occ_b, t_mass, pmi) over a pair census. */
-  def pmiOf(pairs: DataFrame): DataFrame = {
-    val p = Tables.swapPersist("q155_pairs", pairs)
+  /** (a, b, cnt, occ_a, occ_b, t_mass, pmi) over a pair census. `key`
+    * namespaces the persist per registered caller (concurrent-bench
+    * cross-query eviction otherwise). */
+  def pmiOf(pairs: DataFrame, key: String = "q155"): DataFrame = {
+    val p = Tables.swapPersist(s"${key}_pairs", pairs)
     val occ = p.select(col("a").as("x"), col("cnt"))
       .unionByName(p.select(col("b").as("x"), col("cnt")))
       .groupBy(col("x")).agg(sum(col("cnt")).as("occ"))
@@ -55,7 +57,7 @@ object WalkPmi {
     val ev = Tables.table(spark, sfDir, "events")
     val pw = Tables.swapPersist("q155_pw",
       Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev)))
-    pmiOf(WalkPairs.walkPairsOf(Backbone.backboneOf(pw)))
+    pmiOf(WalkPairs.walkPairsOf(Backbone.backboneOf(pw), key = "q155"))
   }
 
   /** Mirror of [[pmiOf]] over [[WalkPairs.walkPairCtes]]'s `pairs`: CTE

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.Floors
+import graft.{Floors, NameFilter}
 import graft.oracle.{Registry, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -36,8 +36,10 @@ import org.apache.spark.sql.functions._
   * — the union covers both the globally-expensive queries and each table
   * family's local top (the events family's floors are all sub-second, so
   * a pure global threshold would never probe events-bound plans).
-  * SPARK_GRAFT_PROBE_ONLY=prefix,prefix restricts the derived set (for
-  * targeted deep runs, e.g. 30× on the three cost classes).
+  * SPARK_GRAFT_PROBE_ONLY=token,token restricts the derived set (for
+  * targeted deep runs, e.g. 30× on the three cost classes); tokens match
+  * exact-or-`_`-prefix ([[graft.NameFilter]]), so `q14` no longer sweeps
+  * q140–q149.
   *
   * Emits one JSON line per query — {"query","t1","t3","t10"[,"t30"],
   * "g3","g10"[,"g30"],"exp"} with exp = log(gMax)/log(maxScale) (1.0 =
@@ -151,9 +153,14 @@ object ScaleProbe {
       val props =
         if (axis == "items" && i > 0)
           // fixture props spell it `"k": 69` (space after the colon) —
-          // match both spellings, emit the spaced one
-          regexp_replace(col("props"), "\"k\": ?(\\d+)",
-            "\"k\": 1$1" + "%03d".format(i))
+          // match both spellings, emit the spaced one. Named group ${b}
+          // on purpose: the v7 replacement "1$1042" only worked because
+          // Java's Matcher stops consuming group-reference digits at $1
+          // when groups 10+ don't exist — adding a second capture group
+          // would have silently reparsed the reference as $10 and
+          // corrupted every copied key.
+          regexp_replace(col("props"), "\"k\": ?(?<b>\\d+)",
+            "\"k\": 1${b}" + "%03d".format(i))
         else col("props")
       base.select(
         (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
@@ -240,20 +247,27 @@ object ScaleProbe {
     * Plan-level detection (`df.inputFiles`) was tried first and is a trap:
     * every query that persists a subtree loses its file lineage to the
     * InMemoryRelation cache substitution. A query whose builder throws is
-    * reported and keeps whatever it read before throwing. */
+    * reported and classified CONSERVATIVELY as reading every scaled table
+    * (round-11 advice: a builder that threw before its first scaled read
+    * used to keep a partial — possibly empty — set and silently drop out
+    * of the probe set; over-probing a broken query is a visible failure,
+    * under-probing an expensive one is an invisible gap). */
   def scaledTableReaders(spark: SparkSession, detectDir: String,
                          only: Option[Seq[String]] = None): Map[String, Set[String]] = {
-    val candidates = Registry.all.filter(q => only.forall(_.exists(q.name.startsWith)))
+    val candidates = Registry.all.filter(q => NameFilter.selected(only, q.name))
     val out = candidates.map { q =>
       val log = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
       Tables.readLog = log
+      var detectFailed = false
       try q.run(spark, detectDir)
       catch {
         case t: Throwable =>
-          System.err.println(s"[probe] detect failed for ${q.name}: ${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).linesIterator.take(1).mkString.take(300)}")
+          detectFailed = true
+          System.err.println(s"[probe] detect failed for ${q.name} (classified as reading ALL scaled tables): ${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).linesIterator.take(1).mkString.take(300)}")
       } finally Tables.readLog = null
       import scala.jdk.CollectionConverters._
-      q.name -> log.asScala.toSet.intersect(ScaledTables)
+      q.name -> (if (detectFailed) ScaledTables
+                 else log.asScala.toSet.intersect(ScaledTables))
     }.toMap
     Tables.releasePersisted(); spark.catalog.clearCache()
     out
@@ -272,7 +286,7 @@ object ScaleProbe {
       qualifying.filter(_._2.contains(t)).sortBy(-_._3).take(perTable).map(_._1)
     }
     (global ++ perTbl).distinct.sorted
-      .filter(n => only.forall(_.exists(n.startsWith)))
+      .filter(n => NameFilter.selected(only, n))
   }
 
   private def timeCold(spark: SparkSession, name: String, dir: String, reps: Int): Double = {
@@ -334,6 +348,10 @@ object ScaleProbe {
       val ne = spark.read.parquet(s"${dirs(k)}/events.parquet").count()
       System.err.println(s"[probe] x$k: $n documents, $ne events")
     }
+    // untimed byte-level warm of every probe dir (parquet count() reads
+    // only footers, not data pages — see WarmRead for the measured
+    // first-touch artifact this kills)
+    dirs.values.foreach(WarmRead.warm)
 
     // warmup at the smallest fixture so JIT cost doesn't land on x1
     probeSet.foreach { q =>

@@ -31,14 +31,27 @@ for t in TABLES:
 
 oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
 
-# Mirror Verify's SPARK_GRAFT_ONLY prefix filter: without this, an ONLY run
-# compares every OTHER query against whatever-SF dumps happen to be lying in
-# OUT — widespread bogus "value mismatch with matching row counts" noise.
+# _SF sentinel (written by graft.Verify): refuse to compare dumps produced
+# from a different sf dir than the one requested — the stale-dump trap
+# (widespread bogus value mismatches with matching row counts) was hit
+# twice in round 11.
+sf_sentinel = Path(f"{OUT}/_SF")
+if sf_sentinel.exists():
+    dumped_sf = sf_sentinel.read_text().strip()
+    if Path(dumped_sf).resolve() != Path(SF).resolve():
+        print(f"REFUSE: {OUT} holds dumps from {dumped_sf}, not {SF} — rerun without --skip-spark")
+        sys.exit(1)
+
+# Mirror Verify's SPARK_GRAFT_ONLY filter (exact or `_`-prefix token match,
+# same rule as graft.NameFilter — bare startswith made ONLY=q14 select
+# q140–q149 too): without this, an ONLY run compares every OTHER query
+# against whatever dumps happen to be lying in OUT.
 import os
 only = os.environ.get("SPARK_GRAFT_ONLY")
 if only:
-    prefixes = tuple(only.split(","))
-    oracle = {k: v for k, v in oracle.items() if k.startswith(prefixes)}
+    tokens = only.split(",")
+    oracle = {k: v for k, v in oracle.items()
+              if any(k == t or k.startswith(t + "_") for t in tokens)}
 
 def canon(v):
     if v is None: return "NULL"
