@@ -65,6 +65,16 @@ object Backbone {
       .filter(col("w") >= col("tau"))
       .select(col("a"), col("b"))
 
+  /** [[backboneOf]] keeping the support weight — q163's spectral-delta
+    * substrate PMI-weights the surviving edges (the raw census saturates
+    * to near-K_n with volume, where every PMI is ≤ 0 — measured at
+    * sf0.1 — so the relative cut is what keeps the census
+    * signal-bearing for the spectral stack). */
+  def backboneWeightedOf(pw: DataFrame, topBp: Long = 1000L): DataFrame =
+    pw.crossJoin(broadcast(tauOf(pw, topBp)))
+      .filter(col("w") >= col("tau"))
+      .select(col("a"), col("b"), col("w"))
+
   /** 1-row census of what the backbone cut keeps (q150) — the tuning
     * view a curator reads BEFORE trusting q146–q149's topology: how many
     * edges survive the top-decile cut (kept_share_bp — boundary ties can

@@ -52,14 +52,14 @@ object CensusDelta {
   val CutUs = 1705363200000000L
 
   /** (user_id, event_id, item, t) with non-null integer items. */
-  private def prep(events: DataFrame, tUs: Column): DataFrame =
+  private[ops] def prep(events: DataFrame, tUs: Column): DataFrame =
     events.select(col("user_id"), col("event_id"),
         // integer-valued item keys only — see pageRankOf's cast note
         get_json_object(col("props"), "$.k").cast("long").as("item"), tUs.as("t"))
       .filter(col("item").isNotNull)
 
   /** Pooled minW=1 census of consecutive transitions within `e`. */
-  private def censusOf(e: DataFrame): DataFrame =
+  private[ops] def censusOf(e: DataFrame): DataFrame =
     e.withColumn("src", lag(col("item"), 1).over(
         Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))))
       .filter(col("src").isNotNull && col("src") =!= col("item"))

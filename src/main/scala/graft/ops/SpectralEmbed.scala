@@ -86,8 +86,23 @@ object SpectralEmbed {
   private[ops] def matOf(pmi: DataFrame, key: String): DataFrame =
     ppmiMatOf(pmi, key)
 
+  /** [[spectralOf]] warm-started from prior coordinates `start(node,
+    * vfp)` — the incremental-maintenance face (q163): yesterday's fixed
+    * point seeds today's iteration over the updated census, so `rounds`
+    * can be a fraction of the cold [[Rounds]]. Alignment contract:
+    * a matrix node the start doesn't cover gets v₀ = [[Scale]] (the
+    * cold default), a start row naming no matrix node is dropped
+    * (retired items); `rounds = 0` therefore returns the aligned start
+    * itself. With an empty start and `rounds = Rounds` this IS
+    * [[spectralOf]] — the round body is shared ([[iterate]]). */
+  def spectralWarmOf(pmi: DataFrame, start: DataFrame, rounds: Int,
+                     key: String): DataFrame =
+    dominantFrom(ppmiMatOf(pmi, key),
+      start.select(col("node"), col("vfp").as("v")), rounds)
+      .select(col("node"), col("v").as("vfp"))
+
   /** (node, v) dominant-eigenvector fixed point after [[Rounds]] rounds. */
-  private def dominantOf(mat: DataFrame): DataFrame =
+  private[ops] def dominantOf(mat: DataFrame): DataFrame =
     iterate(mat,
       mat.select(col("i").as("node")).distinct().withColumn("v", lit(Scale)),
       Rounds)

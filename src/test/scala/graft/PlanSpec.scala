@@ -1197,6 +1197,42 @@ class PlanSpec extends SparkSpec {
       s"only the tiny grid census may fold through one partition:\n$p")
   }
 
+  test("q161 over the broadcast cap: the coords join degrades to a shuffled equi-join — never BNLJ — and the census is unchanged") {
+    // round-11 verdict #4: the 10^7-node fallback was only declared in
+    // the scaladoc (an unconditional broadcast() hint ignores the
+    // threshold). The hint is now count-gated; this pins the over-cap
+    // shape with auto-broadcast ALSO off (the real too-big-to-broadcast
+    // regime — with it on, the planner would re-broadcast the tiny
+    // fixture side on its own and hide the degradation).
+    import spark.implicits._
+    val coords = Seq((1L, 100000L, -50000L), (2L, 900000L, 250000L),
+      (3L, -400000L, 0L)).toDF("node", "v1fp", "v2fp")
+    val items = Seq((10L, 1L), (10L, 2L), (11L, 2L), (12L, 3L), (12L, 1L))
+      .toDF("user_id", "item")
+    val under = plan(graft.ops.UserSpectral.gridOf(coords, items, broadcastNodeCap = 100))
+    assert(under.contains("BroadcastHashJoin"),
+      s"under the cap the coords side broadcasts:\n$under")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val over = plan(graft.ops.UserSpectral.gridOf(coords, items, broadcastNodeCap = 0))
+      val initial = executedPortion(over)
+      assert(!initial.contains("BroadcastHashJoin"),
+        s"over the cap the hint must be gone:\n$over")
+      assert(initial.contains("SortMergeJoin") || initial.contains("ShuffledHashJoin"),
+        s"the degraded join stays a shuffled EQUI-join:\n$over")
+      assert(!over.contains("BroadcastNestedLoopJoin") && !over.contains("CartesianProduct"),
+        s"never BNLJ/cartesian on the corpus join:\n$over")
+      // and the two shapes agree on the answer
+      val a = graft.ops.UserSpectral.gridOf(coords, items, broadcastNodeCap = 0)
+        .collect().map(_.toSeq).toSet
+      val b = graft.ops.UserSpectral.gridOf(coords, items, broadcastNodeCap = 100)
+        .collect().map(_.toSeq).toSet
+      assert(a == b, s"shuffled and broadcast shapes must agree: $a vs $b")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q162 neardup spectral: q14's capped pair census under q156's checkpointed loop — same truncated final shape") {
     val p = plan(Registry.byName("q162_neardup_spectral").run(spark, sf0001))
     assert(countOccurrences(p, "Scan ExistingRDD") >= 2,
@@ -1205,6 +1241,22 @@ class PlanSpec extends SparkSpec {
       s"the shingle pass is upstream of the checkpoints:\n$p")
     assert(countOccurrences(p, "BroadcastNestedLoopJoin") <= 1,
       s"only the 1-row max-census broadcast may BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
+  }
+
+  test("q163 spectral delta: fused warm+cold checkpoint-truncated rounds; only the two 1-row max censuses BNLJ") {
+    val p = plan(Registry.byName("q163_spectral_delta").run(spark, sf0001))
+    // the fused pass checkpoints each round's raw; the output joins the
+    // warm column (rooted at round-WarmRounds' checkpoint), the cold
+    // column (rooted at the last round's checkpoint) and the
+    // checkpointed settled coords — the corpus lags, censuses, backbones
+    // and matrix builds all stay upstream of the displayed lineage
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 5,
+      s"warm arm (raw+max), cold arm (raw+max) and vS must read checkpoints:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"the corpus pass is upstream of the checkpoints:\n$p")
+    assert(countOccurrences(p, "BroadcastNestedLoopJoin") <= 2,
+      s"only the warm and cold 1-row max censuses may BNLJ (q142 posture):\n$p")
     assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
   }
 
