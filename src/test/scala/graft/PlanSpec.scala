@@ -1260,6 +1260,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
   }
 
+  test("q164 pagerank delta: checkpoint-rooted fused rounds; only the dangling-mass and node-count censuses BNLJ") {
+    val p = plan(Registry.byName("q164_pagerank_delta").run(spark, sf0001))
+    // the fused arm's graph frames (edges+out_w, nodes, dangling) and
+    // every intermediate round checkpoint, so the final round's plan
+    // roots at RDDs — the corpus lags and census builds stay upstream
+    // (the first build read 380 DISPLAYED parquet scans through nested
+    // cache lineage; the checkpoint form reads zero)
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 5,
+      s"graph frames, the round state and vS must read checkpoints:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"the corpus pass is upstream of the checkpoints:\n$p")
+    assert(countOccurrences(p, "BroadcastNestedLoopJoin") <= 2,
+      s"only the two 1-row censuses may BNLJ (q142 posture):\n$p")
+    assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
+  }
+
   test("q141 hybrid rrf: one tokenized corpus for three readers; only the cosine theta-join BNLJs") {
     val p = executedPortion(plan(Registry.byName("q141_hybrid_rrf").run(spark, sf0001)))
     assert(countOccurrences(p, "InMemoryTableScan") >= 3,
