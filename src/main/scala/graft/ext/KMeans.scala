@@ -98,14 +98,25 @@ object KMeans {
     * one join+agg per round and planner cost grows superlinearly in
     * `iters`. */
   private[graft] def fit(pts: DataFrame, k: Int, iters: Int,
-                         checkpointEvery: Int = 5): DataFrame = {
+                         checkpointEvery: Int = 5): DataFrame =
     // Seed by RANK, not by value: orderBy+limit takes the k smallest ids
     // whatever the id space looks like (sparse / offset frames included) —
     // a `vec_id < k` filter on a sparse frame yields fewer than k seeds.
     // TakeOrderedAndProject keeps this a k-row driver-side top-k, never a
     // full sort of the corpus.
-    var cents = pts.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").cast("int").as("cid"), col("q").as("cvec"))
+    fitFrom(pts,
+      pts.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").cast("int").as("cid"), col("q").as("cvec")),
+      iters, checkpointEvery)
+
+  /** The Lloyd loop from an EXPLICIT starting centroid frame — the
+    * warm-start face (q165): yesterday's fixed point seeds today's
+    * refresh, so `iters` can be a fraction of the cold depth. The loop
+    * body is shared with [[fit]] (cold ≡ fitFrom(pts, rank-seed, iters)
+    * by construction). */
+  private[graft] def fitFrom(pts: DataFrame, start: DataFrame, iters: Int,
+                             checkpointEvery: Int = 5): DataFrame = {
+    var cents = start
     for (i <- 0 until iters) {
       cents = update(assign(pts, cents), cents)
       if ((i + 1) % checkpointEvery == 0 && i + 1 < iters)

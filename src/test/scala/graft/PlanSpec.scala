@@ -1276,6 +1276,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
   }
 
+  test("q165 kmeans delta: both assignment arms read the ONE persisted corpus; centroid fixed points are checkpointed leaves") {
+    val p = executedPortion(plan(Registry.byName("q165_kmeans_delta").run(spark, sf0001)))
+    // cW/cC are k-row checkpointed leaves (the Lloyd loops ran eagerly at
+    // build time); the final plan is two map-side assignments over the
+    // persisted quantized corpus plus k-row joins — the corpus is read
+    // from cache, never re-quantized per arm
+    assert(countOccurrences(p, "InMemoryTableScan") >= 2,
+      s"both assignment arms must read the persisted quantized corpus:\n$p")
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 2,
+      s"warm and cold centroid fixed points are checkpointed leaves:\n$p")
+    assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
+  }
+
   test("q141 hybrid rrf: one tokenized corpus for three readers; only the cosine theta-join BNLJs") {
     val p = executedPortion(plan(Registry.byName("q141_hybrid_rrf").run(spark, sf0001)))
     assert(countOccurrences(p, "InMemoryTableScan") >= 3,

@@ -135,6 +135,36 @@ class RecoverySpec extends SparkSpec {
       s"3rd alert must be escalated from recovered count: $got")
   }
 
+  test("ST2 TWS/RocksDB: TTL keeps running WHILE the query is down — state expired at restart") {
+    import spark.implicits._
+    withRocksDB {
+      val ckpt = ckptDir("rec_ttl")
+      val stream = MemoryStream[IncidentAlert]
+      val col = new Collector[EscalationEvent]
+      def start(): StreamingQuery =
+        col.sinkOf(Processors.escalate(stream.toDS(),
+          ttl = java.time.Duration.ofSeconds(2)), ckpt)
+
+      val q1 = start()
+      try { stream.addData(alert("a", 0), alert("a", 1)); col.await(2) } finally q1.stop()
+      // the 2 s TTL elapses while the query is DOWN: TWS TTL timestamps
+      // are absolute processing time (write time + duration), so the
+      // restarted query must see the counter EXPIRED — Flink's
+      // full-snapshot TTL cleanup behaves the same across a restore
+      Thread.sleep(3500)
+      stream.addData(alert("a", 2), alert("a", 3), alert("a", 4))
+      val q2 = start()
+      try col.await(5) finally q2.stop()
+
+      val esc = col.rows.filter(_.severity == "ESCALATED").map(_.incident_id)
+      // expired counter restarted at 0: the tag lands on the 3rd POST-GAP
+      // alert (inc-a-4), not the 3rd overall (inc-a-2, which a surviving
+      // count=2 would have tagged)
+      assert(esc == Seq("inc-a-4"),
+        s"TTL must expire across the downtime (counter reset): got $esc")
+    }
+  }
+
   test("ST2 transformWithState/RocksDB: escalation count survives restart") {
     import spark.implicits._
     withRocksDB {
