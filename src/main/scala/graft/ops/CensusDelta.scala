@@ -92,16 +92,8 @@ object CensusDelta {
     val settled = e.filter(col("t") < cutUs)
     val delta = e.filter(col("t") >= cutUs)
     val cd = censusOf(delta)
-    val lastSettled = settled
-      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
-        .orderBy(col("t").desc, col("event_id").desc)))
-      .filter(col("rn") === 1).select(col("user_id"), col("item").as("s_item"))
-    val firstDelta = delta
-      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
-        .orderBy(col("t"), col("event_id"))))
-      .filter(col("rn") === 1).select(col("user_id"), col("item").as("d_item"))
     val cb = Tables.swapPersist("q154_cb",
-      lastSettled.join(firstDelta, Seq("user_id"))
+      Frontier.straddleOf(settled, delta)
         .filter(col("s_item") =!= col("d_item"))
         .groupBy(least(col("s_item"), col("d_item")).as("a"),
           greatest(col("s_item"), col("d_item")).as("b"))

@@ -1,0 +1,31 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The user-grain frontier join shared by the incremental-maintenance
+  * family (q154 census, q163 spectral, q164 PageRank): per user, the
+  * LAST settled item and the FIRST delta item — the single row of state
+  * that makes the straddle transition computable without ever lagging
+  * settled events (exactly what a streaming job checkpoints). Frontier
+  * rows are row_number() over (t, event_id) — unique per user on both
+  * engines (no max_by/arg_max tie-semantics risk; the q154 contract).
+  * Callers shape the straddle census themselves (q154/q163 pool with
+  * least/greatest, q164 keeps direction). */
+object Frontier {
+
+  /** (user_id, s_item, d_item) for every user present on BOTH sides of
+    * the cut; inputs are (user_id, event_id, item, t) slices. */
+  def straddleOf(settled: DataFrame, delta: DataFrame): DataFrame = {
+    val lastSettled = settled
+      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("t").desc, col("event_id").desc)))
+      .filter(col("rn") === 1).select(col("user_id"), col("item").as("s_item"))
+    val firstDelta = delta
+      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))))
+      .filter(col("rn") === 1).select(col("user_id"), col("item").as("d_item"))
+    lastSettled.join(firstDelta, Seq("user_id"))
+  }
+}

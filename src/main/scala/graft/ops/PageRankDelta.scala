@@ -98,15 +98,7 @@ object PageRankDelta {
   private def mergedOf(settled: DataFrame, delta: DataFrame): DataFrame = {
     val cs = directedCensusOf(settled)
     val cd = directedCensusOf(delta)
-    val lastSettled = settled
-      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
-        .orderBy(col("t").desc, col("event_id").desc)))
-      .filter(col("rn") === 1).select(col("user_id"), col("item").as("s_item"))
-    val firstDelta = delta
-      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
-        .orderBy(col("t"), col("event_id"))))
-      .filter(col("rn") === 1).select(col("user_id"), col("item").as("d_item"))
-    val cb = lastSettled.join(firstDelta, Seq("user_id"))
+    val cb = Frontier.straddleOf(settled, delta)
       .filter(col("s_item") =!= col("d_item"))
       .groupBy(col("s_item").as("src"), col("d_item").as("dst"))
       .agg(count(lit(1)).as("w"))
@@ -236,15 +228,7 @@ object PageRankDelta {
     // settled census: two readers (settled rank arm + merged union)
     val cs = Tables.swapPersist("q164_cs", directedCensusOf(settled))
     val cd = directedCensusOf(delta)
-    val lastSettled = settled
-      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
-        .orderBy(col("t").desc, col("event_id").desc)))
-      .filter(col("rn") === 1).select(col("user_id"), col("item").as("s_item"))
-    val firstDelta = delta
-      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
-        .orderBy(col("t"), col("event_id"))))
-      .filter(col("rn") === 1).select(col("user_id"), col("item").as("d_item"))
-    val cb = lastSettled.join(firstDelta, Seq("user_id"))
+    val cb = Frontier.straddleOf(settled, delta)
       .filter(col("s_item") =!= col("d_item"))
       .groupBy(col("s_item").as("src"), col("d_item").as("dst"))
       .agg(count(lit(1)).as("w"))

@@ -147,17 +147,7 @@ object SpectralDelta {
     val cs = Tables.swapPersist("q163_cs", CensusDelta.censusOf(settled))
     val cd = CensusDelta.censusOf(delta)
     // the q154 straddle: user-grain frontier join, never lagging settled
-    val lastSettled = settled
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-          .orderBy(col("t").desc, col("event_id").desc)))
-      .filter(col("rn") === 1).select(col("user_id"), col("item").as("s_item"))
-    val firstDelta = delta
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-          .orderBy(col("t"), col("event_id"))))
-      .filter(col("rn") === 1).select(col("user_id"), col("item").as("d_item"))
-    val cb = lastSettled.join(firstDelta, Seq("user_id"))
+    val cb = Frontier.straddleOf(settled, delta)
       .filter(col("s_item") =!= col("d_item"))
       .groupBy(least(col("s_item"), col("d_item")).as("a"),
         greatest(col("s_item"), col("d_item")).as("b"))
