@@ -32,7 +32,20 @@ object Verify {
         s"$outDir holds dumps from $prev but SPARK_GRAFT_ONLY run targets $sfDir — " +
           "wipe the dir or run a full dump first")
     }
-    Files.writeString(sfSentinel, sfDir)
+    // A full dump must not stamp the sentinel UP FRONT: a crash mid-loop (or
+    // a per-query failure leaving an earlier run's parquet in place) would
+    // leave mixed-SF dumps behind a sentinel claiming the new SF — exactly
+    // the stale-compare trap the sentinel refuses. So: full dumps DELETE any
+    // existing sentinel first and stamp only after the loop completes; a
+    // failing query's stale output dir is deleted so no leftover dump from
+    // an earlier SF/run can ever be compared.
+    if (only.isEmpty) Files.deleteIfExists(sfSentinel)
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
     SparkEntry.queries
       .filter { case (n, _) => NameFilter.selected(only, n) }
       .foreach { case (name, fn) =>
@@ -40,8 +53,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        rmTree(Paths.get(s"$outDir/$name"))
       }
     }
+    Files.writeString(sfSentinel, sfDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

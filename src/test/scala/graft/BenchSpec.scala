@@ -21,17 +21,20 @@ class BenchSpec extends SparkSpec {
     (s, _) => s.range(1).toDF("id").filter(boom(col("id")))
 
   test("planted failing queries land in errors, never in timings") {
-    val (timings, errors) = Bench.timeQueries(spark, sf0001, Seq(
+    val (timings, errors, loads) = Bench.timeQueries(spark, sf0001, Seq(
       "good" -> ok, "bad_analysis" -> analysisFail, "bad_exec" -> execFail))
     assert(timings.map(_._1) == Seq("good"))
     assert(timings.head._2 >= 0.0)
     assert(errors.map(_._1).sorted == Seq("bad_analysis", "bad_exec"))
     // the message carries the failure class, not a number
     assert(errors.forall { case (_, msg) => msg.nonEmpty })
+    // every query — failed or not — gets a load sample (the adjudication
+    // signal must exist precisely when a reading looks wrong)
+    assert(loads.keySet == Set("good", "bad_analysis", "bad_exec"))
   }
 
   test("all-green query set produces no error entries") {
-    val (timings, errors) = Bench.timeQueries(spark, sf0001, Seq(
+    val (timings, errors, _) = Bench.timeQueries(spark, sf0001, Seq(
       "a" -> ok, "b" -> ok))
     assert(timings.map(_._1) == Seq("a", "b") && errors.isEmpty)
   }
@@ -42,7 +45,7 @@ class BenchSpec extends SparkSpec {
     var builds = 0
     val failAtBuild: (SparkSession, String) => DataFrame =
       (s, _) => { builds += 1; s.range(1).select(col("no_such_column")) }
-    val (timings, errors) =
+    val (timings, errors, _) =
       Bench.timeQueries(spark, sf0001, Seq("always_bad" -> failAtBuild), reps = 5)
     assert(timings.isEmpty && errors.map(_._1) == Seq("always_bad"))
     assert(builds == 1, s"expected 1 attempt before short-circuit, got $builds")
