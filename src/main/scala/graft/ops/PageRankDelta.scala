@@ -73,8 +73,10 @@ object PageRankDelta {
       .filter(col("item").isNotNull)
 
   /** Directed minW=1 transition census (src, dst, w) within `e` —
-    * q142's edge semantics (self-loops dropped, directions kept). */
-  private def directedCensusOf(e: DataFrame): DataFrame =
+    * q142's edge semantics (self-loops dropped, directions kept).
+    * `private[ops]`: q166's composed daily refresh builds the SAME
+    * censuses once and shares them across both warm arms. */
+  private[ops] def directedCensusOf(e: DataFrame): DataFrame =
     e.withColumn("src", lag(col("item"), 1).over(
         Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))))
       .filter(col("src").isNotNull && col("src") =!= col("item"))
@@ -135,9 +137,36 @@ object PageRankDelta {
     * byte-identical round arithmetic; the settled arm. */
   def rankOf(edges: DataFrame, key: String, iters: Int = Iters,
              dampBp: Long = DampBp): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
     val (edgesW, nodes, dangling, nCensus) = prepGraph(edges, key, checkpoint = false)
-    var rank = nodes.withColumn("rank_micro", lit(1000000L))
+    loop(edgesW, nodes, dangling, nCensus,
+      nodes.withColumn("rank_micro", lit(1000000L)), iters, dampBp)
+  }
+
+  /** [[rankOf]] warm-started from prior ranks `start(item, rank_micro)`
+    * — the production arm of the composed daily refresh (q166): only the
+    * warm refresh recurs there, so the cold audit column of
+    * [[rankWarmColdOf]] is not built. Alignment contract is the fused
+    * warm column's (missing node → uniform 10⁶, retired start row →
+    * dropped); the round body is SHARED with [[rankOf]] ([[loop]]), so
+    * the two differ only in r₀ and round count by construction. Graph
+    * frames checkpoint (the q164 display lesson — this arm's frames
+    * enter the final displayed plan). */
+  def rankFrom(edges: DataFrame, start: DataFrame, key: String,
+               iters: Int = WarmIters, dampBp: Long = DampBp): DataFrame = {
+    val (edgesW, nodes, dangling, nCensus) = prepGraph(edges, key, checkpoint = true)
+    val r0 = nodes
+      .join(start.select(col("item"), col("rank_micro").as("r0w")), Seq("item"), "left")
+      .select(col("item"), coalesce(col("r0w"), lit(1000000L)).as("rank_micro"))
+      .localCheckpoint()
+    loop(edgesW, nodes, dangling, nCensus, r0, iters, dampBp)
+  }
+
+  /** The shared single-column round body — q142's arithmetic verbatim. */
+  private def loop(edgesW: DataFrame, nodes: DataFrame, dangling: DataFrame,
+                   nCensus: DataFrame, rank0: DataFrame, iters: Int,
+                   dampBp: Long): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var rank = rank0
     for (i <- 1 to iters) {
       val contrib = edgesW
         .join(rank.select(col("item").as("src"), col("rank_micro")), Seq("src"))
@@ -253,7 +282,7 @@ object PageRankDelta {
 
   /** q142's graph-prep CTEs over a `(src, dst, w)` census CTE,
     * prefix-namespaced: `${p}ow/${p}ew/${p}nodes/${p}dang/${p}nc`. */
-  private def stackCtes(census: String, p: String): String =
+  private[ops] def stackCtes(census: String, p: String): String =
     s"""${p}ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM $census GROUP BY 1),
        |${p}ew AS MATERIALIZED (
        |  SELECT c.src, c.dst, c.w, o.out_w FROM $census c JOIN ${p}ow o USING (src)),
@@ -264,7 +293,7 @@ object PageRankDelta {
 
   /** q142's unrolled rounds over the `$sp`-prefixed graph stack, reading
     * `${p}r0` and ending in `${p}r$iters`. */
-  private def roundCtes(sp: String, p: String, iters: Int,
+  private[ops] def roundCtes(sp: String, p: String, iters: Int,
                         dampBp: Long = DampBp): String = {
     val base = (10000L - dampBp) * 100L
     (1 to iters).map { i =>

@@ -186,7 +186,7 @@ object SpectralDelta {
   /** q150's relative backbone cut over a `(a, b, w)` census CTE,
     * prefix-namespaced, ending in `${p}bb(a, b, w)` — the weighted
     * mirror of [[Backbone.backboneWeightedOf]]. */
-  private def backboneCtesOver(census: String, p: String,
+  private[ops] def backboneCtesOver(census: String, p: String,
                                topBp: Long = 1000L): String =
     s"""${p}wh AS (SELECT w, count(*) AS c FROM $census GROUP BY w),
        |${p}wc AS (SELECT w, sum(c) OVER (ORDER BY w DESC) AS cum,
@@ -199,7 +199,7 @@ object SpectralDelta {
 
   /** q155's PMI CTEs over a `(a, b, w)` census CTE, prefix-namespaced so
     * the settled and merged stacks compose in one WITH. */
-  private def pmiCtesOver(census: String, p: String): String =
+  private[ops] def pmiCtesOver(census: String, p: String): String =
     s"""${p}occ AS (SELECT x, CAST(sum(w) AS BIGINT) AS occ FROM (
        |    SELECT a AS x, w FROM $census
        |    UNION ALL SELECT b AS x, w FROM $census) GROUP BY x),
@@ -213,7 +213,7 @@ object SpectralDelta {
        |  JOIN ${p}occ ob ON pt.b = ob.x)""".stripMargin
 
   /** q156's PPMI+σ·I matrix CTEs over `${p}pmi`, prefix-namespaced. */
-  private def matCtesOver(p: String): String =
+  private[ops] def matCtesOver(p: String): String =
     s"""${p}ppmi AS MATERIALIZED (
        |  SELECT a, b, CAST(round(pmi * 1000000, 0) AS BIGINT) AS wfp
        |  FROM ${p}pmi WHERE pmi > 0),
@@ -225,7 +225,7 @@ object SpectralDelta {
 
   /** q156's unrolled power-iteration rounds over `$mat`, reading
     * `${p}v0` and ending in `${p}v$rounds`. */
-  private def roundCtesOver(p: String, mat: String, rounds: Int): String =
+  private[ops] def roundCtesOver(p: String, mat: String, rounds: Int): String =
     (1 to rounds).map { r =>
       s"""${p}r$r AS MATERIALIZED (
          |  SELECT m.i, sum(m.wfp * v.v) AS raw

@@ -92,6 +92,13 @@ object Tables {
     persisted(key) = df
   }
 
+  /** Test-only view of a registered persisted frame — PlanSpec pins how
+    * many parquet scans a composed DAG's shared cached base contains
+    * (q166: the item-event frame scans the corpus ONCE; every other
+    * persisted frame in the DAG must read zero). */
+  private[graft] def persistedFrame(key: String): Option[DataFrame] =
+    synchronized { persisted.get(key) }
+
   /** Unpersist every frame held by [[swapPersist]]/[[adoptPersisted]]
     * (session teardown / between pipeline stages in a long-lived
     * session). */

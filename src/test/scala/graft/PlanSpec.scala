@@ -1276,6 +1276,50 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
   }
 
+  test("q166 composed refresh: ONE corpus scan via the shared item-event cache; warm arms checkpoint-rooted") {
+    val df = Registry.byName("q166_daily_refresh").run(spark, sf0001)
+    val p = plan(df)
+    // the displayed plan roots at checkpoints (rS, vS, the warm rounds'
+    // raw/graph frames) — the corpus lags, censuses, backbones and
+    // matrix builds all stay upstream
+    assert(!p.contains("Scan parquet"),
+      s"the corpus pass is upstream of the checkpoints:\n$p")
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 4,
+      s"rank state, settled ranks, settled coords and warm raw must read checkpoints:\n$p")
+    // the final PageRank round's dangling-mass and node-count censuses
+    // plus the final spectral round's max census — three 1-row
+    // broadcasts, nothing else
+    assert(countOccurrences(p, "BroadcastNestedLoopJoin") <= 3,
+      s"only the three 1-row censuses may BNLJ (q142 posture):\n$p")
+    assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
+    // the sharing claim itself: the persisted item-event base scans the
+    // corpus exactly once, and every OTHER persisted frame in the DAG
+    // reads zero parquet — censuses ride the e-cache, PMI/matrix frames
+    // ride the census caches. Counted on the PHYSICAL tree (foreach
+    // stops at InMemoryTableScan leaves), not the plan string — a nested
+    // cache DISPLAYS its build lineage including the parquet scan text,
+    // which is exactly the sharing, not a re-scan.
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def buildFileScans(key: String): Int = {
+      val f = graft.oracle.Tables.persistedFrame(key)
+      assert(f.isDefined, s"$key not registered")
+      val ims = f.get.queryExecution.withCachedData
+        .collect { case r: InMemoryRelation => r }
+      assert(ims.nonEmpty, s"$key not substituted by its cache")
+      var n = 0
+      ims.head.cacheBuilder.cachedPlan.foreach {
+        case _: FileSourceScanExec => n += 1
+        case _ => ()
+      }
+      n
+    }
+    assert(buildFileScans("q166_e") == 1, "q166_e must be the single corpus scan")
+    for (k <- Seq("q166_cs", "q166_md", "q166s_pairs", "q166m_pairs"))
+      assert(buildFileScans(k) == 0,
+        s"$k re-scans the corpus instead of riding the shared cache")
+  }
+
   test("q165 kmeans delta: both assignment arms read the ONE persisted corpus; centroid fixed points are checkpointed leaves") {
     val p = executedPortion(plan(Registry.byName("q165_kmeans_delta").run(spark, sf0001)))
     // cW/cC are k-row checkpointed leaves (the Lloyd loops ran eagerly at
