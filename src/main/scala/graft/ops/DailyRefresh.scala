@@ -63,6 +63,15 @@ import graft.oracle.{QueryDef, Tables}
   * reads it once — the composition IS the optimization. */
 object DailyRefresh {
 
+  /** The pooled (q154/q163) grain as the direction-summed rollup of a
+    * DIRECTED census — one lag family serves both grains (additivity of
+    * the rollup over the settled+delta+straddle decomposition). Shared
+    * with the artifact-read variant ([[RefreshArtifacts]]). */
+  private[ops] def pooled(dir: DataFrame): DataFrame =
+    dir.groupBy(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .agg(sum(col("w")).as("w"))
+
   /** (item, rank_settled, rank_warm, v_settled, v_warm) — see object
     * doc. */
   def dailyRefreshOf(events: DataFrame, tUs: Column,
@@ -86,13 +95,6 @@ object DailyRefresh {
     val mDir = Tables.swapPersist("q166_md",
       csDir.unionByName(cdDir).unionByName(cbDir)
         .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
-
-    // the pooled (q154/q163) grain is the direction-summed rollup of the
-    // directed census — one lag family serves both grains
-    def pooled(dir: DataFrame): DataFrame =
-      dir.groupBy(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .agg(sum(col("w")).as("w"))
 
     // spectral arm: backbone → PMI → warm iteration from the settled
     // fixed point (q163's warm semantics verbatim; keys namespaced so
@@ -128,7 +130,10 @@ object DailyRefresh {
     dailyRefreshOf(ev, Tables.tsMicros(ev))
   }
 
-  private def q166Sql(cutUs: Long = SpectralDelta.DeltaCutUs): String = {
+  /** `private[ops]`: q167's artifact-read variant produces the IDENTICAL
+    * output frame (bit-exact — RefreshArtifactsSpec pins it), so it
+    * reuses this oracle verbatim. */
+  private[ops] def q166Sql(cutUs: Long = SpectralDelta.DeltaCutUs): String = {
     val R = SpectralEmbed.Rounds
     val WR = SpectralDelta.WarmRounds
     val I = PageRankDelta.Iters

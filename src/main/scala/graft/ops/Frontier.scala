@@ -15,17 +15,32 @@ import org.apache.spark.sql.functions._
   * least/greatest, q164 keeps direction). */
 object Frontier {
 
+  /** (user_id, s_item): each user's LAST settled item — THE frontier
+    * artifact a production refresh checkpoints ([[RefreshArtifacts]]
+    * persists exactly this frame; the streaming gate keeps it as
+    * per-user state). Input is a (user_id, event_id, item, t) slice. */
+  def lastOf(settled: DataFrame): DataFrame = settled
+    .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+      .orderBy(col("t").desc, col("event_id").desc)))
+    .filter(col("rn") === 1).select(col("user_id"), col("item").as("s_item"))
+
+  /** (user_id, d_item): each user's FIRST delta item. */
+  def firstOf(delta: DataFrame): DataFrame = delta
+    .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))))
+    .filter(col("rn") === 1).select(col("user_id"), col("item").as("d_item"))
+
   /** (user_id, s_item, d_item) for every user present on BOTH sides of
     * the cut; inputs are (user_id, event_id, item, t) slices. */
-  def straddleOf(settled: DataFrame, delta: DataFrame): DataFrame = {
-    val lastSettled = settled
-      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
-        .orderBy(col("t").desc, col("event_id").desc)))
-      .filter(col("rn") === 1).select(col("user_id"), col("item").as("s_item"))
-    val firstDelta = delta
-      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
-        .orderBy(col("t"), col("event_id"))))
-      .filter(col("rn") === 1).select(col("user_id"), col("item").as("d_item"))
-    lastSettled.join(firstDelta, Seq("user_id"))
-  }
+  def straddleOf(settled: DataFrame, delta: DataFrame): DataFrame =
+    lastOf(settled).join(firstOf(delta), Seq("user_id"))
+
+  /** [[straddleOf]] with the settled side read from a CHECKPOINTED
+    * frontier — the artifact-read production path: the settled corpus is
+    * never scanned, only the (user_id, s_item) state joins the delta's
+    * first items. Bit-identical to [[straddleOf]] by construction
+    * (shared [[firstOf]]; [[lastOf]] is what wrote the artifact). */
+  def straddleFrom(frontier: DataFrame, delta: DataFrame): DataFrame =
+    frontier.select(col("user_id"), col("s_item"))
+      .join(firstOf(delta), Seq("user_id"))
 }

@@ -158,6 +158,27 @@ object Tables {
         s"events.ts has unsupported type $other — adapt Tables.tsMicros")
   }
 
+  /** Pushdown-friendly `ts >= cutUs` (epoch micros) predicate on the RAW
+    * `ts` column — `tsMicros(ev) >= cutUs` compares a derived expression,
+    * which never reaches the parquet scan as a pushed filter, so a
+    * delta-shard read would still touch every settled row group. For the
+    * bigint-nanos encoding `ts div 1000 >= c ⇔ ts >= c·1000` exactly
+    * (floor division, nonnegative epochs; c·1000 < 2⁶³ for any real
+    * timestamp), and the timestamp encodings compare literals of the
+    * column's own type — all three land in `PushedFilters`. */
+  def tsAtLeast(events: DataFrame, cutUs: Long): Column =
+    events.schema("ts").dataType match {
+      case LongType => col("ts") >= lit(cutUs * 1000L)
+      case TimestampType => col("ts") >= lit(java.time.Instant.ofEpochSecond(
+        cutUs / 1000000L, (cutUs % 1000000L) * 1000L))
+      case TimestampNTZType => col("ts") >= lit(java.time.LocalDateTime.ofEpochSecond(
+        cutUs / 1000000L, ((cutUs % 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — adapt Tables.tsAtLeast")
+    }
+
   /** Matching DuckDB CTE — keep in lockstep with [[logs]]. */
   val LOGS_CTE: String =
     """logs AS (

@@ -1,0 +1,53 @@
+package graft
+
+import graft.oracle.Registry
+import graft.ops.RefreshArtifacts
+
+/** q167 — the artifact-read daily refresh, pinned bit-exact to q166's
+  * in-query recompute, plus the staleness and delta-only-scan contracts
+  * that make the artifact path safe and cheap at 100 TB. */
+class RefreshArtifactsSpec extends SparkSpec {
+
+  private def rows(name: String): Seq[List[Option[Any]]] =
+    Registry.byName(name).run(spark, sf0001).collect()
+      .map(r => (0 until r.length).map(i => Option(r.get(i))).toList)
+      .sortBy(_.toString).toSeq
+
+  test("q167 artifact-read output == q166 in-query recompute, bit-exact") {
+    val art = rows("q167_artifact_refresh")
+    val inq = rows("q166_daily_refresh")
+    assert(art.nonEmpty)
+    assert(art == inq,
+      s"artifact path diverged: first diff=${art.zip(inq).find { case (a, b) => a != b }}")
+  }
+
+  test("stale/absent sentinel forces a refit; fresh sentinel is reused") {
+    // prime the artifacts, note the sentinel's fingerprint
+    RefreshArtifacts.q167(spark, sf0001).count()
+    val s = java.nio.file.Paths.get(
+      RefreshArtifacts.root(sf0001, graft.ops.SpectralDelta.DeltaCutUs), "_FIT_OK")
+    val fp = java.nio.file.Files.readString(s)
+    val mtime0 = java.nio.file.Files.getLastModifiedTime(s)
+    // fresh sentinel → no refit (sentinel untouched)
+    RefreshArtifacts.q167(spark, sf0001).count()
+    assert(java.nio.file.Files.getLastModifiedTime(s) == mtime0,
+      "a fresh sentinel must be trusted, not refit")
+    // corrupt the fingerprint → the next refresh must refit and restamp
+    java.nio.file.Files.writeString(s, "stale-fingerprint")
+    val out = RefreshArtifacts.q167(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    assert(java.nio.file.Files.readString(s) == fp,
+      "refit must restamp the true fingerprint")
+  }
+
+  test("the recurring path's corpus scan is the pushed-filter delta shard") {
+    RefreshArtifacts.q167(spark, sf0001).count() // registers q167_d
+    val d = graft.oracle.Tables.persistedFrame("q167_d")
+    assert(d.isDefined, "the delta frame must be the registered persist")
+    val p = d.get.queryExecution.executedPlan.toString
+    // the ts >= cut predicate must reach the events scan as a pushed
+    // filter — GreaterThanOrEqual on the raw ts column (any encoding)
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+      s"delta cut not pushed to the parquet scan:\n$p")
+  }
+}
