@@ -238,7 +238,157 @@ object DeltaDedup {
        |LEFT JOIN near USING (doc_id)""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q168
+  /** q64's recurring half against a PERSISTED signature store — the
+    * artifact-read discipline (q167, [[graft.ops.ArtifactStore]])
+    * applied to the dedup family, closing the arc across its last
+    * operator class (census q154 → spectral q163 → rank q164 → Lloyd
+    * q165 → dedup here): in production the settled corpus's exact
+    * hashes and MinHash band buckets live in a signature store written
+    * once; the nightly batch signs ITSELF, probes the store, and the
+    * settled corpus is touched only to fetch the TEXT of candidate
+    * partners (an id-selective join, bounded by the LSH candidate set —
+    * signature stores keep signatures, not shingle sets, so verify
+    * re-derives the candidate's shingles from its fetched text; the
+    * derivation is deterministic, so verdicts are bit-identical).
+    *
+    * Store layout: `exact/` (ch, min_ex) — the settled exact census;
+    * `bands/` (band, bk, exs) — each bucket's settled members as a
+    * sorted (doc_id, n) array, exactly the `exs` arm of
+    * [[deltaDedupOf]]'s union-grouped bucket. The refresh left-joins
+    * its incoming-grouped buckets against `bands/` (absent bucket →
+    * empty array), applies the SAME size cap and pair expansion, and
+    * the exact verdict left-joins `exact/` — so every verdict equals
+    * [[deltaDedupOf]]'s on the incoming side by construction
+    * (DeltaStoreSpec collects both and compares; the oracle is q64's
+    * SQL verbatim). Fit/staleness protocol is [[graft.ops.ArtifactStore]]'s.
+    *
+    * Scale shape: the recurring path signs the BATCH only; store reads
+    * are signature-grain; the one settled-corpus touch is the
+    * candidate-id text fetch. I·E+I²/2 pair asymmetry, `maxBucket` cap
+    * and candidate-side broadcast all inherit from q64. */
+  def fitStore(spark: SparkSession, existing: DataFrame,
+               dir: String, fp: String): String = synchronized {
+    graft.functions.TextExprs.register(spark)
+    graft.ops.ArtifactStore.beginFit(dir)
+    val base = Tables.swapPersist("q168_fit_base",
+      Tables.fanned(existing.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), sha2(col("text"), 256).as("ch"),
+          split(col("text"), " ").as("ws"))
+        .withColumn("sarr", expr(
+          "CASE WHEN size(ws) >= 3 THEN word_ngrams(ws, 3) ELSE CAST(array() AS ARRAY<STRING>) END"))
+        .select(col("doc_id"), col("ch"),
+          size(array_distinct(col("sarr"))).as("n"),
+          expr("CASE WHEN size(sarr) > 0 THEN minhash_signatures(sarr, 12) END").as("sig")))
+    base.groupBy(col("ch")).agg(min(col("doc_id")).as("min_ex"))
+      .write.mode("overwrite").parquet(s"$dir/exact")
+    val bandCols = (0 until 4).map(b =>
+      s"$b, concat_ws('|', sig[${3 * b}], sig[${3 * b + 1}], sig[${3 * b + 2}])").mkString(", ")
+    base.filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("n"), expr(s"stack(4, $bandCols)").as(Seq("band", "bk")))
+      .groupBy(col("band"), col("bk"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("exs"))
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    graft.ops.ArtifactStore.commitFit(dir, fp)
+    dir
+  }
+
+  /** The recurring half — see [[fitStore]]. `existing` is read ONLY for
+    * the candidate-id text fetch. Output schema == [[deltaDedupOf]]. */
+  def storeDedupOf(spark: SparkSession, existing: DataFrame, incoming: DataFrame,
+                   dir: String, fp: String,
+                   maxBucket: Int = TextOps.DefaultMaxBucket,
+                   minJaccard: Double = 0.5): DataFrame = {
+    if (!graft.ops.ArtifactStore.isFresh(dir, fp))
+      fitStore(spark, existing, dir, fp)
+    graft.functions.TextExprs.register(spark)
+    val exact = spark.read.parquet(s"$dir/exact")
+    val bandsArt = spark.read.parquet(s"$dir/bands")
+    // the batch signs itself: ONE persisted pass (exact rollup, band
+    // stream and the verify tid/early-pid sides all read it)
+    val base = Tables.swapPersist("q168_base",
+      Tables.fanned(incoming.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), sha2(col("text"), 256).as("ch"),
+          split(col("text"), " ").as("ws"))
+        .withColumn("sarr", expr(
+          "CASE WHEN size(ws) >= 3 THEN word_ngrams(ws, 3) ELSE CAST(array() AS ARRAY<STRING>) END"))
+        .select(col("doc_id"), col("ch"),
+          array_distinct(col("sarr")).as("sset"),
+          expr("CASE WHEN size(sarr) > 0 THEN minhash_signatures(sarr, 12) END").as("sig")))
+    val exg = base.groupBy(col("ch")).agg(min(col("doc_id")).as("min_in"))
+      .join(exact, Seq("ch"), "left")
+    val bandCols = (0 until 4).map(b =>
+      s"$b, concat_ws('|', sig[${3 * b}], sig[${3 * b + 1}], sig[${3 * b + 2}])").mkString(", ")
+    // incoming-grouped buckets ⟕ the store's settled members: the same
+    // total-size cap and incoming×(settled ∪ earlier-incoming) expansion
+    // as the union-grouped q64 bucket — `ps` tags which side a partner
+    // came from, so the verify fetch knows which texts to pull
+    val cand = Tables.swapPersist("q168_cand",
+      base.filter(col("sig").isNotNull)
+        .select(col("doc_id"), size(col("sset")).as("n"),
+          expr(s"stack(4, $bandCols)").as(Seq("band", "bk")))
+        .groupBy(col("band"), col("bk"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ins"))
+        .join(bandsArt, Seq("band", "bk"), "left")
+        .withColumn("exs", coalesce(col("exs"),
+          expr("CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, n: INT>>)")))
+        .filter(size(col("ins")) >= 1 &&
+          (size(col("exs")) + size(col("ins"))).between(2, maxBucket))
+        .select(explode(expr(
+          """flatten(transform(ins, (t, i) ->
+            |  transform(concat(transform(exs, p -> struct(p.doc_id AS pid, p.n AS pn, 0 AS ps)),
+            |                   transform(slice(ins, 1, i), p -> struct(p.doc_id AS pid, p.n AS pn, 1 AS ps))),
+            |            p -> struct(t.doc_id AS tid, t.n AS tn, p.pid, p.pn, p.ps))))""".stripMargin)).as("c"))
+        .select(col("c.tid"), col("c.tn"), col("c.pid"), col("c.pn"), col("c.ps"))
+        .distinct())
+    // the ONLY settled-corpus touch: fetch candidate partners' text and
+    // re-derive their shingle sets (deterministic == the store builder's)
+    val settledSets = existing.select(col("doc_id"), col("text"))
+      .join(cand.filter(col("ps") === 0).select(col("pid").as("doc_id")).distinct(),
+        Seq("doc_id"))
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("sarr", expr(
+        "CASE WHEN size(ws) >= 3 THEN word_ngrams(ws, 3) ELSE CAST(array() AS ARRAY<STRING>) END"))
+      .select(col("doc_id"), array_distinct(col("sarr")).as("sset"))
+    val sets = base.select(col("doc_id"), col("sset")).unionByName(settledSets)
+    val near = cand
+      .join(sets.as("st"), col("tid") === col("st.doc_id"))
+      .join(sets.as("sp"), col("pid") === col("sp.doc_id"))
+      .select(col("tid"), col("pid"),
+        size(array_intersect(col("st.sset"), col("sp.sset"))).as("inter"),
+        col("tn"), col("pn"))
+      .filter(col("inter") / (col("tn") + col("pn") - col("inter")) >= minJaccard)
+      .groupBy(col("tid").as("doc_id"))
+      .agg(min(col("pid")).as("near_partner"))
+    base.select(col("doc_id"), col("ch"))
+      .join(exg, "ch")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("min_ex").isNotNull || col("doc_id") > col("min_in")).cast("int").as("dup_exact"),
+        col("near_partner").isNotNull.cast("int").as("dup_near"),
+        (col("min_ex").isNull && col("doc_id") <= col("min_in") &&
+          col("near_partner").isNull).cast("int").as("keep"),
+        least(col("min_ex"), when(col("min_in") < col("doc_id"), col("min_in")),
+          col("near_partner")).as("matched_id"))
+  }
+
+  /** Store layout/semantics version — part of the fingerprint. */
+  val StoreVersion = 1
+
+  // q64's fixture split (evens settled, odds incoming) so the oracle is
+  // q64's SQL verbatim and DeltaStoreSpec can pin q168 == q64 directly.
+  def q168(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    storeDedupOf(spark,
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+      graft.ops.ArtifactStore.root(sfDir, s"dedup-par0-v$StoreVersion"),
+      graft.ops.ArtifactStore.fingerprint(spark, sfDir, "documents",
+        s"dedup-par0-v$StoreVersion"),
+      maxBucket = TextOps.FixtureMaxBucket)
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q64_delta_dedup", q64, Some(q64Sql()))
+    QueryDef("q64_delta_dedup", q64, Some(q64Sql())),
+    QueryDef("q168_dedup_store", q168, Some(q64Sql()))
   )
 }

@@ -64,44 +64,20 @@ object RefreshArtifacts {
     * fingerprint, so old artifacts self-invalidate. */
   val Version = 1
 
-  /** Local artifact root — override with SPARK_GRAFT_ARTIFACTS. Keyed
-    * by (sanitized sfDir, cut, version): sf0.001/sf0.01/sf0.1 runs never
-    * share a directory. */
-  def root(sfDir: String, cutUs: Long): String = {
-    val base = sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS",
-      s"${sys.props("java.io.tmpdir")}/graft-artifacts")
-    s"$base/${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}-c$cutUs-v$Version"
-  }
+  /** Per-(sfDir, cut) artifact dir — [[ArtifactStore.root]]. */
+  def root(sfDir: String, cutUs: Long): String =
+    ArtifactStore.root(sfDir, s"c$cutUs-v$Version")
 
-  /** SHA-256 over (version, cut, sfDir, events fixture file listing) —
-    * name:length:mtime per file, so a regenerated fixture (same path,
-    * new bytes) invalidates the artifacts. */
-  private def fingerprint(spark: SparkSession, sfDir: String, cutUs: Long): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val statuses =
-      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).filter(_.isFile)
-      else Array(fs.getFileStatus(p))
-    val listing = statuses
-      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-      .sorted.mkString("|")
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"v$Version|$cutUs|$sfDir|$listing"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-  }
-
-  private def sentinelPath(dir: String): java.nio.file.Path =
-    java.nio.file.Paths.get(dir, "_FIT_OK")
+  private def fingerprint(spark: SparkSession, sfDir: String, cutUs: Long): String =
+    ArtifactStore.fingerprint(spark, sfDir, "events", s"v$Version|$cutUs")
 
   /** Yesterday's job: one settled-corpus pass → the four artifacts.
     * Returns the artifact dir. Sentinel deleted first / stamped last —
-    * see staleness note in the object doc. */
+    * [[ArtifactStore]]'s protocol. */
   def fit(spark: SparkSession, sfDir: String,
           cutUs: Long = SpectralDelta.DeltaCutUs): String = synchronized {
     val dir = root(sfDir, cutUs)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    java.nio.file.Files.deleteIfExists(sentinelPath(dir))
+    ArtifactStore.beginFit(dir)
     val ev = Tables.table(spark, sfDir, "events")
     // settled slice on the RAW ts column (pushable; fit scans it anyway,
     // but the pruning matters when the settled corpus is itself a slice
@@ -122,8 +98,7 @@ object RefreshArtifacts {
       .write.mode("overwrite").parquet(s"$dir/spectral")
     PageRankDelta.rankOf(cs, key = "q167fr")
       .write.mode("overwrite").parquet(s"$dir/ranks")
-    java.nio.file.Files.writeString(sentinelPath(dir),
-      fingerprint(spark, sfDir, cutUs))
+    ArtifactStore.commitFit(dir, fingerprint(spark, sfDir, cutUs))
     dir
   }
 
@@ -132,10 +107,8 @@ object RefreshArtifacts {
   private def ensureFit(spark: SparkSession, sfDir: String, cutUs: Long): String =
     synchronized {
       val dir = root(sfDir, cutUs)
-      val s = sentinelPath(dir)
-      val fresh = java.nio.file.Files.exists(s) &&
-        java.nio.file.Files.readString(s).trim == fingerprint(spark, sfDir, cutUs)
-      if (fresh) dir else fit(spark, sfDir, cutUs)
+      if (ArtifactStore.isFresh(dir, fingerprint(spark, sfDir, cutUs))) dir
+      else fit(spark, sfDir, cutUs)
     }
 
   /** Today's recurring job — see object doc. */
