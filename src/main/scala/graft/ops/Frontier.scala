@@ -43,4 +43,18 @@ object Frontier {
   def straddleFrom(frontier: DataFrame, delta: DataFrame): DataFrame =
     frontier.select(col("user_id"), col("s_item"))
       .join(firstOf(delta), Seq("user_id"))
+
+  /** The frontier COMPACTION identity: tomorrow's frontier from today's
+    * frontier and the delta ALONE — full-outer upsert, the delta's last
+    * item winning where a user appears on both sides. Exactly
+    * `lastOf(settled ∪ delta)` (a user's last item up to the new cut is
+    * their delta last item if they have one, else their settled last) —
+    * pinned in RollingRefreshSpec — so the daily loop never needs the
+    * settled corpus to roll its state forward (q169). */
+  def advance(frontier: DataFrame, deltaLast: DataFrame): DataFrame =
+    frontier.select(col("user_id"), col("s_item").as("old_item"))
+      .join(deltaLast.select(col("user_id"), col("s_item").as("new_item")),
+        Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("new_item"), col("old_item")).as("s_item"))
 }
