@@ -102,7 +102,7 @@ object KMeansDelta {
 
   /** q51's Lloyd round ([[KMeans]] duckRound arithmetic verbatim),
     * prefix-namespaced and parameterized by the points CTE. */
-  private def roundP(p: String, i: Int, ptsCte: String, prevC: String,
+  private[ext] def roundP(p: String, i: Int, ptsCte: String, prevC: String,
                      dim: Int): String =
     s"""${p}ad$i AS (
        |  SELECT vec_id, q, cid, dist FROM (
@@ -124,7 +124,7 @@ object KMeansDelta {
 
   /** Final assignment of `ptsCte` against `cents`, ending in
     * `${p}fin(vec_id, cid, dist)`. */
-  private def finP(p: String, ptsCte: String, cents: String,
+  private[ext] def finP(p: String, ptsCte: String, cents: String,
                    dim: Int): String =
     s"""${p}fin AS (
        |  SELECT vec_id, cid, dist FROM (
