@@ -271,6 +271,7 @@ object DeltaDedup {
                dir: String, fp: String): String = synchronized {
     graft.functions.TextExprs.register(spark)
     graft.ops.ArtifactStore.beginFit(dir)
+    val vdir = graft.ops.ArtifactStore.versionDir(dir, fp)
     val base = Tables.swapPersist("q168_fit_base",
       Tables.fanned(existing.select(col("doc_id"), col("text")))
         .select(col("doc_id"), sha2(col("text"), 256).as("ch"),
@@ -281,16 +282,16 @@ object DeltaDedup {
           size(array_distinct(col("sarr"))).as("n"),
           expr("CASE WHEN size(sarr) > 0 THEN minhash_signatures(sarr, 12) END").as("sig")))
     base.groupBy(col("ch")).agg(min(col("doc_id")).as("min_ex"))
-      .write.mode("overwrite").parquet(s"$dir/exact")
+      .write.mode("overwrite").parquet(s"$vdir/exact")
     val bandCols = (0 until 4).map(b =>
       s"$b, concat_ws('|', sig[${3 * b}], sig[${3 * b + 1}], sig[${3 * b + 2}])").mkString(", ")
     base.filter(col("sig").isNotNull)
       .select(col("doc_id"), col("n"), expr(s"stack(4, $bandCols)").as(Seq("band", "bk")))
       .groupBy(col("band"), col("bk"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("exs"))
-      .write.mode("overwrite").parquet(s"$dir/bands")
+      .write.mode("overwrite").parquet(s"$vdir/bands")
     graft.ops.ArtifactStore.commitFit(dir, fp)
-    dir
+    vdir
   }
 
   /** The recurring half — see [[fitStore]]. `existing` is read ONLY for
@@ -299,11 +300,16 @@ object DeltaDedup {
                    dir: String, fp: String,
                    maxBucket: Int = TextOps.DefaultMaxBucket,
                    minJaccard: Double = 0.5): DataFrame = {
-    if (!graft.ops.ArtifactStore.isFresh(dir, fp))
-      fitStore(spark, existing, dir, fp)
+    // check+fit under ONE lock (fitStore shares the monitor — reentrant):
+    // two concurrent callers must not both observe stale and both refit
+    synchronized {
+      if (!graft.ops.ArtifactStore.isFresh(dir, fp))
+        fitStore(spark, existing, dir, fp)
+    }
     graft.functions.TextExprs.register(spark)
-    val exact = spark.read.parquet(s"$dir/exact")
-    val bandsArt = spark.read.parquet(s"$dir/bands")
+    val vdir = graft.ops.ArtifactStore.versionDir(dir, fp)
+    val exact = spark.read.parquet(s"$vdir/exact")
+    val bandsArt = spark.read.parquet(s"$vdir/bands")
     // the batch signs itself: ONE persisted pass (exact rollup, band
     // stream and the verify tid/early-pid sides all read it)
     val base = Tables.swapPersist("q168_base",
@@ -382,8 +388,11 @@ object DeltaDedup {
     storeDedupOf(spark,
       docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
       graft.ops.ArtifactStore.root(sfDir, s"dedup-par0-v$StoreVersion"),
+      // fit-time signature geometry (4 bands × 3 sigs, 3-gram shingles)
+      // rides the fingerprint so a constant change can't silently reuse
+      // artifacts signed under the old geometry
       graft.ops.ArtifactStore.fingerprint(spark, sfDir, "documents",
-        s"dedup-par0-v$StoreVersion"),
+        s"dedup-par0-v$StoreVersion|b4x3|n3"),
       maxBucket = TextOps.FixtureMaxBucket)
   }
 

@@ -36,29 +36,41 @@ object KMeansStore {
   private def storeTag: String =
     s"kmeans-p${KMeansDelta.SettledPct}-v$StoreVersion"
 
-  /** Yesterday's job: fit the settled slice, persist the k centroids. */
+  /** Fingerprint extra: the dir tag PLUS the fit-time hyperparameters
+    * (k, cold iters, dim) — changing KMeansDelta.K without a StoreVersion
+    * bump must invalidate stored centroids, not silently reuse them. */
+  private def storeExtra: String =
+    s"$storeTag|k${KMeansDelta.K}|i${KMeansDelta.Iters}|d${KMeansDelta.Dim}"
+
+  /** Yesterday's job: fit the settled slice, persist the k centroids
+    * under the fingerprint-keyed [[graft.ops.ArtifactStore.versionDir]]. */
   def fitStore(spark: SparkSession, embeds: DataFrame, dir: String,
                fp: String, k: Int = KMeansDelta.K,
                iters: Int = KMeansDelta.Iters,
                settledPct: Long = KMeansDelta.SettledPct): String = synchronized {
     graft.ops.ArtifactStore.beginFit(dir)
+    val vdir = graft.ops.ArtifactStore.versionDir(dir, fp)
     val pts = Tables.swapPersist("q170_fit_pts", KMeans.quantize(embeds))
     val nC = pts.agg(count(lit(1)).as("n"))
     val settled = pts.crossJoin(broadcast(nC))
       .filter(expr(s"vec_id < (n * $settledPct) div 100"))
       .select(col("vec_id"), col("q"))
     KMeans.fit(settled, k, iters).write.mode("overwrite")
-      .parquet(s"$dir/centroids")
+      .parquet(s"$vdir/centroids")
     graft.ops.ArtifactStore.commitFit(dir, fp)
-    dir
+    vdir
   }
 
-  /** The recurring job — see object doc. */
+  /** The recurring job — see object doc. Check+fit share one lock so two
+    * concurrent callers can't both observe stale and both refit. */
   def storeRefreshOf(spark: SparkSession, embeds: DataFrame, dir: String,
                      fp: String, warmIters: Int = KMeansDelta.WarmIters): DataFrame = {
-    if (!graft.ops.ArtifactStore.isFresh(dir, fp))
-      fitStore(spark, embeds, dir, fp)
-    val cS = spark.read.parquet(s"$dir/centroids")
+    synchronized {
+      if (!graft.ops.ArtifactStore.isFresh(dir, fp))
+        fitStore(spark, embeds, dir, fp)
+    }
+    val cS = spark.read.parquet(
+      s"${graft.ops.ArtifactStore.versionDir(dir, fp)}/centroids")
     val pts = Tables.swapPersist("q170_pts", KMeans.quantize(embeds))
     val cW = KMeans.fitFrom(pts, cS, warmIters)
     val census = KMeans.assign(pts, cW)
@@ -80,7 +92,7 @@ object KMeansStore {
   def q170(spark: SparkSession, sfDir: String): DataFrame =
     storeRefreshOf(spark, Tables.table(spark, sfDir, "embeddings"),
       graft.ops.ArtifactStore.root(sfDir, storeTag),
-      graft.ops.ArtifactStore.fingerprint(spark, sfDir, "embeddings", storeTag))
+      graft.ops.ArtifactStore.fingerprint(spark, sfDir, "embeddings", storeExtra))
 
   private def q170Sql(k: Int = KMeansDelta.K, iters: Int = KMeansDelta.Iters,
                       warmIters: Int = KMeansDelta.WarmIters,

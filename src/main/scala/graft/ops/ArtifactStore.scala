@@ -43,12 +43,29 @@ object ArtifactStore {
   private def sentinel(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(dir, "_FIT_OK")
 
-  /** True iff the sentinel exists and carries `fp`. */
-  def isFresh(dir: String, fp: String): Boolean = {
-    val s = sentinel(dir)
-    java.nio.file.Files.exists(s) &&
-      java.nio.file.Files.readString(s).trim == fp
-  }
+  /** True iff the sentinel exists and carries `fp`. A concurrent
+    * [[beginFit]] deleting the sentinel between the exists check and the
+    * read surfaces as NoSuchFileException — that race means NOT fresh
+    * (the fit in flight will re-stamp), never an error. */
+  def isFresh(dir: String, fp: String): Boolean =
+    try {
+      val s = sentinel(dir)
+      java.nio.file.Files.exists(s) &&
+        java.nio.file.Files.readString(s).trim == fp
+    } catch { case _: java.io.IOException => false }
+
+  /** The fingerprint-keyed payload subdir — fits WRITE artifacts under
+    * `versionDir(dir, fp)` and readers resolve the same path from the fp
+    * they just validated, so a refit against a regenerated fixture (a new
+    * fp) lands in a NEW subdir and never rewrites parquet files a running
+    * reader's lazy scan still holds (the reader-racing-refit hazard: an
+    * overwrite-in-place rewrite makes the old reader fail on missing
+    * part-files mid-query). Same-fp refits only happen after a crash
+    * mid-fit — when no reader can have passed [[isFresh]] — and are
+    * serialized per-JVM by the callers' `synchronized` check+fit blocks.
+    * Superseded version dirs are garbage, not hazards; callers may GC
+    * them on fit. */
+  def versionDir(dir: String, fp: String): String = s"$dir/v-${fp.take(16)}"
 
   /** Start a fit: create the dir, delete any existing sentinel. */
   def beginFit(dir: String): Unit = {

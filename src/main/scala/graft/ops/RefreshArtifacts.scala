@@ -68,16 +68,26 @@ object RefreshArtifacts {
   def root(sfDir: String, cutUs: Long): String =
     ArtifactStore.root(sfDir, s"c$cutUs-v$Version")
 
+  /** The fingerprint folds the FIT-TIME iteration depths in alongside the
+    * layout version: changing SpectralEmbed.Rounds or PageRankDelta.Iters
+    * changes the artifacts' semantics, and relying on a manual Version
+    * bump would let semantically stale artifacts be reused silently. */
   private def fingerprint(spark: SparkSession, sfDir: String, cutUs: Long): String =
-    ArtifactStore.fingerprint(spark, sfDir, "events", s"v$Version|$cutUs")
+    ArtifactStore.fingerprint(spark, sfDir, "events",
+      s"v$Version|$cutUs|r${SpectralEmbed.Rounds}|i${PageRankDelta.Iters}")
 
-  /** Yesterday's job: one settled-corpus pass → the four artifacts.
-    * Returns the artifact dir. Sentinel deleted first / stamped last —
-    * [[ArtifactStore]]'s protocol. */
+  /** Yesterday's job: one settled-corpus pass → the four artifacts,
+    * written under the fingerprint-keyed [[ArtifactStore.versionDir]] (a
+    * refit against a regenerated fixture never rewrites files a running
+    * reader holds). Returns the VERSION dir. Sentinel deleted first /
+    * stamped last — [[ArtifactStore]]'s protocol. */
   def fit(spark: SparkSession, sfDir: String,
           cutUs: Long = SpectralDelta.DeltaCutUs): String = synchronized {
-    val dir = root(sfDir, cutUs)
-    ArtifactStore.beginFit(dir)
+    val base = root(sfDir, cutUs)
+    val fp = fingerprint(spark, sfDir, cutUs)
+    val dir = ArtifactStore.versionDir(base, fp)
+    ArtifactStore.beginFit(base)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val ev = Tables.table(spark, sfDir, "events")
     // settled slice on the RAW ts column (pushable; fit scans it anyway,
     // but the pruning matters when the settled corpus is itself a slice
@@ -98,16 +108,17 @@ object RefreshArtifacts {
       .write.mode("overwrite").parquet(s"$dir/spectral")
     PageRankDelta.rankOf(cs, key = "q167fr")
       .write.mode("overwrite").parquet(s"$dir/ranks")
-    ArtifactStore.commitFit(dir, fingerprint(spark, sfDir, cutUs))
+    ArtifactStore.commitFit(base, fp)
     dir
   }
 
-  /** The artifact dir, fitting first iff the sentinel is absent or its
-    * fingerprint no longer matches the fixture. */
+  /** The artifact VERSION dir, fitting first iff the sentinel is absent
+    * or its fingerprint no longer matches the fixture. */
   private def ensureFit(spark: SparkSession, sfDir: String, cutUs: Long): String =
     synchronized {
-      val dir = root(sfDir, cutUs)
-      if (ArtifactStore.isFresh(dir, fingerprint(spark, sfDir, cutUs))) dir
+      val base = root(sfDir, cutUs)
+      val fp = fingerprint(spark, sfDir, cutUs)
+      if (ArtifactStore.isFresh(base, fp)) ArtifactStore.versionDir(base, fp)
       else fit(spark, sfDir, cutUs)
     }
 

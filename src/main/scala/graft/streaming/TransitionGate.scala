@@ -37,7 +37,15 @@ import org.apache.spark.sql.streaming._
   * same frame [[graft.ops.Frontier.lastOf]] computes in batch), RocksDB-
   * capable via transformWithState; each micro-batch shuffles only its
   * own rows on user_id. The census consumer downstream aggregates
-  * (src, dst) counts — vocab²-bounded state, the q154 envelope. */
+  * (src, dst) counts — vocab²-bounded state, the q154 envelope.
+  * PER-BATCH bound (distinct from the per-user STATE bound):
+  * handleInputRows buffers and sorts one key's batch rows to impose the
+  * (t, event_id) order, so transient memory per key is that key's
+  * MICRO-BATCH row count — bounded by trigger sizing (maxOffsetsPerTrigger
+  * / file-batch caps), not by the corpus; a hot key with an unbounded
+  * trigger is the one shape this buffering punishes, and the mitigation
+  * is the trigger cap, not a code change (dropping the sort would require
+  * trusting intra-batch arrival order, which file sources don't grant). */
 object TransitionGate {
 
   /** (user_id, event_id, item, t) — the prepped item-event grain

@@ -40,6 +40,46 @@ class RefreshArtifactsSpec extends SparkSpec {
       "refit must restamp the true fingerprint")
   }
 
+  test("race contract: a reader holding the old version dir survives a refit under a new fingerprint") {
+    import spark.implicits._
+    val existingA = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated settled content about parquet row groups")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (5L, "entirely novel incoming text that matches nothing here at all")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_race").toString
+    // reader resolves fp-A; plan built, NOT yet executed (the lazy-scan
+    // window the race lives in)
+    val readerA = graft.ext.DeltaDedup
+      .storeDedupOf(spark, existingA, incoming, dir, "fp-A")
+    val wantA = readerA.collect().map(_.toString).sorted // also primes v-A
+    // the fixture "regenerates": a refit lands under fp-B's version dir
+    val existingB = Seq((0L, "totally different settled corpus now")).toDF("doc_id", "text")
+    graft.ext.DeltaDedup.storeDedupOf(spark, existingB, incoming, dir, "fp-B").count()
+    assert(!graft.ops.ArtifactStore.isFresh(dir, "fp-A"),
+      "fp-A must read stale after the fp-B refit")
+    // the race: readerA's lazy scan re-executes AFTER the refit — the
+    // old version dir must be intact (old complete verdicts, no
+    // missing-part-file failure, never mixed state)
+    val gotA = readerA.collect().map(_.toString).sorted
+    assert(gotA.sameElements(wantA),
+      s"old reader saw mixed/destroyed state after refit: ${gotA.toSeq} vs ${wantA.toSeq}")
+  }
+
+  test("isFresh is race-safe: unreadable or vanished sentinels read as stale, never throw") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fresh").toString
+    assert(!graft.ops.ArtifactStore.isFresh(s"$dir/never-made", "fp"))
+    // a sentinel that exists but can't be read as a file (here: it's a
+    // directory — the same IOException surface as a concurrent beginFit
+    // deleting it between the exists check and the read) → stale
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "_FIT_OK"))
+    assert(!graft.ops.ArtifactStore.isFresh(dir, "fp"),
+      "an unreadable sentinel must read as stale, not throw")
+  }
+
   test("the recurring path's corpus scan is the pushed-filter delta shard") {
     RefreshArtifacts.q167(spark, sf0001).count() // registers q167_d
     val d = graft.oracle.Tables.persistedFrame("q167_d")

@@ -47,6 +47,32 @@ class RollingRefreshSpec extends SparkSpec {
     assert(got == Map(1L -> 10L, 2L -> 21L, 3L -> 30L), s"got $got")
   }
 
+  test("advanceByTime: a late-bearing delta still yields lastFullOf(settled ∪ delta); advance would not") {
+    import spark.implicits._
+    // user 1: delta event PREDATES the frontier (the q171/q172 late
+    // shape) — time-compare must keep the settled item, blind upsert
+    // takes the late one; user 2: genuine post-cut update; user 3: new
+    val s = Seq((1L, 100L, 10L, 5000L), (1L, 101L, 11L, 6000L),
+      (2L, 200L, 20L, 5000L)).toDF("user_id", "event_id", "item", "t")
+    val d = Seq((1L, 102L, 12L, 5500L), // late: between user 1's events
+      (2L, 201L, 21L, 9000L), (3L, 300L, 30L, 7000L))
+      .toDF("user_id", "event_id", "item", "t")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = toMapOf(Frontier.advanceByTime(
+      Frontier.lastFullOf(s), Frontier.lastFullOf(d)))
+    val want = toMapOf(Frontier.lastFullOf(s.unionByName(d)))
+    assert(got == want, s"advanceByTime diverged: $got vs $want")
+    assert(got == Map(1L -> 11L, 2L -> 21L, 3L -> 30L), s"got $got")
+    // the documented hazard is REAL: the blind upsert gets user 1 wrong
+    val blind = toMapOf(Frontier.advance(Frontier.lastOf(s), Frontier.lastOf(d)))
+    assert(blind(1L) == 12L, "precondition violation should corrupt advance")
+    // and on a post-cut delta the two agree (advance's contract holds)
+    val dOk = d.filter(col("t") >= lit(6500L))
+    assert(toMapOf(Frontier.advanceByTime(Frontier.lastFullOf(s), Frontier.lastFullOf(dOk)))
+      == toMapOf(Frontier.advance(Frontier.lastOf(s), Frontier.lastOf(dOk))))
+  }
+
   test("census closure: the twice-decomposed m2 == the monolithic full census") {
     val ev = Tables.table(spark, sf0001, "events")
     val got = RollingRefresh.rolledCensusOf(ev, Tables.tsMicros(ev)).collect()
