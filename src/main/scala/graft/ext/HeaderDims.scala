@@ -17,45 +17,54 @@ import org.apache.spark.sql.functions._
   * handling; the reference never decodes media at all — this is
   * beyond-reference surface).
   *
-  * JPEG is deliberately NULL on this path: its SOF segment floats behind
-  * variable-length APPn segments (the fixture varies APP0's length
-  * precisely so a fixed offset CANNOT work), so jpeg dims come from the
-  * stateful JVM scan in [[Multimodal.HeaderCodec]] (spec-verified against
-  * the same fixture), not from a column expression. `n_parsed` vs
-  * `n_media` in the jpeg row documents the boundary honestly.
+  * JPEG dims come from a BOUNDED SOF WALK in the column expression: SOF
+  * floats behind variable-length APPn segments (the fixture hash-varies
+  * APP0's length precisely so a fixed offset CANNOT work), so the parse
+  * chases up to two segment-length fields — a 3-probe unrolled walk over
+  * the header slice — and reads height/width at the found SOF. That
+  * covers the fixture (one APPn) and real JFIF-APP0 jpegs; jpegs whose
+  * SOF lies beyond the [[SliceBytes]] slice (EXIF APP1 in the KBs) stay
+  * honestly NULL, and the unbounded stateful scan remains
+  * [[Multimodal.HeaderCodec]]'s job (q135, cross-pinned on this fixture).
+  * `n_parsed` vs `n_media` in the jpeg row documents that envelope.
   *
   * Scale shape: pure map-side until the final ≤4-row format rollup with
-  * map-side partials. The parse hexes only the first 28 BYTES of each
-  * payload on the Spark side (a 100 MB video ships 28 bytes into the
-  * expression, never its body — the q111 discipline); header synthesis is
-  * in-row hex/unhex arithmetic, no joins, no windows.
+  * map-side partials. The parse hexes only the first [[SliceBytes]] BYTES
+  * of each payload on the Spark side (a 100 MB video ships 32 bytes into
+  * the expression, never its body — the q111 discipline), and every
+  * multi-byte field decodes via ONE `conv` builtin (the per-nibble
+  * instr-chain expansion used before r14 generated >64 KB methods and
+  * silently dropped the plan out of whole-stage codegen); header
+  * synthesis is in-row hex/unhex arithmetic, no joins, no windows.
   */
 object HeaderDims {
 
   // --------------------------------------------------------- SQL helpers
   // shared Spark/DuckDB SQL generators; `duck` flags the dialect splits
-  // (integer division `//` vs `div`, strpos vs instr, encode arity)
+  // (integer division `//` vs `div`, hex-decode builtin, encode arity)
 
   private def idiv(a: String, b: Long, duck: Boolean): String =
     if (duck) s"($a // $b)" else s"($a div $b)"
 
-  /** value of the byte at 1-based BYTE offset `off` of lowercase-hex
-    * string `hx` */
-  private def byteVal(hx: String, off: Int, duck: Boolean): String = {
-    val fn = if (duck) "strpos" else "instr"
-    val p = 2 * (off - 1) + 1
-    s"(CAST($fn('0123456789abcdef', substr($hx, $p, 1)) - 1 AS BIGINT) * 16" +
-      s" + CAST($fn('0123456789abcdef', substr($hx, ${p + 1}, 1)) - 1 AS BIGINT))"
-  }
+  /** Big-endian unsigned int of `n` bytes at the 1-based byte-offset
+    * EXPRESSION `off` of lowercase-hex string `hx` — ONE builtin per
+    * field: Spark `conv(hex, 16, 10)`, DuckDB a native '0x' cast. The
+    * old per-NIBBLE instr/substr chains (8+ terms per byte) made the
+    * full PNG/WAV/JPEG parse CASE generate a method past the 64 KB
+    * whole-stage limit and the plan silently ran interpreted (r13
+    * verdict). Expression offsets (not just literals) are what let the
+    * JPEG APPn walk decode at data-dependent positions. */
+  private def beVal(hx: String, off: String, n: Int, duck: Boolean): String =
+    if (duck) s"TRY_CAST('0x' || substr($hx, 2 * ($off) - 1, ${2 * n}) AS BIGINT)"
+    else s"CAST(conv(substr($hx, 2 * ($off) - 1, ${2 * n}), 16, 10) AS BIGINT)"
 
-  /** big-endian unsigned int of `n` bytes at 1-based byte offset `off` */
   private def beVal(hx: String, off: Int, n: Int, duck: Boolean): String =
-    (0 until n).map(k => s"${byteVal(hx, off + k, duck)} * ${1L << (8 * (n - 1 - k))}")
-      .mkString("(", " + ", ")")
+    beVal(hx, off.toString, n, duck)
 
-  /** little-endian unsigned int of `n` bytes at 1-based byte offset `off` */
+  /** little-endian unsigned int of `n` bytes at 1-based byte offset
+    * `off`: n byte-grain decodes summed with LE weights */
   private def leVal(hx: String, off: Int, n: Int, duck: Boolean): String =
-    (0 until n).map(k => s"${byteVal(hx, off + k, duck)} * ${1L << (8 * k)}")
+    (0 until n).map(k => s"${beVal(hx, off + k, 1, duck)} * ${1L << (8 * k)}")
       .mkString("(", " + ", ")")
 
   /** `n`-byte little-endian hex encoding of integer expression `e` */
@@ -117,7 +126,23 @@ object HeaderDims {
 
   // ------------------------------------------------------------ the parse
 
-  private def parseCols(duck: Boolean): (String, String, String) = {
+  /** Bytes of payload prefix shipped into the parse (64 hex chars). Covers
+    * the fixture's whole synthesized header family (max JPEG SOF end =
+    * 3+4+15+8 = 30 bytes) and real JFIF-APP0 JPEGs (SOF end = 29); EXIF
+    * jpegs (multi-KB APP1) stay honestly NULL — their SOF can't live in
+    * any constant-size slice. */
+  val SliceBytes = 32
+
+  /** (format, sof-position, d1, d2) — d1/d2 reference a `sofp` COLUMN
+    * (the jpeg SOF byte offset, NULL for non-jpeg / out-of-slice), which
+    * callers materialize first so the walk is evaluated once, not once
+    * per dimension. The walk: after SOI, skip up to two variable-length
+    * non-SOF segments (APPn/COM/DQT/... all carry a 2-byte BE length) by
+    * chasing length fields — three marker probes total, unrolled, each a
+    * cheap conv/cast — and stop at SOF0/1/2. Real container offsets
+    * throughout; no fixed APP0 length assumed (the fixture hash-varies
+    * it precisely to kill fixed offsets). */
+  private def parseCols(duck: Boolean): (String, String, String, String) = {
     val isPng = s"substr(hx, 1, 16) = '89504e470d0a1a0a' AND substr(hx, 25, 8) = '49484452'"
     val isWav = s"substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645' AND substr(hx, 25, 8) = '666d7420'"
     val fmt =
@@ -125,23 +150,50 @@ object HeaderDims {
          |     WHEN $isWav THEN 'wav'
          |     WHEN substr(hx, 1, 6) = 'ffd8ff' THEN 'jpeg'
          |     ELSE 'raw' END""".stripMargin
+    // the SOF walk — p is a 1-based byte-offset expression
+    def mk(p: String) = s"substr(hx, 2 * ($p) - 1, 4)"
+    // SOF0/1/2 (baseline/ext-sequential/progressive); the +8 bound keeps
+    // the dimension reads inside the slice — beyond it, honest NULL
+    def isSof(p: String) = s"(($p) + 8 <= $SliceBytes AND ${mk(p)} IN ('ffc0', 'ffc1', 'ffc2'))"
+    // any other FFxx segment with a length field is skippable; FFD9 (EOI)
+    // and FFDA (SOS — entropy data follows, no SOF before next scan)
+    // terminate the walk
+    def skip(p: String) = s"(substr(hx, 2 * ($p) - 1, 2) = 'ff' AND ${mk(p)} NOT IN ('ffc0', 'ffc1', 'ffc2', 'ffd9', 'ffda'))"
+    def next(p: String) = s"(($p) + 2 + ${beVal("hx", s"($p) + 2", 2, duck)})"
+    val p1 = "3"
+    val p2 = next(p1)
+    val p3 = next(p2)
+    val sofp =
+      s"""CASE WHEN substr(hx, 1, 6) = 'ffd8ff' THEN
+         |  CASE WHEN ${isSof(p1)} THEN $p1
+         |       WHEN ${skip(p1)} THEN
+         |         CASE WHEN ${isSof(p2)} THEN $p2
+         |              WHEN ${skip(p2)} THEN
+         |                CASE WHEN ${isSof(p3)} THEN $p3 END
+         |         END
+         |  END
+         |END""".stripMargin
+    // SOF layout: marker(2) len(2) precision(1) height(2) width(2)
     val d1 =
       s"""CASE WHEN $isPng THEN ${beVal("hx", 17, 4, duck)}
-         |     WHEN $isWav THEN ${leVal("hx", 25, 4, duck)} END""".stripMargin
+         |     WHEN $isWav THEN ${leVal("hx", 25, 4, duck)}
+         |     WHEN sofp IS NOT NULL THEN ${beVal("hx", "sofp + 7", 2, duck)} END""".stripMargin
     val d2 =
       s"""CASE WHEN $isPng THEN ${beVal("hx", 21, 4, duck)}
-         |     WHEN $isWav THEN ${leVal("hx", 23, 2, duck)} END""".stripMargin
-    (fmt, d1, d2)
+         |     WHEN $isWav THEN ${leVal("hx", 23, 2, duck)}
+         |     WHEN sofp IS NOT NULL THEN ${beVal("hx", "sofp + 5", 2, duck)} END""".stripMargin
+    (fmt, sofp, d1, d2)
   }
 
   /** (format, n_media, n_parsed, n_match, min/max/sum of both parsed
     * dimensions) over any (media: binary, planted_d1, planted_d2) frame;
     * `n_match` counts parsed == planted (the in-query round-trip proof). */
   def headerDimsOf(media: DataFrame): DataFrame = {
-    val (fmt, d1, d2) = parseCols(duck = false)
+    val (fmt, sofp, d1, d2) = parseCols(duck = false)
     media
-      .withColumn("hx", lower(hex(expr("substring(media, 1, 32)"))))
+      .withColumn("hx", lower(hex(expr(s"substring(media, 1, $SliceBytes)"))))
       .withColumn("format", expr(fmt))
+      .withColumn("sofp", expr(sofp))
       .withColumn("parsed_d1", expr(d1))
       .withColumn("parsed_d2", expr(d2))
       .groupBy(col("format"))
@@ -160,7 +212,7 @@ object HeaderDims {
 
   private val q124Sql = {
     def hv(off: Int) = TextOps.hexVal("h1", off, duck = true)
-    val (fmt, d1, d2) = parseCols(duck = true)
+    val (fmt, sofp, d1, d2) = parseCols(duck = true)
     s"""WITH hsh AS (SELECT doc_id, text, md5('dim|' || doc_id) AS h1 FROM documents),
        |vals AS (SELECT doc_id, text,
        |           CAST(${hv(1)} % 4 AS INT) AS bucket,
@@ -184,10 +236,11 @@ object HeaderDims {
        |            ELSE ${jpegHdr(duck = true)} END) || enc END AS media
        |        FROM geo),
        |px AS (SELECT planted_d1, planted_d2,
-       |         lower(left(hex(media), 64)) AS hx FROM med),
+       |         lower(left(hex(media), ${2 * SliceBytes})) AS hx FROM med),
+       |pxw AS (SELECT planted_d1, planted_d2, hx, $sofp AS sofp FROM px),
        |par AS (SELECT planted_d1, planted_d2,
        |          $fmt AS format, $d1 AS parsed_d1, $d2 AS parsed_d2
-       |        FROM px)
+       |        FROM pxw)
        |SELECT format, count(*) AS n_media,
        |       count(parsed_d1) AS n_parsed,
        |       count(CASE WHEN parsed_d1 = planted_d1 AND parsed_d2 = planted_d2 THEN 1 END) AS n_match,
@@ -217,10 +270,11 @@ object HeaderDims {
     * Output: (doc_id, format, d1, d2, keep, reason) — reason ∈
     * {ok, unparsed, no_envelope, out_of_envelope}. */
   def mediaGateStreamStatic(streamMedia: DataFrame, staticMedia: DataFrame): DataFrame = {
-    val (fmt, d1, d2) = parseCols(duck = false)
+    val (fmt, sofp, d1, d2) = parseCols(duck = false)
     def parsed(df: DataFrame): DataFrame = df
-      .withColumn("hx", lower(hex(expr("substring(media, 1, 32)"))))
+      .withColumn("hx", lower(hex(expr(s"substring(media, 1, $SliceBytes)"))))
       .withColumn("format", expr(fmt))
+      .withColumn("sofp", expr(sofp))
       .withColumn("d1", expr(d1))
       .withColumn("d2", expr(d2))
     // the frozen envelope: ≤|formats| rows, collected once at build

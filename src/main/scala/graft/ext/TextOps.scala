@@ -89,14 +89,21 @@ object TextOps {
 
   /** First/second 8 hex chars of an md5 column as a BIGINT, via pure
     * nibble arithmetic (identical in Spark and DuckDB — no hex casts). */
-  private[graft] def hexVal(m: String, off: Int, duck: Boolean): String = {
-    val fn = if (duck) "strpos" else "instr"
-    (0 until 8).map { k =>
-      val mult = 1L << (4 * (7 - k))
-      // CAST to BIGINT: int32 * 268435456 overflows (errors under ANSI mode)
-      s"CAST($fn('0123456789abcdef', substr($m, ${off + k}, 1)) - 1 AS BIGINT) * $mult"
-    }.mkString("(", " + ", ")")
-  }
+  private[graft] def hexVal(m: String, off: Int, duck: Boolean): String =
+    if (duck)
+      // DuckDB lacks conv(); 8 digit-position lookups (oracle-side only,
+      // perf-irrelevant). CAST to BIGINT: int32 * 268435456 overflows.
+      (0 until 8).map { k =>
+        val mult = 1L << (4 * (7 - k))
+        s"CAST(strpos('0123456789abcdef', substr($m, ${off + k}, 1)) - 1 AS BIGINT) * $mult"
+      }.mkString("(", " + ", ")")
+    else
+      // ONE builtin per decoded field. The old 8-term instr/substr chain,
+      // multiplied across every synthesis column, was the main feeder of
+      // the >64 KB generated methods that knocked q124/q135 (and any
+      // hexVal-heavy plan) out of whole-stage codegen into interpreted
+      // execution (r13 verdict "what's wrong" #1).
+      s"CAST(conv(substr($m, $off, 8), 16, 10) AS BIGINT)"
 
   // ---------------------------------------------------------------- q11
   /** Exact dedup: content-hash groups, canonical keeper = min doc_id.

@@ -29,13 +29,36 @@ import graft.oracle.Registry
 class CodegenCleanSpec extends SparkSpec {
 
   test("all registered queries execute with codegen fallback disabled (no silent interpreted stage)") {
+    // fallback=false catches COMPILE failures as thrown exceptions; the
+    // hugeMethodLimit bail (generated method bytecode > 64 KB → silently
+    // re-execute interpreted, r13 verdict "what's wrong" #1 on q124/q135)
+    // does NOT respect that flag — it only logs one WARN. Capture the
+    // logger during the same loop so both regression modes fail here.
+    val oversized = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-codegen-capture", null, null, false,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
+        val m = e.getMessage.getFormattedMessage
+        if (m.contains("Whole-stage codegen disabled"))
+          oversized.add(m.linesIterator.take(2).mkString(" ").take(300))
+      }
+    }
+    appender.start()
+    val rootCfg = ctx.getConfiguration.getRootLogger
+    rootCfg.addAppender(appender, org.apache.logging.log4j.Level.WARN, null)
+    ctx.updateLoggers()
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       val failures = Registry.all.flatMap { q =>
         try {
+          val before = oversized.size
           q.run(spark, sf0001).queryExecution.toRdd.count()
           graft.oracle.Tables.releasePersisted()
-          None
+          if (oversized.size > before) Some(q.name -> "generated method over the whole-stage size limit (ran interpreted)")
+          else None
         } catch {
           case t: Throwable =>
             graft.oracle.Tables.releasePersisted()
@@ -45,9 +68,54 @@ class CodegenCleanSpec extends SparkSpec {
       assert(failures.isEmpty,
         failures.map { case (n, e) => s"$n -> $e" }.mkString(
           "queries with a codegen-compilation failure (would run interpreted in production):\n", "\n", ""))
+      assert(oversized.isEmpty,
+        oversized.toArray.mkString(
+          "whole-stage codegen disabled (oversized generated method):\n", "\n", ""))
     } finally {
       spark.conf.unset("spark.sql.codegen.fallback")
       spark.catalog.clearCache()
+      rootCfg.removeAppender("graft-codegen-capture")
+      ctx.updateLoggers()
+      appender.stop()
+    }
+  }
+
+  test("the disabled-codegen capture has teeth: a forced >64 KB method is seen") {
+    // if the appender wiring ever rots (logger renamed, message reworded),
+    // the main gate would pass vacuously — force the EXACT regression it
+    // guards (a janino 'grows beyond 64 KB' compile failure under the
+    // default fallback=true, the r13 q124/q135 mode) and require capture
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-codegen-teeth", null, null, false,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
+        val m = e.getMessage.getFormattedMessage
+        if (m.contains("Whole-stage codegen disabled")) captured.add(m.take(120))
+      }
+    }
+    appender.start()
+    val rootCfg = ctx.getConfiguration.getRootLogger
+    rootCfg.addAppender(appender, org.apache.logging.log4j.Level.WARN, null)
+    ctx.updateLoggers()
+    try {
+      // a genuine janino blow-up can't be forced cheaply (codegen splits
+      // large expression trees into methods before they reach the limit —
+      // only rarer unsplittable shapes like r13's CASE chains get there),
+      // so validate the capture ROUTE end-to-end instead: emit the exact
+      // message through the exact logger WholeStageCodegenExec.doExecute
+      // warns on, and require the gate's appender to see it
+      org.slf4j.LoggerFactory
+        .getLogger(classOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+        .warn("Whole-stage codegen disabled for plan (id=999): teeth probe")
+      assert(!captured.isEmpty,
+        "the WholeStageCodegenExec warn route was not captured — the codegen gate is blind")
+    } finally {
+      rootCfg.removeAppender("graft-codegen-teeth")
+      ctx.updateLoggers()
+      appender.stop()
     }
   }
 }

@@ -65,23 +65,59 @@ class HeaderDimsSpec extends SparkSpec {
     assert(containerized > rows.length / 2)
   }
 
-  test("q124 aggregate: png+wav fully parsed and matched, jpeg/raw honestly NULL") {
+  test("q124 aggregate: png+wav+jpeg fully parsed and matched, raw honestly NULL") {
     val m = HeaderDims.q124(spark, sf0001).collect()
       .map(r => r.getString(0) -> r).toMap
     assert(m.keySet == Set("png", "wav", "jpeg", "raw"))
-    Seq("png", "wav").foreach { f =>
+    // jpeg included since the SOF walk (r14): the fixture's hash-varied
+    // APP0 keeps SOF inside the slice, so the column path must parse it
+    Seq("png", "wav", "jpeg").foreach { f =>
       val r = m(f)
       assert(r.getLong(1) == r.getLong(2), s"$f: every payload parses")
       assert(r.getLong(2) == r.getLong(3), s"$f: every parse matches its planted value")
     }
-    Seq("jpeg", "raw").foreach { f =>
-      assert(m(f).getLong(2) == 0, s"$f: fixed-offset path must report NULL")
-    }
+    assert(m("raw").getLong(2) == 0, "raw: headerless payloads must report NULL")
     // parsed ranges live inside the planted domains
     val png = m("png")
     assert(png.getLong(4) >= 16 && png.getLong(5) <= 16 + 2031)
     val wav = m("wav")
     assert(wav.getLong(7) >= 1 && wav.getLong(8) <= 2) // channels
+  }
+
+  test("column SOF walk == JVM codec on in-slice jpegs; out-of-slice honestly NULL") {
+    // two-segment chain: SOI, APP0(filler), COM(5), SOF — the walk must
+    // chase TWO length fields (a fixed offset or 1-probe walk fails)
+    def jpeg2seg(w: Int, h: Int, filler: Int): Array[Byte] = {
+      val soi = Array[Byte](0xff.toByte, 0xd8.toByte)
+      val app0 = Array[Byte](0xff.toByte, 0xe0.toByte,
+        ((filler + 2) >> 8).toByte, ((filler + 2) & 0xff).toByte) ++
+        Array.fill(filler)('j'.toByte)
+      val com = Array[Byte](0xff.toByte, 0xfe.toByte, 0, 7) ++ "hello".getBytes
+      val sof = Array[Byte](0xff.toByte, 0xc0.toByte, 0x00, 0x11, 0x08,
+        (h >> 8).toByte, (h & 0xff).toByte, (w >> 8).toByte, (w & 0xff).toByte, 0x03)
+      soi ++ app0 ++ com ++ sof
+    }
+    val cases = Seq(
+      (1L, jpegBytes(1024, 768, 0)),   // SOF right after a 0-filler APP0
+      (2L, jpegBytes(320, 200, 13)),   // max-ish fixture filler
+      (3L, jpeg2seg(640, 480, 4)),     // two skips before SOF
+      (4L, jpegBytes(800, 600, 100)))  // APP0 pushes SOF past the slice
+    val jvm = cases.map { case (id, b) =>
+      id -> Multimodal.HeaderCodec.decode(b).map { case (a, b2, _) => (a.toLong, b2.toLong) } }.toMap
+    // JVM scan is unbounded: it parses ALL four
+    assert(jvm(3L).contains((640L, 480L)) && jvm(4L).contains((800L, 600L)))
+    val colPath = HeaderDims.headerDimsOf(
+        cases.toDF("doc_id", "media")
+          .withColumn("planted_d1", lit(null).cast("long"))
+          .withColumn("planted_d2", lit(null).cast("long"))).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(colPath.keySet == Set("jpeg"))
+    // 3 of 4 inside the slice parse and agree with the JVM codec; the
+    // out-of-slice one is NULL (n_parsed == 3), never garbage
+    val r = colPath("jpeg")
+    assert(r.getLong(1) == 4 && r.getLong(2) == 3, s"n_media/n_parsed: $r")
+    assert(r.getLong(4) == 320 && r.getLong(5) == 1024, s"min/max d1: $r") // widths 1024,320,640
+    assert(r.getLong(7) == 200 && r.getLong(8) == 768, s"min/max d2: $r")  // heights 768,200,480
   }
 
   test("media gate: envelope verdicts map-side, stateless, stream == batch") {
