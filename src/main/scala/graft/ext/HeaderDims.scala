@@ -101,11 +101,20 @@ object HeaderDims {
 
   private[graft] def fixtureDimMedia(docs: DataFrame): DataFrame = {
     def hv(off: Int) = TextOps.hexVal("h1", off, duck = false)
+    fixtureDimMediaWith(docs, s"CAST(${hv(25)} % 16 AS INT)")
+  }
+
+  /** [[fixtureDimMedia]] with the jpeg APP0 filler width as a caller
+    * expression — q174's escalation fixture widens it past the column
+    * walk's slice bound while q124 keeps every SOF reachable. */
+  private[graft] def fixtureDimMediaWith(docs: DataFrame,
+                                         fillExpr: String): DataFrame = {
+    def hv(off: Int) = TextOps.hexVal("h1", off, duck = false)
     docs
       .withColumn("h1", md5(concat(lit("dim|"), col("doc_id"))))
       .withColumn("bucket", expr(s"CAST(${hv(1)} % 4 AS INT)"))
       .withColumn("v2", expr(hv(9))).withColumn("v3", expr(hv(17)))
-      .withColumn("fill", expr(s"CAST(${hv(25)} % 16 AS INT)"))
+      .withColumn("fill", expr(fillExpr))
       .withColumn("pw", expr("16 + v2 % 2032"))
       .withColumn("ph", expr("16 + v3 % 1520"))
       .withColumn("sr", expr("CASE v2 % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000 " +
@@ -188,7 +197,9 @@ object HeaderDims {
   /** (format, n_media, n_parsed, n_match, min/max/sum of both parsed
     * dimensions) over any (media: binary, planted_d1, planted_d2) frame;
     * `n_match` counts parsed == planted (the in-query round-trip proof). */
-  def headerDimsOf(media: DataFrame): DataFrame = {
+  /** The raw parse columns — (input columns) + format/sofp/parsed_d1/
+    * parsed_d2 — shared by the q124 rollup and q174's escalation split. */
+  private[graft] def parsedDims(media: DataFrame): DataFrame = {
     val (fmt, sofp, d1, d2) = parseCols(duck = false)
     media
       .withColumn("hx", lower(hex(expr(s"substring(media, 1, $SliceBytes)"))))
@@ -196,6 +207,10 @@ object HeaderDims {
       .withColumn("sofp", expr(sofp))
       .withColumn("parsed_d1", expr(d1))
       .withColumn("parsed_d2", expr(d2))
+  }
+
+  def headerDimsOf(media: DataFrame): DataFrame = {
+    parsedDims(media)
       .groupBy(col("format"))
       .agg(count(lit(1)).as("n_media"),
         count(col("parsed_d1")).as("n_parsed"),

@@ -8,8 +8,10 @@ import graft.oracle.{QueryDef, Tables}
 /** q171 — late-data census repair: the maintenance loop's
   * FAULT-TOLERANCE face. q154–q170 assume shards arrive in order; real
   * pipelines get events that belong INSIDE the settled window
-  * (out-of-order beyond any watermark — W7 drops them at the streaming
-  * layer precisely so a batch repair can own them). A late event is not
+  * (out-of-order beyond any watermark — the DLQ gate
+  * [[graft.streaming.LateDlq]] routes them to a side lane at ingest,
+  * and q172/q173 + LateDlqSpec close the loop: that lane is exactly
+  * this repair's `late` input). A late event is not
   * additive: inserted between two settled events it SPLITS an existing
   * transition (user chain a→b with x landing between becomes a→x→b:
   * +1 a→x, +1 x→b, **−1 a→b**) — the case naive "append the new
@@ -50,6 +52,38 @@ object LateRepair {
   /** ~2% of events arrive late (scattered by id ↔ time interleaving). */
   val LateMod = 47L
 
+  /** The SIGNED correction census alone — the reusable half the q172/q173
+    * DLQ loop composes with the streaming gate's census: from the settled
+    * item-event slice and a late shard (both at [[CensusDelta]]'s prep
+    * grain), fetch ONLY the affected users' settled history, re-lag it
+    * with the late events spliced in, and diff. Output (src, dst, dw),
+    * dw ≠ 0. `key` namespaces the persisted affected-history frame. */
+  def correctionOf(settled: DataFrame, late: DataFrame,
+                   key: String = "q171"): DataFrame = {
+    // affected users' settled history — the ONLY settled rows the
+    // repair touches; two readers (old census + spliced census)
+    val au = late.select(col("user_id")).distinct()
+    val eAu = Tables.swapPersist(s"${key}_eau", settled.join(au, Seq("user_id")))
+
+    val oldAu = PageRankDelta.directedCensusOf(eAu)
+    val newAu = PageRankDelta.directedCensusOf(eAu.unionByName(late))
+    newAu.withColumnRenamed("w", "wn")
+      .join(oldAu.withColumnRenamed("w", "wo"), Seq("src", "dst"), "full_outer")
+      .select(col("src"), col("dst"),
+        (coalesce(col("wn"), lit(0L)) - coalesce(col("wo"), lit(0L))).as("dw"))
+      .filter(col("dw") =!= 0)
+  }
+
+  /** Apply a signed correction to a standing census → (src, dst, w, dw):
+    * w = repaired weight (0 where the repair deleted the pair), dw = the
+    * signed correction (0 for untouched pairs). Census-grain full-outer
+    * join — nothing corpus-sized. */
+  def applyTo(census: DataFrame, corr: DataFrame): DataFrame =
+    census.join(corr, Seq("src", "dst"), "full_outer")
+      .select(col("src"), col("dst"),
+        (coalesce(col("w"), lit(0L)) + coalesce(col("dw"), lit(0L))).as("w"),
+        coalesce(col("dw"), lit(0L)).as("dw"))
+
   /** (src, dst, w, dw) — see object doc. */
   def lateRepairOf(events: DataFrame, tUs: Column,
                    lateMod: Long = LateMod): DataFrame = {
@@ -61,24 +95,7 @@ object LateRepair {
 
     // the standing settled census (production reads this as an artifact)
     val cs = PageRankDelta.directedCensusOf(settled)
-
-    // affected users' settled history — the ONLY settled rows the
-    // repair touches; two readers (old census + spliced census)
-    val au = late.select(col("user_id")).distinct()
-    val eAu = Tables.swapPersist("q171_eau", settled.join(au, Seq("user_id")))
-
-    val oldAu = PageRankDelta.directedCensusOf(eAu)
-    val newAu = PageRankDelta.directedCensusOf(eAu.unionByName(late))
-    val corr = newAu.withColumnRenamed("w", "wn")
-      .join(oldAu.withColumnRenamed("w", "wo"), Seq("src", "dst"), "full_outer")
-      .select(col("src"), col("dst"),
-        (coalesce(col("wn"), lit(0L)) - coalesce(col("wo"), lit(0L))).as("dw"))
-      .filter(col("dw") =!= 0)
-
-    cs.join(corr, Seq("src", "dst"), "full_outer")
-      .select(col("src"), col("dst"),
-        (coalesce(col("w"), lit(0L)) + coalesce(col("dw"), lit(0L))).as("w"),
-        coalesce(col("dw"), lit(0L)).as("dw"))
+    applyTo(cs, correctionOf(settled, late))
   }
 
   // ---------------------------------------------------------------- q171

@@ -74,9 +74,10 @@ object PageRankDelta {
 
   /** Directed minW=1 transition census (src, dst, w) within `e` —
     * q142's edge semantics (self-loops dropped, directions kept).
-    * `private[ops]`: q166's composed daily refresh builds the SAME
-    * censuses once and shares them across both warm arms. */
-  private[ops] def directedCensusOf(e: DataFrame): DataFrame =
+    * `private[graft]`: q166's composed daily refresh builds the SAME
+    * censuses once and shares them across both warm arms, and the DLQ
+    * specs pin gate lanes against it. */
+  private[graft] def directedCensusOf(e: DataFrame): DataFrame =
     e.withColumn("src", lag(col("item"), 1).over(
         Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))))
       .filter(col("src").isNotNull && col("src") =!= col("item"))

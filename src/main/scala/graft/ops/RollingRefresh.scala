@@ -146,6 +146,115 @@ object RollingRefresh {
         abs(col("v_warm") - col("v_cold")).as("v_drift"))
   }
 
+  /** N-CYCLE chain audit (r13 verdict Next #2): q169 proves TWO cycles
+    * chain with shrinking drift; production runs the loop indefinitely,
+    * and the open question was whether chained-warm drift stays bounded
+    * over many cycles (run forever) or accumulates (refit weekly). This
+    * drives the SAME closure machinery through `cuts.size` daily cycles —
+    * census rolled additively, frontier upserted, rank and spectral
+    * priors chained warm-output→warm-input — and at every cycle fuses a
+    * COLD recompute alongside to measure the drift a monitor would watch
+    * (the q170 `cent_shift` discipline applied to the whole arc).
+    *
+    * Returns ONE ROW PER CYCLE: (cycle, nodes, rank_l1, rank_max,
+    * v_nodes, v_l1, v_max) — integer drift sums/maxima of the warm vs
+    * cold rank (micro-units) and spectral (fixed-point) vectors. The
+    * census closure at the final cycle is spec-pinned via
+    * [[chainFinalCensusOf]] == the monolithic census (it fails if ANY
+    * cycle's decomposition or upsert was wrong). tools/ChainProbe runs
+    * this at sf0.1 / 7 cycles for the BASELINE.md drift curve.
+    *
+    * Scale shape: one corpus pass persisted; per cycle everything is
+    * census-grain with the q169 localCheckpoint posture (each rolled
+    * census and each chained prior roots its lineage, so driver
+    * plan-analysis stays O(1) per cycle instead of O(cycle)). */
+  def chainDriftOf(events: DataFrame, tUs: Column, cuts: Seq[Long]): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted, s"cuts must be ascending: $cuts")
+    val e = Tables.swapPersist("chain_e", CensusDelta.prep(events, tUs))
+    val s = e.filter(col("t") < cuts.head)
+    var cs = PageRankDelta.directedCensusOf(s).localCheckpoint()
+    var f = Frontier.lastOf(s).localCheckpoint()
+    var r = PageRankDelta.rankOf(cs, key = "chain_r0").localCheckpoint()
+    var v = SpectralEmbed.spectralOf(
+      WalkPmi.pmiOf(Backbone.backboneWeightedOf(DailyRefresh.pooled(cs))
+        .withColumnRenamed("w", "cnt"), key = "chain_s0"),
+      key = "chain_s0").localCheckpoint()
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val his = cuts.tail.map(Some(_)) :+ None
+    his.zipWithIndex.foreach { case (hi, idx) =>
+      val lo = if (idx == 0) cuts.head else cuts(idx)
+      val d = hi match {
+        case Some(h) => e.filter(col("t") >= lo && col("t") < h)
+        case None => e.filter(col("t") >= lo)
+      }
+      val cb = Frontier.straddleFrom(f, d)
+        .filter(col("s_item") =!= col("d_item"))
+        .groupBy(col("s_item").as("src"), col("d_item").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val m = cs.unionByName(PageRankDelta.directedCensusOf(d)).unionByName(cb)
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+        .localCheckpoint()
+      f = Frontier.advance(f, Frontier.lastOf(d)).localCheckpoint()
+
+      val k = idx + 1
+      val wcR = PageRankDelta.rankWarmColdOf(m, r, key = s"chain_r$k")
+        .localCheckpoint()
+      val wcV = SpectralDelta.spectralWarmColdOf(
+        WalkPmi.pmiOf(Backbone.backboneWeightedOf(DailyRefresh.pooled(m))
+          .withColumnRenamed("w", "cnt"), key = s"chain_s$k"),
+        v, SpectralDelta.WarmRounds, key = s"chain_s$k").localCheckpoint()
+
+      val rd = wcR.agg(count(lit(1)).as("nodes"),
+        sum(abs(col("rank_warm") - col("rank_cold"))).as("rank_l1"),
+        max(abs(col("rank_warm") - col("rank_cold"))).as("rank_max"))
+      val vd = wcV.agg(count(lit(1)).as("v_nodes"),
+        sum(abs(col("v_warm") - col("v_cold"))).as("v_l1"),
+        max(abs(col("v_warm") - col("v_cold"))).as("v_max"))
+      out += rd.crossJoin(vd).select(lit(k).as("cycle"), col("nodes"),
+        col("rank_l1"), col("rank_max"), col("v_nodes"), col("v_l1"), col("v_max"))
+
+      cs = m
+      r = wcR.select(col("item"), col("rank_warm").as("rank_micro"))
+      v = wcV.select(col("node"), col("v_warm").as("vfp"))
+    }
+    out.reduce(_ unionByName _)
+  }
+
+  /** The census after driving the chain through `cuts` — exactly the
+    * rolled-census side of [[chainDriftOf]] without the drift arms.
+    * RollingRefreshSpec pins it equal to the monolithic census for a
+    * 4-cut chain (the N-cycle closure identity). */
+  def chainFinalCensusOf(events: DataFrame, tUs: Column, cuts: Seq[Long]): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted, s"cuts must be ascending: $cuts")
+    val e = Tables.swapPersist("chainc_e", CensusDelta.prep(events, tUs))
+    val s = e.filter(col("t") < cuts.head)
+    var cs = PageRankDelta.directedCensusOf(s).localCheckpoint()
+    var f = Frontier.lastOf(s).localCheckpoint()
+    val his = cuts.tail.map(Some(_)) :+ None
+    his.zipWithIndex.foreach { case (hi, idx) =>
+      val lo = if (idx == 0) cuts.head else cuts(idx)
+      val d = hi match {
+        case Some(h) => e.filter(col("t") >= lo && col("t") < h)
+        case None => e.filter(col("t") >= lo)
+      }
+      val cb = Frontier.straddleFrom(f, d)
+        .filter(col("s_item") =!= col("d_item"))
+        .groupBy(col("s_item").as("src"), col("d_item").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      cs = cs.unionByName(PageRankDelta.directedCensusOf(d)).unionByName(cb)
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+        .localCheckpoint()
+      f = Frontier.advance(f, Frontier.lastOf(d)).localCheckpoint()
+    }
+    cs
+  }
+
+  /** Daily cuts ENDING at [[Day2CutUs]]: the last `n` day boundaries of
+    * the fixture month, so an n-cycle chain replays the final n days. */
+  def dailyCuts(n: Int): Seq[Long] =
+    (0 until n).map(k => Day2CutUs - 86400000000L * (n - 1 - k))
+
   // ---------------------------------------------------------------- q169
   def q169(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")

@@ -1,0 +1,58 @@
+package graft.tools
+
+import graft.oracle.Tables
+import graft.ops.RollingRefresh
+import org.apache.spark.sql.SparkSession
+
+/** N-cycle rolling-refresh drift probe (r13 verdict Next #2): drives
+  * [[RollingRefresh.chainDriftOf]] through `SPARK_GRAFT_CHAIN_CYCLES`
+  * (default 7) daily cycles on `SPARK_GRAFT_SF_DIR` (default sf0.1) and
+  * emits one JSON line per cycle — the warm-vs-cold drift of the chained
+  * rank and spectral priors — plus a closing summary with the
+  * first→last drift ratios. This is the evidence behind the "run
+  * forever vs refit weekly" call recorded in BASELINE.md: bounded (or
+  * shrinking) per-cycle drift means the chained prior never degrades
+  * past what a single-step warm start pays; growing drift would mean the
+  * loop needs a periodic cold refit, triggered in production off exactly
+  * the drift columns this probe prints (the q170 cent_shift discipline).
+  *
+  *   sbt "runMain graft.tools.ChainProbe"
+  */
+object ChainProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cycles = sys.env.getOrElse("SPARK_GRAFT_CHAIN_CYCLES", "7").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ev = Tables.table(spark, sfDir, "events")
+    val t0 = System.nanoTime()
+    val rows = RollingRefresh
+      .chainDriftOf(ev, Tables.tsMicros(ev), RollingRefresh.dailyCuts(cycles))
+      .collect().sortBy(_.getInt(0))
+    val sec = (System.nanoTime() - t0) / 1e9
+    rows.foreach { r =>
+      println(s"""{"cycle":${r.getInt(0)},"nodes":${r.getLong(1)},""" +
+        s""""rank_l1":${r.getLong(2)},"rank_max":${r.getLong(3)},""" +
+        s""""v_nodes":${r.getLong(4)},"v_l1":${r.getLong(5)},"v_max":${r.getLong(6)}}""")
+    }
+    val first = rows.head; val last = rows.last
+    def ratio(a: Long, b: Long): Double =
+      if (b == 0) if (a == 0) 1.0 else Double.PositiveInfinity
+      else math.round(a * 100.0 / b) / 100.0
+    println(s"""{"metric":"chain_probe","cycles":$cycles,"sec":${math.round(sec * 10) / 10.0},""" +
+      s""""rank_l1_last_over_first":${ratio(last.getLong(2), first.getLong(2))},""" +
+      s""""v_l1_last_over_first":${ratio(last.getLong(5), first.getLong(5))},""" +
+      s""""sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -158,6 +158,24 @@ class HeaderDimsSpec extends SparkSpec {
     assert(streamed == batch, "stream != batch")
   }
 
+  test("q174 escalation: column path parses the reachable bulk, JVM codec exactly the residue") {
+    val m = graft.ext.DecodeEscalation.q174(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val jpeg = m("jpeg")
+    // the wide-filler fixture MUST produce both lanes, else the pattern
+    // is vacuous (q124's own fixture keeps fill <= 15 — all-column)
+    assert(jpeg.getLong(2) > 0, "no column-parsed jpegs")
+    assert(jpeg.getLong(3) > 0, "no escalated jpegs — fixture vacuous")
+    assert(jpeg.getLong(2) + jpeg.getLong(3) == jpeg.getLong(1),
+      s"lanes must partition the jpegs: $jpeg")
+    assert(jpeg.getLong(4) == jpeg.getLong(1), s"every jpeg must match via one path: $jpeg")
+    Seq("png", "wav").foreach { f =>
+      assert(m(f).getLong(2) == m(f).getLong(1) && m(f).getLong(3) == 0,
+        s"$f must be fully column-parsed, never escalated: ${m(f)}")
+    }
+    assert(m("raw").getLong(2) == 0 && m("raw").getLong(3) == 0)
+  }
+
   test("decodeAll prefers the real header parse over the stub") {
     val recs = Seq(
       Multimodal.MediaRecord(1L, jpegBytes(800, 600, 7), "s"),

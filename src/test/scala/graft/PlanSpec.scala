@@ -1320,6 +1320,41 @@ class PlanSpec extends SparkSpec {
         s"$k re-scans the corpus instead of riding the shared cache")
   }
 
+  test("q172/q173 DLQ route: ONE corpus scan via the persisted route frame; never cartesian") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    // counted on the cached plan's STRING: the route cache's physical
+    // plan is AQE-wrapped (AdaptiveSparkPlanExec hides its inner tree
+    // from foreach), so node-collecting undercounts to zero
+    def buildFileScans(key: String): Int = {
+      val f = graft.oracle.Tables.persistedFrame(key)
+      assert(f.isDefined, s"$key not registered")
+      val ims = f.get.queryExecution.withCachedData
+        .collect { case r: InMemoryRelation => r }
+      assert(ims.nonEmpty, s"$key not substituted by its cache")
+      countOccurrences(ims.head.cacheBuilder.cachedPlan.toString, "FileScan parquet")
+    }
+    for ((name, key) <- Seq("q172_dlq_route" -> "q172_r",
+                            "q173_dlq_repair" -> "q173_r")) {
+      val df = Registry.byName(name).run(spark, sf0001)
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name: never cartesian:\n$p")
+      // the routed frame (arrival window + late flag) scans events ONCE;
+      // every reader — lane rollup, frontier window, censuses, the
+      // affected-user fetch — rides that cache: zero file scans in the
+      // OUTER physical tree (counted on the tree, not the plan string —
+      // a cache leaf's displayed lineage repeats the scan text)
+      assert(buildFileScans(key) == 1, s"$key must be the single corpus scan")
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      var outerScans = 0
+      df.queryExecution.executedPlan.foreach {
+        case _: FileSourceScanExec => outerScans += 1
+        case _ => ()
+      }
+      assert(outerScans == 0,
+        s"$name: readers must ride the $key cache, not re-scan ($outerScans file scans):\n$p")
+    }
+  }
+
   test("q165 kmeans delta: both assignment arms read the ONE persisted corpus; centroid fixed points are checkpointed leaves") {
     val p = executedPortion(plan(Registry.byName("q165_kmeans_delta").run(spark, sf0001)))
     // cW/cC are k-row checkpointed leaves (the Lloyd loops ran eagerly at

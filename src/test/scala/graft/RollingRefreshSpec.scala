@@ -84,6 +84,31 @@ class RollingRefreshSpec extends SparkSpec {
         s"first diff=${(got.toSet diff want.toSet).take(3)}")
   }
 
+  test("N-cycle chain: closure holds at 4 cycles and chained-warm drift stays bounded") {
+    val ev = Tables.table(spark, sf0001, "events")
+    val cuts = RollingRefresh.dailyCuts(4)
+    // closure: the 4-times-rolled census == the monolithic census — fails
+    // if ANY cycle's decomposition or frontier upsert is wrong
+    val rolled = RollingRefresh.chainFinalCensusOf(ev, Tables.tsMicros(ev), cuts)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val mono = PageRankDelta.fullDirectedCensusOf(ev, Tables.tsMicros(ev))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rolled == mono,
+      s"4-cycle closure broken: sizes ${rolled.size} vs ${mono.size}")
+    // drift: warm-vs-cold per cycle must not blow up as the prior chains
+    // (the "run forever" claim q169 made for 2 cycles; ChainProbe records
+    // the sf0.1 curve). Deterministic integer arithmetic — a loose 10×
+    // bound on the per-node mean catches accumulation, not noise.
+    val drift = RollingRefresh.chainDriftOf(ev, Tables.tsMicros(ev), cuts)
+      .collect().sortBy(_.getInt(0))
+    assert(drift.length == 4)
+    val meanPerNode = drift.map(r => r.getLong(2).toDouble / r.getLong(1))
+    assert(meanPerNode.last <= 10.0 * math.max(meanPerNode.head, 1.0),
+      s"chained rank drift accumulating: per-node means ${meanPerNode.toSeq}")
+    drift.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(4) > 0, s"degenerate cycle: $r") }
+  }
+
   test("day-2 arms are non-degenerate: ranks everywhere, spectral on the PPMI subset") {
     val out = Registry.byName("q169_rolling_refresh").run(spark, sf0001).collect()
     assert(out.nonEmpty)

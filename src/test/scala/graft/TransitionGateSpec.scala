@@ -105,6 +105,55 @@ class TransitionGateSpec extends SparkSpec {
     }
   }
 
+  test("gate composes with the artifact store: the delta batch's fold IS q167's delta+straddle census") {
+    withRocksDB {
+      import spark.implicits._
+      // the production composition (r13 verdict Next #8): the gate runs
+      // continuously; the settled corpus fitted q167's artifacts; today's
+      // recurring refresh should consume the gate's FOLDED DELTA CENSUS
+      // instead of re-lagging the delta shard. That works iff the gate's
+      // delta-batch emissions fold to exactly cd + cb — the delta lag
+      // census PLUS the frontier-join straddle census the batch path
+      // computes (the first post-cut event of each user emits the
+      // straddle from the gate's carried frontier by construction).
+      val events = itemEvents
+      val (settled, delta) = events.partition(_.t < cut)
+      val stream = MemoryStream[ItemEvent]
+      val preCol = new Collector
+      val q = preCol.sinkOf(TransitionGate.transitionsOf(stream.toDS()),
+        java.nio.file.Files.createTempDirectory("graft_gate_art").toString)
+      val settledCensus =
+        try {
+          stream.addData(settled: _*); q.processAllAvailable()
+          val afterSettled = preCol.census
+          stream.addData(delta: _*); q.processAllAvailable()
+          afterSettled
+        } finally q.stop()
+      // delta-batch fold = total − settled-batch fold (counts per key)
+      val deltaFold = preCol.census.map { case (k, n) =>
+        k -> (n - settledCensus.getOrElse(k, 0L)) }.filter(_._2 != 0L)
+
+      // the batch path's cd + cb over the same cut
+      val sDf = settled.toDF(); val dDf = delta.toDF()
+      val cd = PageRankDelta.directedCensusOf(dDf)
+      val cb = Frontier.straddleOf(sDf, dDf)
+        .filter(col("s_item") =!= col("d_item"))
+        .groupBy(col("s_item").as("src"), col("d_item").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val batchDelta = cd.unionByName(cb)
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(deltaFold == batchDelta,
+        s"gate delta fold != cd+cb; sizes ${deltaFold.size} vs ${batchDelta.size}")
+      // and therefore merged = settled census + gate fold == the
+      // monolithic census — the exact frame q167's warm arms consume
+      val merged = (settledCensus.keySet ++ deltaFold.keySet).map { k =>
+        k -> (settledCensus.getOrElse(k, 0L) + deltaFold.getOrElse(k, 0L)) }
+        .filter(_._2 != 0L).toMap
+      assert(merged == batchCensus, "settled census + gate fold != monolithic")
+    }
+  }
+
   test("restart between batches: the frontier survives the crash (straddles intact)") {
     withRocksDB {
       import spark.implicits._
