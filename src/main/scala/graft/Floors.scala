@@ -53,8 +53,8 @@ object Floors {
     "q152" -> 1.69, "q153" -> 4.36, "q154" -> 2.33, "q155" -> 3.62,
     "q156" -> 6.07, "q157" -> 5.48, "q158" -> 5.64, "q159" -> 8.29,
     "q160" -> 8.04, "q161" -> 9.33, "q162" -> 2.74, "q163" -> 17.49, "q164" -> 6.74, "q165" -> 2.81, "q166" -> 19.41, "q167" -> 8.04, "q168" -> 0.94, "q169" -> 14.46, "q170" -> 0.72, "q171" -> 1.44,
-    // round 14 (recorded at ambient load 2.3–2.8 — conservative)
-    "q172" -> 1.06, "q173" -> 2.21)
+    // round 14 (recorded at ambient load 2.3–4.4 — conservative)
+    "q172" -> 1.06, "q173" -> 2.21, "q174" -> 1.12, "q175" -> 3.59)
 
   /** Floor for a full query name ("q44_source_divergence" → the "q44"
     * prefix entry), if recorded. */

@@ -101,7 +101,54 @@ object DlqRoute {
     LateRepair.applyTo(ck, LateRepair.correctionOf(kept, late, key = "q173"))
   }
 
-  // ----------------------------------------------------------- q172/q173
+  /** q175 — the drain LEDGER: sequential DLQ drains compose. A
+    * production repair doesn't drain the DLQ once — it drains nightly,
+    * and each drain's corrections must land against the census AS
+    * ALREADY REPAIRED by earlier drains, never against the original
+    * kept-only census (that would re-subtract transitions the first
+    * drain already split — the double-correction bug exactly-once
+    * semantics exist to prevent). The identity that makes the ledger
+    * sound is per-user additivity applied TWICE: drain 2's settled side
+    * is kept ∪ drain 1, so census(kept) + corr(kept, d1) +
+    * corr(kept ∪ d1, d2) == the monolithic census, with the two
+    * corrections attributable per drain (the ledger columns dw1/dw2).
+    *
+    * Drain split: the late cohort by `(event_id div lateMod) % 2` —
+    * deterministic and non-empty on both sides at every SF (the late
+    * set's ab is constant at sf0.001, so an arrival-time split would be
+    * vacuous there).
+    *
+    * Output: (src, dst, w, dw1, dw2) — w the fully-repaired weight, dwk
+    * drain k's signed contribution. The oracle computes all three
+    * censuses monolithically and diffs; the hash match IS the
+    * sequential-composition identity. Scale shape inherits q173's:
+    * one persisted route pass, |late|-bounded drains, affected-user
+    * selective fetches, census-grain joins. */
+  def drainLedgerOf(events: DataFrame, tUs: Column,
+                    lateMod: Long = LateRepair.LateMod): DataFrame = {
+    val r = Tables.swapPersist("q175_r", routedOf(events, tUs))
+    def ev(df: DataFrame): DataFrame =
+      df.select(col("user_id"), col("event_id"), col("item"), col("t"))
+    val kept = ev(r.filter(!col("late")))
+    val d1 = ev(r.filter(col("late") &&
+      expr(s"(event_id div $lateMod) % 2") === 0))
+    val d2 = ev(r.filter(col("late") &&
+      expr(s"(event_id div $lateMod) % 2") === 1))
+    val c0 = PageRankDelta.directedCensusOf(kept)
+    val corr1 = LateRepair.correctionOf(kept, d1, key = "q175a")
+    // drain 2 lands on the ALREADY-REPAIRED corpus: kept ∪ drain 1
+    val corr2 = LateRepair.correctionOf(
+      Tables.swapPersist("q175_k1", kept.unionByName(d1)), d2, key = "q175b")
+    c0.join(corr1.withColumnRenamed("dw", "dw1"), Seq("src", "dst"), "full_outer")
+      .join(corr2.withColumnRenamed("dw", "dw2"), Seq("src", "dst"), "full_outer")
+      .select(col("src"), col("dst"),
+        (coalesce(col("w"), lit(0L)) + coalesce(col("dw1"), lit(0L)) +
+          coalesce(col("dw2"), lit(0L))).as("w"),
+        coalesce(col("dw1"), lit(0L)).as("dw1"),
+        coalesce(col("dw2"), lit(0L)).as("dw2"))
+  }
+
+  // ------------------------------------------------------ q172/q173/q175
   def q172(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")
     dlqRouteOf(ev, Tables.tsMicros(ev))
@@ -110,6 +157,11 @@ object DlqRoute {
   def q173(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")
     dlqRepairOf(ev, Tables.tsMicros(ev))
+  }
+
+  def q175(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.table(spark, sfDir, "events")
+    drainLedgerOf(ev, Tables.tsMicros(ev))
   }
 
   private def routedCte(bucket: Long = Bucket, delay: Long = DelayBuckets,
@@ -168,7 +220,28 @@ object DlqRoute {
        |       coalesce(cf.w, 0) - coalesce(ck.w, 0) AS dw
        |FROM cf FULL JOIN ck ON cf.src = ck.src AND cf.dst = ck.dst""".stripMargin
 
+  /** Three monolithic censuses (all / kept / kept ∪ drain 1) full-joined
+    * and diffed — the sequential-composition identity as a hash match. */
+  private def q175Sql(lateMod: Long = LateRepair.LateMod): String = {
+    def census(where: String): String =
+      s"""SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+         |  FROM (SELECT item AS dst,
+         |               lag(item) OVER (PARTITION BY user_id ORDER BY t, event_id) AS src
+         |        FROM r $where)
+         |  WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2""".stripMargin
+    s"""WITH ${routedCte()},
+       |cf AS (${census("")}),
+       |ck AS (${census("WHERE NOT late")}),
+       |k1 AS (${census(s"WHERE NOT late OR (event_id // $lateMod) % 2 = 0")})
+       |SELECT src, dst,
+       |       coalesce(cf.w, 0) AS w,
+       |       coalesce(k1.w, 0) - coalesce(ck.w, 0) AS dw1,
+       |       coalesce(cf.w, 0) - coalesce(k1.w, 0) AS dw2
+       |FROM cf FULL JOIN ck USING (src, dst) FULL JOIN k1 USING (src, dst)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q172_dlq_route", q172, Some(q172Sql)),
-    QueryDef("q173_dlq_repair", q173, Some(q173Sql)))
+    QueryDef("q173_dlq_repair", q173, Some(q173Sql)),
+    QueryDef("q175_drain_ledger", q175, Some(q175Sql())))
 }

@@ -117,6 +117,21 @@ class LateDlqSpec extends SparkSpec {
     }
   }
 
+  test("q175 drain ledger: both drains contribute and the sequential repair lands on the monolithic census") {
+    val rows = graft.oracle.Registry.byName("q175_drain_ledger")
+      .run(spark, sf0001).collect()
+    // teeth: each drain must move SOMETHING, else sequential composition
+    // was never exercised
+    assert(rows.exists(_.getLong(3) != 0), "drain 1 vacuous")
+    assert(rows.exists(_.getLong(4) != 0), "drain 2 vacuous")
+    // and at least one pair is touched by BOTH drains or deleted-then-
+    // restored shapes exist — the composition is not two disjoint patches
+    val w = rows.filter(_.getLong(2) != 0)
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(w == fullCensus,
+      s"sequential drains != monolithic; sizes ${w.size} vs ${fullCensus.size}")
+  }
+
   test("the loop closes: gate census + repair over the gate's own DLQ == monolithic census, across a restart") {
     withRocksDB {
       import spark.implicits._
