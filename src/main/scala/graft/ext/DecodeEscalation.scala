@@ -66,8 +66,7 @@ object DecodeEscalation {
     val colSide = parsed.groupBy(col("format"))
       .agg(count(lit(1)).as("n_payloads"),
         count(col("parsed_d1")).as("n_col"),
-        count(expr("CASE WHEN parsed_d1 = planted_d1 AND parsed_d2 = planted_d2 THEN 1 END")).as("n_col_match"),
-        count(expr("CASE WHEN format = 'jpeg' AND parsed_d1 IS NULL THEN 1 END")).as("n_resid"))
+        count(expr("CASE WHEN parsed_d1 = planted_d1 AND parsed_d2 = planted_d2 THEN 1 END")).as("n_col_match"))
     colSide.crossJoin(broadcast(escalated))
       .select(col("format"), col("n_payloads"), col("n_col"),
         when(col("format") === "jpeg", col("n_jvm_parsed")).otherwise(0L).as("n_jvm"),

@@ -136,9 +136,12 @@ object DlqRoute {
       expr(s"(event_id div $lateMod) % 2") === 1))
     val c0 = PageRankDelta.directedCensusOf(kept)
     val corr1 = LateRepair.correctionOf(kept, d1, key = "q175a")
-    // drain 2 lands on the ALREADY-REPAIRED corpus: kept ∪ drain 1
-    val corr2 = LateRepair.correctionOf(
-      Tables.swapPersist("q175_k1", kept.unionByName(d1)), d2, key = "q175b")
+    // drain 2 lands on the ALREADY-REPAIRED corpus: kept ∪ drain 1. NOT
+    // persisted — it has ONE reader (correctionOf's affected-user join,
+    // which persists the |au|-bounded fetch itself), and both legs ride
+    // the q175_r cache; materializing a second corpus copy here would be
+    // exactly the scale smell the drain ledger exists to avoid.
+    val corr2 = LateRepair.correctionOf(kept.unionByName(d1), d2, key = "q175b")
     c0.join(corr1.withColumnRenamed("dw", "dw1"), Seq("src", "dst"), "full_outer")
       .join(corr2.withColumnRenamed("dw", "dw2"), Seq("src", "dst"), "full_outer")
       .select(col("src"), col("dst"),
