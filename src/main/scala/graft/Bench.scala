@@ -225,15 +225,24 @@ object Bench {
     // real regression, one with a spiked load is the documented host-
     // contention variance; round 12 spent a full adjudication cycle
     // because the artifact couldn't distinguish them.
-    // EVERY over-2× query is named (not just the top 5): round 13's
+    // EVERY flagged query is named (not just the top 5): round 13's
     // over_2x_floor counted 7 while worst_vs_floor capped at 5, so two
     // flagged queries could not be adjudicated from the artifact alone.
-    val worstN = math.max(5, ratios.count(_._2 > 2.0))
+    // A query is FLAGGED only when over 2× its floor AND more than 0.3 s
+    // over it in absolute terms: sub-second floors (q69 0.10 s, q140
+    // 0.41 s) read 2–3× under any load spike from scheduler/JIT jitter
+    // alone — every such flag in rounds 13–14 adjudicated to noise
+    // within ~0.3–0.6 s absolute, never the same set twice (r14 verdict
+    // "what's wrong" #2), so a pure ratio gate on them cries wolf.
+    def flagged(nm: String, r: Double): Boolean =
+      r > 2.0 && Floors.forQuery(nm).exists(f => r * f - f > 0.3)
+    val nFlagged = ratios.count { case (nm, r) => flagged(nm, r) }
+    val worstN = math.max(5, nFlagged)
     val worst = ratios.sortBy(-_._2).take(worstN)
       .map { case (n, r) =>
         s"[${jsonStr(n)},${math.round(r * 100) / 100.0},${math.round(qLoads.getOrElse(n, -1.0) * 100) / 100.0}]" }
       .mkString("[", ",", "]")
-    val over2x = ratios.count(_._2 > 2.0)
+    val over2x = nFlagged
     val median =
       if (ratios.isEmpty) 0.0
       else { val s = ratios.map(_._2).sorted; s(s.size / 2) }
@@ -262,8 +271,25 @@ object Bench {
             s""","replay_error":${jsonStr(t.getClass.getSimpleName)}"""
         }
       }
+    // streaming-gate throughput (r14 verdict Next #4): the maintenance
+    // arc's transformWithState face had no bench line, so a regression
+    // there was invisible. Full-corpus DLQ-gate replay under the q172
+    // arrival model; same opt-out semantics as the 4-stage replay.
+    val gateFlag = sys.env.get("SPARK_GRAFT_GATE")
+    val gateJson =
+      if (gateFlag.contains("0") || (only.nonEmpty && !gateFlag.contains("1"))) ""
+      else {
+        try {
+          val g = graft.tools.GateReplay.run(spark, sfDir)
+          s""","gate_sec":${math.round(g.sec * 1000) / 1000.0},"gate_events_per_sec":${math.round(g.eventsPerSec)},"gate_kept":${g.transitions},"gate_late":${g.late}"""
+        } catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] gate replay FAILED: ${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}")
+            s""","gate_error":${jsonStr(t.getClass.getSimpleName)}"""
+        }
+      }
     val loadMax = if (qLoads.isEmpty) load else qLoads.values.max
-    println(s"""{"metric":"summary","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n":${timings.size},"errors":${errors.size},"median_vs_floor":${math.round(median * 100) / 100.0},"over_2x_floor":$over2x,"worst_vs_floor":$worst,"load":${math.round(load * 100) / 100.0},"load_max":${math.round(loadMax * 100) / 100.0}$replayJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n":${timings.size},"errors":${errors.size},"median_vs_floor":${math.round(median * 100) / 100.0},"over_2x_floor":$over2x,"worst_vs_floor":$worst,"load":${math.round(load * 100) / 100.0},"load_max":${math.round(loadMax * 100) / 100.0}$replayJson$gateJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

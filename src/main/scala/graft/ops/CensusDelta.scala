@@ -52,7 +52,7 @@ object CensusDelta {
   val CutUs = 1705363200000000L
 
   /** (user_id, event_id, item, t) with non-null integer items. */
-  private[ops] def prep(events: DataFrame, tUs: Column): DataFrame =
+  private[graft] def prep(events: DataFrame, tUs: Column): DataFrame =
     events.select(col("user_id"), col("event_id"),
         // integer-valued item keys only — see pageRankOf's cast note
         get_json_object(col("props"), "$.k").cast("long").as("item"), tUs.as("t"))

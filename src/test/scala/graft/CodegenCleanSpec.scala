@@ -1,6 +1,6 @@
 package graft
 
-import graft.oracle.Registry
+import graft.oracle.{GateBuilders, Registry}
 
 /** Codegen-clean gate over the WHOLE query surface.
   *
@@ -13,11 +13,14 @@ import graft.oracle.Registry
   * encoder and the |queries|×corpus scoring loop ran interpreted for two
   * rounds (VERDICT r7 "What's wrong" #1).
   *
-  * This gate runs every registered query with
-  * `spark.sql.codegen.fallback=false`, which turns the silent fallback
-  * into a thrown `CompileException` — so the NEXT interpreted regression
-  * fails one named test here instead of surfacing as an unexplained bench
-  * outlier (the FixtureSchemaSpec pattern, applied to codegen).
+  * This gate runs every registered query AND every `*StreamStatic` gate
+  * builder (the non-registry surface that escaped the net in r14 — the
+  * media gate's envelope fit ran interpreted while all registered queries
+  * were pinned clean) with `spark.sql.codegen.fallback=false`, which
+  * turns the silent fallback into a thrown `CompileException` — so the
+  * NEXT interpreted regression fails one named test here instead of
+  * surfacing as an unexplained bench outlier (the FixtureSchemaSpec
+  * pattern, applied to codegen).
   *
   * `queryExecution.toRdd` forces compilation of every whole-stage span in
   * the final plan (and, under AQE, executes the intermediate stages at
@@ -28,55 +31,118 @@ import graft.oracle.Registry
   */
 class CodegenCleanSpec extends SparkSpec {
 
+  /** Attach a "Whole-stage codegen disabled" capture appender scoped to
+    * the `WholeStageCodegenExec` LOGGER (not root — a root appender
+    * attributed any same-worded WARN from anything sharing the JVM to
+    * the query under test; r14 advice). No thread correlation on top:
+    * under AQE the warn is emitted from query-stage-materialization
+    * threads, so filtering on the test thread would blind the gate. */
+  private def withWscgCapture[A](
+      name: String)(body: java.util.concurrent.ConcurrentLinkedQueue[String] => A): A = {
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        name, null, null, false,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
+        val m = e.getMessage.getFormattedMessage
+        if (m.contains("Whole-stage codegen disabled"))
+          captured.add(m.linesIterator.take(2).mkString(" ").take(300))
+      }
+    }
+    appender.start()
+    val loggerName =
+      classOf[org.apache.spark.sql.execution.WholeStageCodegenExec].getName
+    val cfg = ctx.getConfiguration
+    val ancestor = cfg.getLoggerConfig(loggerName)
+    // reuse an exact-name LoggerConfig if one exists; otherwise create a
+    // dedicated additive one so capture scopes to exactly this logger
+    val own = ancestor.getName != loggerName
+    val lc =
+      if (!own) ancestor
+      else {
+        val l = new org.apache.logging.log4j.core.config.LoggerConfig(
+          loggerName, org.apache.logging.log4j.Level.WARN, true)
+        cfg.addLogger(loggerName, l)
+        l
+      }
+    lc.addAppender(appender, org.apache.logging.log4j.Level.WARN, null)
+    ctx.updateLoggers()
+    try body(captured)
+    finally {
+      lc.removeAppender(name)
+      if (own) cfg.removeLogger(loggerName)
+      ctx.updateLoggers()
+      appender.stop()
+    }
+  }
+
+  /** Run (name, build) pairs under fallback=false + the 64 KB-bail
+    * capture; returns the failures. */
+  private def runClean(
+      oversized: java.util.concurrent.ConcurrentLinkedQueue[String],
+      entries: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)]): Seq[(String, String)] =
+    entries.flatMap { case (name, build) =>
+      try {
+        val before = oversized.size
+        build(spark, sf0001).queryExecution.toRdd.count()
+        graft.oracle.Tables.releasePersisted()
+        if (oversized.size > before)
+          Some(name -> "generated method over the whole-stage size limit (ran interpreted)")
+        else None
+      } catch {
+        case t: Throwable =>
+          graft.oracle.Tables.releasePersisted()
+          Some(name -> s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).linesIterator.take(2).mkString(" ").take(300)}")
+      }
+    }
+
   test("all registered queries execute with codegen fallback disabled (no silent interpreted stage)") {
     // fallback=false catches COMPILE failures as thrown exceptions; the
     // hugeMethodLimit bail (generated method bytecode > 64 KB → silently
     // re-execute interpreted, r13 verdict "what's wrong" #1 on q124/q135)
     // does NOT respect that flag — it only logs one WARN. Capture the
     // logger during the same loop so both regression modes fail here.
-    val oversized = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
-      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
-    val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
-        "graft-codegen-capture", null, null, false,
-        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
-      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
-        val m = e.getMessage.getFormattedMessage
-        if (m.contains("Whole-stage codegen disabled"))
-          oversized.add(m.linesIterator.take(2).mkString(" ").take(300))
+    withWscgCapture("graft-codegen-capture") { oversized =>
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      try {
+        val failures = runClean(oversized,
+          Registry.all.map(q => q.name -> (q.run: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)))
+        assert(failures.isEmpty,
+          failures.map { case (n, e) => s"$n -> $e" }.mkString(
+            "queries with a codegen-compilation failure (would run interpreted in production):\n", "\n", ""))
+        assert(oversized.isEmpty,
+          oversized.toArray.mkString(
+            "whole-stage codegen disabled (oversized generated method):\n", "\n", ""))
+      } finally {
+        spark.conf.unset("spark.sql.codegen.fallback")
+        spark.catalog.clearCache()
       }
     }
-    appender.start()
-    val rootCfg = ctx.getConfiguration.getRootLogger
-    rootCfg.addAppender(appender, org.apache.logging.log4j.Level.WARN, null)
-    ctx.updateLoggers()
-    spark.conf.set("spark.sql.codegen.fallback", "false")
-    try {
-      val failures = Registry.all.flatMap { q =>
-        try {
-          val before = oversized.size
-          q.run(spark, sf0001).queryExecution.toRdd.count()
-          graft.oracle.Tables.releasePersisted()
-          if (oversized.size > before) Some(q.name -> "generated method over the whole-stage size limit (ran interpreted)")
-          else None
-        } catch {
-          case t: Throwable =>
-            graft.oracle.Tables.releasePersisted()
-            Some(q.name -> s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).linesIterator.take(2).mkString(" ").take(300)}")
-        }
+  }
+
+  test("every *StreamStatic gate builder (fit + verdict path) is codegen-clean too") {
+    // the r14 hole: mediaGateStreamStatic's envelope fit blew the 64 KB
+    // limit and ran interpreted — the gate builders are NOT registry
+    // queries, so the main loop never exercised them. Same net, same
+    // flags, over GateBuilders.all (batch mode; the gates are
+    // stream/batch agnostic and their fits run identically either way).
+    withWscgCapture("graft-codegen-gates") { oversized =>
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      try {
+        val failures = runClean(oversized, GateBuilders.all)
+        assert(failures.isEmpty,
+          failures.map { case (n, e) => s"$n -> $e" }.mkString(
+            "gate builders with a codegen failure (would run interpreted in production):\n", "\n", ""))
+        assert(oversized.isEmpty,
+          oversized.toArray.mkString(
+            "whole-stage codegen disabled in a gate build (oversized generated method):\n", "\n", ""))
+      } finally {
+        spark.conf.unset("spark.sql.codegen.fallback")
+        spark.catalog.clearCache()
       }
-      assert(failures.isEmpty,
-        failures.map { case (n, e) => s"$n -> $e" }.mkString(
-          "queries with a codegen-compilation failure (would run interpreted in production):\n", "\n", ""))
-      assert(oversized.isEmpty,
-        oversized.toArray.mkString(
-          "whole-stage codegen disabled (oversized generated method):\n", "\n", ""))
-    } finally {
-      spark.conf.unset("spark.sql.codegen.fallback")
-      spark.catalog.clearCache()
-      rootCfg.removeAppender("graft-codegen-capture")
-      ctx.updateLoggers()
-      appender.stop()
     }
   }
 
@@ -84,38 +150,19 @@ class CodegenCleanSpec extends SparkSpec {
     // if the appender wiring ever rots (logger renamed, message reworded),
     // the main gate would pass vacuously — force the EXACT regression it
     // guards (a janino 'grows beyond 64 KB' compile failure under the
-    // default fallback=true, the r13 q124/q135 mode) and require capture
-    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
-      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
-    val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
-        "graft-codegen-teeth", null, null, false,
-        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
-      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
-        val m = e.getMessage.getFormattedMessage
-        if (m.contains("Whole-stage codegen disabled")) captured.add(m.take(120))
-      }
-    }
-    appender.start()
-    val rootCfg = ctx.getConfiguration.getRootLogger
-    rootCfg.addAppender(appender, org.apache.logging.log4j.Level.WARN, null)
-    ctx.updateLoggers()
-    try {
-      // a genuine janino blow-up can't be forced cheaply (codegen splits
-      // large expression trees into methods before they reach the limit —
-      // only rarer unsplittable shapes like r13's CASE chains get there),
-      // so validate the capture ROUTE end-to-end instead: emit the exact
-      // message through the exact logger WholeStageCodegenExec.doExecute
-      // warns on, and require the gate's appender to see it
+    // default fallback=true, the r13 q124/q135 mode) and require capture.
+    // a genuine janino blow-up can't be forced cheaply (codegen splits
+    // large expression trees into methods before they reach the limit —
+    // only rarer unsplittable shapes like r13's CASE chains get there),
+    // so validate the capture ROUTE end-to-end instead: emit the exact
+    // message through the exact logger WholeStageCodegenExec.doExecute
+    // warns on, and require the gate's appender to see it
+    withWscgCapture("graft-codegen-teeth") { captured =>
       org.slf4j.LoggerFactory
         .getLogger(classOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
         .warn("Whole-stage codegen disabled for plan (id=999): teeth probe")
       assert(!captured.isEmpty,
         "the WholeStageCodegenExec warn route was not captured — the codegen gate is blind")
-    } finally {
-      rootCfg.removeAppender("graft-codegen-teeth")
-      ctx.updateLoggers()
-      appender.stop()
     }
   }
 }

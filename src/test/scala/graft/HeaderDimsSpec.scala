@@ -120,6 +120,33 @@ class HeaderDimsSpec extends SparkSpec {
     assert(r.getLong(7) == 200 && r.getLong(8) == 768, s"min/max d2: $r")  // heights 768,200,480
   }
 
+  test("column walk terminates on standalone markers (TEM/RSTn/stray SOI) — honest NULL, never garbage dims") {
+    // standalone markers carry NO length word; a walk that "skips" one by
+    // chasing a length from its payload bytes can land a probe on bytes
+    // that look like ffc0 and emit fake dimensions. Craft exactly that
+    // trap: after the standalone marker, the would-be "length" bytes are
+    // ffc0's own marker — a buggy skip reads length 0xffc0 or dives into
+    // the SOF body at a wrong offset. The column walk must return NULL;
+    // the JVM codec (which steps +2 over standalone markers) parses.
+    def withMarker(m: Int): Array[Byte] = {
+      val sof = Array[Byte](0xff.toByte, 0xc0.toByte, 0x00, 0x11, 0x08,
+        0x01, 0xe0.toByte, 0x02, 0x80.toByte, 0x03, 0x01, 0x11, 0x00)
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, m.toByte) ++ sof
+    }
+    val cases = Seq(1L -> withMarker(0x01), 2L -> withMarker(0xd0),
+      3L -> withMarker(0xd7), 4L -> withMarker(0xd8))
+    cases.foreach { case (_, b) =>
+      assert(Multimodal.HeaderCodec.decode(b).contains((640, 480, "jpeg")),
+        "JVM codec must step over the standalone marker and parse SOF") }
+    val r = HeaderDims.headerDimsOf(
+        cases.toDF("doc_id", "media")
+          .withColumn("planted_d1", lit(null).cast("long"))
+          .withColumn("planted_d2", lit(null).cast("long"))).collect()
+      .map(r => r.getString(0) -> r).toMap.apply("jpeg")
+    assert(r.getLong(1) == 4 && r.getLong(2) == 0,
+      s"column walk must NULL on standalone markers (JVM codec's job), got $r")
+  }
+
   test("media gate: envelope verdicts map-side, stateless, stream == batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -117,6 +117,28 @@ class LateDlqSpec extends SparkSpec {
     }
   }
 
+  test("tie contract enforced: the fixture has no per-user duplicate event time at the spec'd SFs") {
+    // DlqRoute's batch late model flags on strict t only, while the gate
+    // breaks hypothetical equal-t ties by event_id. The two lanes agree
+    // BECAUSE the fixture never produces a per-user duplicate t at the
+    // item-event grain — a documented contract that was unenforced (r14
+    // advice): a regenerated fixture with duplicate (user_id, t) would
+    // silently diverge the gate lane from the batch model. Pin it at the
+    // SFs the specs and the driver's correctness gate actually run.
+    // (sf0.1 is covered operationally: the same prep feeds every rolled
+    // census the bench drives there, and ChainProbe records it.)
+    Seq(sf0001, "/root/testdata/sf0.01").foreach { dir =>
+      val ev = Tables.table(spark, dir, "events")
+      val dup = graft.ops.CensusDelta.prep(ev, Tables.tsMicros(ev))
+        .groupBy(col("user_id"), col("t")).count()
+        .filter(col("count") > 1).limit(1).collect()
+      assert(dup.isEmpty,
+        s"$dir: per-user duplicate t at the item-event grain — the DLQ " +
+          s"batch model's strict-t lateness no longer matches the gate's " +
+          s"(t, event_id) tie-break: ${dup.toSeq}")
+    }
+  }
+
   test("q175 drain ledger: both drains contribute and the sequential repair lands on the monolithic census") {
     val rows = graft.oracle.Registry.byName("q175_drain_ledger")
       .run(spark, sf0001).collect()

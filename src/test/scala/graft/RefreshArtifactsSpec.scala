@@ -69,6 +69,29 @@ class RefreshArtifactsSpec extends SparkSpec {
       s"old reader saw mixed/destroyed state after refit: ${gotA.toSeq} vs ${wantA.toSeq}")
   }
 
+  test("commitFit GCs superseded version dirs to one generation (race window kept, growth bounded)") {
+    import spark.implicits._
+    val incoming = Seq((1L, "incoming text that matches nothing at all")).toDF("doc_id", "text")
+    def corpus(s: String) = Seq((0L, s)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gc").toString
+    def vdirs: Set[String] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("v-")).toSet
+      } finally s.close()
+    }
+    graft.ext.DeltaDedup.storeDedupOf(spark, corpus("settled corpus generation a"), incoming, dir, "fp-A").count()
+    graft.ext.DeltaDedup.storeDedupOf(spark, corpus("settled corpus generation b"), incoming, dir, "fp-B").count()
+    // one superseded generation survives: the live-reader race window
+    assert(vdirs == Set("v-fp-A", "v-fp-B"), s"after 2nd fit: $vdirs")
+    graft.ext.DeltaDedup.storeDedupOf(spark, corpus("settled corpus generation c"), incoming, dir, "fp-C").count()
+    // twice-superseded v-fp-A is GC'd; the window dir + current remain
+    assert(vdirs == Set("v-fp-B", "v-fp-C"),
+      s"commitFit must GC beyond one superseded generation: $vdirs")
+  }
+
   test("isFresh is race-safe: unreadable or vanished sentinels read as stale, never throw") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fresh").toString
     assert(!graft.ops.ArtifactStore.isFresh(s"$dir/never-made", "fp"))
