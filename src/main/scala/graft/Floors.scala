@@ -54,7 +54,15 @@ object Floors {
     "q156" -> 6.07, "q157" -> 5.48, "q158" -> 5.64, "q159" -> 8.29,
     "q160" -> 8.04, "q161" -> 9.33, "q162" -> 2.74, "q163" -> 17.49, "q164" -> 6.74, "q165" -> 2.81, "q166" -> 19.41, "q167" -> 8.04, "q168" -> 0.94, "q169" -> 14.46, "q170" -> 0.72, "q171" -> 1.44,
     // round 14 (recorded at ambient load 2.3–4.4 — conservative)
-    "q172" -> 1.06, "q173" -> 2.21, "q174" -> 1.12, "q175" -> 3.59)
+    "q172" -> 1.06, "q173" -> 2.21, "q174" -> 1.12, "q175" -> 3.59,
+    // round 15 (min-of-5, ambient load 2.8–4.2 — conservative)
+    "q176" -> 9.31, "q177" -> 1.63, "q178" -> 1.57)
+
+  /** Streaming DLQ-gate replay floor (events/s at sf0.1, local[32],
+    * graft.tools.GateReplay defaults — 10 shards, RocksDB state store).
+    * Bench emits gate_events_per_sec; a reading far BELOW this floor is
+    * the regression signal (throughput, so lower = worse). */
+  val gateEventsPerSecSf01: Double = 8000.0
 
   /** Floor for a full query name ("q44_source_divergence" → the "q44"
     * prefix entry), if recorded. */

@@ -34,24 +34,34 @@ object ChainProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_CHAIN_LATE=1: the drains arm (r14 verdict Next #1) —
+    // every cycle's delta passes the q172 arrival model, the roll is
+    // kept-lane + nightly drain corrections, and the warm priors chain
+    // from the REPAIRED census (graft.ops.ChainDrains). Rows gain the
+    // per-cycle drain size.
+    val late = sys.env.get("SPARK_GRAFT_CHAIN_LATE").contains("1")
     val ev = Tables.table(spark, sfDir, "events")
+    val cuts = RollingRefresh.dailyCuts(cycles)
     val t0 = System.nanoTime()
-    val rows = RollingRefresh
-      .chainDriftOf(ev, Tables.tsMicros(ev), RollingRefresh.dailyCuts(cycles))
-      .collect().sortBy(_.getInt(0))
+    val rows =
+      (if (late) graft.ops.ChainDrains.chainDriftWithDrainsOf(ev, Tables.tsMicros(ev), cuts)
+       else RollingRefresh.chainDriftOf(ev, Tables.tsMicros(ev), cuts))
+        .collect().sortBy(_.getInt(0))
     val sec = (System.nanoTime() - t0) / 1e9
     rows.foreach { r =>
+      val lateJson = if (late) s""","n_late":${r.getLong(7)}""" else ""
       println(s"""{"cycle":${r.getInt(0)},"nodes":${r.getLong(1)},""" +
         s""""rank_l1":${r.getLong(2)},"rank_max":${r.getLong(3)},""" +
-        s""""v_nodes":${r.getLong(4)},"v_l1":${r.getLong(5)},"v_max":${r.getLong(6)}}""")
+        s""""v_nodes":${r.getLong(4)},"v_l1":${r.getLong(5)},"v_max":${r.getLong(6)}$lateJson}""")
     }
     val first = rows.head; val last = rows.last
     def ratio(a: Long, b: Long): Double =
       if (b == 0) if (a == 0) 1.0 else Double.PositiveInfinity
       else math.round(a * 100.0 / b) / 100.0
-    println(s"""{"metric":"chain_probe","cycles":$cycles,"sec":${math.round(sec * 10) / 10.0},""" +
+    val lateSum = if (late) s""","late_total":${rows.map(_.getLong(7)).sum}""" else ""
+    println(s"""{"metric":"chain_probe","cycles":$cycles,"late":$late,"sec":${math.round(sec * 10) / 10.0},""" +
       s""""rank_l1_last_over_first":${ratio(last.getLong(2), first.getLong(2))},""" +
-      s""""v_l1_last_over_first":${ratio(last.getLong(5), first.getLong(5))},""" +
+      s""""v_l1_last_over_first":${ratio(last.getLong(5), first.getLong(5))}$lateSum,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }
