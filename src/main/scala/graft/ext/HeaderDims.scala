@@ -43,7 +43,7 @@ object HeaderDims {
   // shared Spark/DuckDB SQL generators; `duck` flags the dialect splits
   // (integer division `//` vs `div`, hex-decode builtin, encode arity)
 
-  private def idiv(a: String, b: Long, duck: Boolean): String =
+  private[graft] def idiv(a: String, b: Long, duck: Boolean): String =
     if (duck) s"($a // $b)" else s"($a div $b)"
 
   /** Big-endian unsigned int of `n` bytes at the 1-based byte-offset
@@ -54,21 +54,21 @@ object HeaderDims {
     * whole-stage limit and the plan silently ran interpreted (r13
     * verdict). Expression offsets (not just literals) are what let the
     * JPEG APPn walk decode at data-dependent positions. */
-  private def beVal(hx: String, off: String, n: Int, duck: Boolean): String =
+  private[graft] def beVal(hx: String, off: String, n: Int, duck: Boolean): String =
     if (duck) s"TRY_CAST('0x' || substr($hx, 2 * ($off) - 1, ${2 * n}) AS BIGINT)"
     else s"CAST(conv(substr($hx, 2 * ($off) - 1, ${2 * n}), 16, 10) AS BIGINT)"
 
-  private def beVal(hx: String, off: Int, n: Int, duck: Boolean): String =
+  private[graft] def beVal(hx: String, off: Int, n: Int, duck: Boolean): String =
     beVal(hx, off.toString, n, duck)
 
   /** little-endian unsigned int of `n` bytes at 1-based byte offset
     * `off`: n byte-grain decodes summed with LE weights */
-  private def leVal(hx: String, off: Int, n: Int, duck: Boolean): String =
+  private[graft] def leVal(hx: String, off: Int, n: Int, duck: Boolean): String =
     (0 until n).map(k => s"${beVal(hx, off + k, 1, duck)} * ${1L << (8 * k)}")
       .mkString("(", " + ", ")")
 
   /** `n`-byte little-endian hex encoding of integer expression `e` */
-  private def leHex(e: String, n: Int, duck: Boolean): String =
+  private[graft] def leHex(e: String, n: Int, duck: Boolean): String =
     (0 until n).map { k =>
       val shifted = if (k == 0) s"($e)" else idiv(e, 1L << (8 * k), duck)
       s"lpad(hex($shifted % 256), 2, '0')"
