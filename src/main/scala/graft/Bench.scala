@@ -281,7 +281,13 @@ object Bench {
       else {
         try {
           val g = graft.tools.GateReplay.run(spark, sfDir)
-          s""","gate_sec":${math.round(g.sec * 1000) / 1000.0},"gate_events_per_sec":${math.round(g.eventsPerSec)},"gate_kept":${g.transitions},"gate_late":${g.late}"""
+          // throughput floor ratio (sf0.1 only — the floor is an sf0.1
+          // record): BELOW 1.0 means the gate slowed; the artifact is
+          // self-adjudicating like worst_vs_floor
+          val vsFloor =
+            if (!sfDir.contains("sf0.1")) ""
+            else s""","gate_vs_floor":${math.round(g.eventsPerSec / Floors.gateEventsPerSecSf01 * 100) / 100.0}"""
+          s""","gate_sec":${math.round(g.sec * 1000) / 1000.0},"gate_events_per_sec":${math.round(g.eventsPerSec)},"gate_kept":${g.transitions},"gate_late":${g.late}$vsFloor"""
         } catch {
           case t: Throwable =>
             System.err.println(s"[bench] gate replay FAILED: ${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}")

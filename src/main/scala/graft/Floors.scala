@@ -62,9 +62,12 @@ object Floors {
 
   /** Streaming DLQ-gate replay floor (events/s at sf0.1, local[32],
     * graft.tools.GateReplay defaults — 10 shards, RocksDB state store).
-    * Bench emits gate_events_per_sec; a reading far BELOW this floor is
-    * the regression signal (throughput, so lower = worse). */
-  val gateEventsPerSecSf01: Double = 8000.0
+    * Bench emits gate_events_per_sec and gate_vs_floor; a reading far
+    * BELOW this floor is the regression signal (throughput: lower =
+    * worse). Recorded readings swing 6.6k (load ~3.5) to 12.3k (quiet)
+    * — the floor is the loaded lower bound, so sustained sub-1.0
+    * gate_vs_floor on a quiet host is a real regression, not noise. */
+  val gateEventsPerSecSf01: Double = 6000.0
 
   /** Floor for a full query name ("q44_source_divergence" → the "q44"
     * prefix entry), if recorded. */

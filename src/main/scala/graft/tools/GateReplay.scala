@@ -46,6 +46,11 @@ object GateReplay {
     // measuring the gate); delay 2 shards keeps the late cohort inside
     // the replay window
     val bucket = math.max(1L, maxId / shards + 1L)
+    // BENCH-HARNESS-ONLY collect: MemoryStream is driver-fed by
+    // definition, so the replay stages the corpus's item events on the
+    // driver (~100k rows at sf0.1). Production never does this — the
+    // gate reads Kafka/files executor-side (io/IO.scala); this tool
+    // exists to TIME the gate, not to model its ingestion.
     val arrivals = DlqRoute
       .routedOf(ev, Tables.tsMicros(ev), bucket = bucket, delay = 2L)
       .select(col("ab"), col("user_id"), col("event_id"), col("item"), col("t"))
