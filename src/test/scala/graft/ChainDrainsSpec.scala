@@ -59,6 +59,75 @@ class ChainDrainsSpec extends SparkSpec {
     graft.oracle.Tables.releasePersisted()
   }
 
+  test("the chain runs THROUGH the store: each cycle reads the census artifact, commits the repaired one, disk stays GC-bounded") {
+    // the production ops loop end-to-end: cycle k's roll starts from the
+    // ARTIFACT cycle k-1 committed (never an in-memory frame), the drain
+    // repairs it, drainCommit-style restamping stales the old fingerprint,
+    // and ArtifactStore's one-generation GC keeps the store at <=2 payload
+    // dirs no matter how many cycles roll.
+    val ev = Tables.table(spark, sf0001, "events")
+    val cuts = RollingRefresh.dailyCuts(3)
+    val base = java.nio.file.Files.createTempDirectory("graft_chain_store").toString
+    val r = ChainDrains.routedByDay(ev, Tables.tsMicros(ev), cuts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def evCols(df: DataFrame) =
+      df.select(col("user_id"), col("event_id"), col("item"), col("t"))
+    // cycle 0 fit: settled census + frontier into the store
+    val s0 = evCols(r.filter(col("day") === 0))
+    var fp = "cycle0"
+    var dir = ArtifactStore.versionDir(base, fp)
+    ArtifactStore.beginFit(base)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    PageRankDelta.directedCensusOf(s0).write.mode("overwrite").parquet(s"$dir/census")
+    graft.ops.Frontier.lastOf(s0).write.mode("overwrite").parquet(s"$dir/frontier")
+    ArtifactStore.commitFit(base, fp)
+    def vdirCount: Long = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(base))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.getFileName.toString.startsWith("v-")).toLong
+      } finally s.close()
+    }
+    (1 to cuts.size).foreach { k =>
+      val prevFp = fp
+      assert(ArtifactStore.isFresh(base, prevFp))
+      val csArt = spark.read.parquet(s"$dir/census")
+      val frArt = spark.read.parquet(s"$dir/frontier")
+      val kept = evCols(r.filter(col("day") === k && !col("late")))
+      val lateK = evCols(r.filter(col("day") === k && col("late")))
+      val mPre = csArt
+        .unionByName(PageRankDelta.directedCensusOf(kept))
+        .unionByName(graft.ops.Frontier.straddleFrom(frArt, kept)
+          .filter(col("s_item") =!= col("d_item"))
+          .groupBy(col("s_item").as("src"), col("d_item").as("dst"))
+          .agg(count(lit(1)).as("w")))
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      val settledPre = evCols(r.filter(col("day") < k ||
+        (col("day") === k && !col("late"))))
+      val m = LateRepair.applyTo(mPre,
+          LateRepair.correctionOf(settledPre, lateK, key = s"store$k"))
+        .filter(col("w") =!= 0).select(col("src"), col("dst"), col("w"))
+      val f = graft.ops.Frontier.advance(frArt, graft.ops.Frontier.lastOf(kept))
+      fp = s"cycle$k"
+      dir = ArtifactStore.versionDir(base, fp)
+      ArtifactStore.beginFit(base)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      m.write.mode("overwrite").parquet(s"$dir/census")
+      f.write.mode("overwrite").parquet(s"$dir/frontier")
+      ArtifactStore.commitFit(base, fp)
+      assert(!ArtifactStore.isFresh(base, prevFp),
+        s"cycle $k: the pre-roll fingerprint must be stale after the commit")
+      assert(vdirCount <= 2, s"cycle $k: GC must bound the store, saw $vdirCount dirs")
+    }
+    // the artifact after N store-mediated cycles IS the monolithic census
+    val got = censusMap(spark.read.parquet(s"$dir/census"))
+    val mono = censusMap(PageRankDelta.fullDirectedCensusOf(ev, Tables.tsMicros(ev)))
+    assert(got == mono,
+      s"store-mediated chain diverged from monolithic (${got.size} vs ${mono.size})")
+    r.unpersist()
+    graft.oracle.Tables.releasePersisted()
+  }
+
   test("artifact drain: commit repairs the stored census and STALES pre-drain readers") {
     val cut = SpectralDelta.DeltaCutUs
     val base = CensusDrainStore.root(sf0001, cut)
