@@ -129,6 +129,33 @@ object BpeEncode {
       .select(col("rank"), col("token"), col("tok_count"))
   }
 
+  // ---------------------------------------------------------------- q181
+  /** Tokenizer FERTILITY census — the standard tokenizer-health metric a
+    * corpus team watches per stratum: exact encoded tokens per word
+    * (fert_micro) and chars per token (cpt_micro) by (source, lang),
+    * under the corpus's own learned merges. A stratum whose fertility
+    * spikes is one the tokenizer serves badly (its text fragments into
+    * char-grain tokens) — the signal that drives per-language merge
+    * budgets. Integer micro ratios, census-grain after one corpus
+    * explode joined against the vocab's token counts. */
+  def q181(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val (_, v) = fit(docs.select(col("text")))
+    val toks = v
+      .withColumn("n_tok", size(split(trim(col("ts"), Sep), Sep + Sep)).cast("long"))
+      .select(col("word"), col("n_tok"))
+    docs.select(col("source"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .join(toks, Seq("word"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("enc_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("source"), col("lang"), col("n_words"), col("enc_tokens"),
+        expr("enc_tokens * 1000000 div n_words").as("fert_micro"),
+        expr("n_chars * 1000000 div enc_tokens").as("cpt_micro"))
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** The unrolled merge-loop CTE stack through round `rounds`; the
@@ -175,7 +202,25 @@ object BpeEncode {
        |        row_number() OVER (ORDER BY tok_count DESC, token) AS rank FROM tc)
        |SELECT rank, token, tok_count FROM r WHERE rank <= $topN""".stripMargin
 
+  private def q181Sql(rounds: Int = MergeRounds): String =
+    s"""WITH ${loopCtes(rounds)},
+       |tw AS (SELECT word, len(string_split(trim(ts, chr(31)), chr(31) || chr(31))) AS n_tok
+       |       FROM v$rounds),
+       |dw AS (SELECT source, lang, unnest(string_split(text, ' ')) AS word
+       |       FROM documents),
+       |j AS (SELECT source, lang, dw.word, n_tok FROM dw JOIN tw ON dw.word = tw.word),
+       |g AS (SELECT source, lang,
+       |        CAST(count(*) AS BIGINT) AS n_words,
+       |        CAST(sum(n_tok) AS BIGINT) AS enc_tokens,
+       |        CAST(sum(length(word)) AS BIGINT) AS n_chars
+       |      FROM j GROUP BY 1, 2)
+       |SELECT source, lang, n_words, enc_tokens,
+       |       CAST(enc_tokens * 1000000 // n_words AS BIGINT) AS fert_micro,
+       |       CAST(n_chars * 1000000 // enc_tokens AS BIGINT) AS cpt_micro
+       |FROM g""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q177_bpe_merges", q177, Some(q177Sql())),
-    QueryDef("q178_bpe_encode", q178(_, _), Some(q178Sql())))
+    QueryDef("q178_bpe_encode", q178(_, _), Some(q178Sql())),
+    QueryDef("q181_bpe_fertility", q181, Some(q181Sql())))
 }
