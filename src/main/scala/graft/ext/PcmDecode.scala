@@ -110,10 +110,14 @@ object PcmDecode {
       .withColumn("n_samples", expr(
         s"CASE WHEN $isWav THEN ${HeaderDims.leVal("hx", 41, 4, duck = false)} div 2 END"))
       .withColumn("col_sum_abs", expr(
-        s"CASE WHEN n_samples <= $SliceSamples THEN " +
+        // lower bound 1: sequence(0, n-1) DESCENDS for n = 0 (Spark
+        // fills start>stop with step -1) — a zero-sample container must
+        // escalate to the JVM fold (which answers (0,0,0)), never read
+        // garbage offsets
+        s"CASE WHEN n_samples BETWEEN 1 AND $SliceSamples THEN " +
           s"aggregate(sequence(0, CAST(n_samples AS INT) - 1), 0L, (acc, i) -> acc + $absExpr) END"))
       .withColumn("col_max_abs", expr(
-        s"CASE WHEN n_samples <= $SliceSamples THEN " +
+        s"CASE WHEN n_samples BETWEEN 1 AND $SliceSamples THEN " +
           s"aggregate(sequence(0, CAST(n_samples AS INT) - 1), 0L, (acc, i) -> greatest(acc, $absExpr)) END"))
   }
 
