@@ -237,8 +237,16 @@ object Bench {
     def flagged(nm: String, r: Double): Boolean =
       r > 2.0 && Floors.forQuery(nm).exists(f => r * f - f > 0.3)
     val nFlagged = ratios.count { case (nm, r) => flagged(nm, r) }
-    val worstN = math.max(5, nFlagged)
-    val worst = ratios.sortBy(-_._2).take(worstN)
+    // worst = UNION of (every flagged query) and (top-5 by ratio), flagged
+    // first. A plain top-N by ratio can DROP a flagged query: under a load
+    // spike, five unflagged sub-second queries reading 2.5–3× displace a
+    // genuinely flagged ~2.1× slow query and the artifact fails to name
+    // the one real regression (r15 advice) — the flagged set is the
+    // adjudication target, so it is named unconditionally.
+    val flaggedFirst =
+      ratios.filter { case (nm, r) => flagged(nm, r) }.sortBy(-_._2) ++
+        ratios.sortBy(-_._2).take(5)
+    val worst = flaggedFirst.distinctBy(_._1)
       .map { case (n, r) =>
         s"[${jsonStr(n)},${math.round(r * 100) / 100.0},${math.round(qLoads.getOrElse(n, -1.0) * 100) / 100.0}]" }
       .mkString("[", ",", "]")

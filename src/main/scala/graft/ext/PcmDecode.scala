@@ -107,8 +107,17 @@ object PcmDecode {
       "AND substr(hx, 73, 8) = '64617461'"
     media
       .withColumn("hx", lower(hex(expr(s"substring(media, 1, $SliceBytes)"))))
+      // dlen parity gate: PcmCodec.decode rejects odd dlen (a 16-bit PCM
+      // body is an even byte count by construction), so the column lane
+      // must agree that an odd-dlen container is invalid — without the
+      // `% 2 = 0` condition the two lanes disagreed on what a valid
+      // container IS for malformed non-fixture input (r15 advice). NULL
+      // here lands the container in n_payloads only, exactly where the
+      // JVM codec's honest None would land it; no escalation is needed
+      // because the parity test already IS the JVM lane's verdict.
       .withColumn("n_samples", expr(
-        s"CASE WHEN $isWav THEN ${HeaderDims.leVal("hx", 41, 4, duck = false)} div 2 END"))
+        s"CASE WHEN $isWav AND (${HeaderDims.leVal("hx", 41, 4, duck = false)}) % 2 = 0 " +
+          s"THEN (${HeaderDims.leVal("hx", 41, 4, duck = false)}) div 2 END"))
       .withColumn("col_sum_abs", expr(
         // lower bound 1: sequence(0, n-1) DESCENDS for n = 0 (Spark
         // fills start>stop with step -1) — a zero-sample container must
@@ -149,7 +158,14 @@ object PcmDecode {
       count(col("col_sum_abs")).as("n_col"),
       coalesce(sum(when(col("col_sum_abs").isNotNull, col("n_samples"))), lit(0L)).as("col_n"),
       coalesce(sum(col("col_sum_abs")), lit(0L)).as("col_sum"),
-      coalesce(max(col("col_max_abs")), lit(0L)).as("col_max"))
+      // max gated EXACTLY like the sum: a truncated container whose header
+      // claims an in-slice dlen reads NULL col_sum_abs (conv('') is NULL →
+      // the lambda fold nulls out, the row escalates, the JVM codec
+      // honestly returns None) but can leave a non-NULL PARTIAL
+      // col_max_abs — greatest() skips NULLs mid-fold — so an ungated max
+      // would count garbage from a payload belonging to neither lane
+      // (r15 advice).
+      coalesce(max(when(col("col_sum_abs").isNotNull, col("col_max_abs"))), lit(0L)).as("col_max"))
     colSide.crossJoin(broadcast(escalated))
       .select(col("n_payloads"), col("n_col"), col("n_jvm"),
         (col("col_n") + col("jvm_n")).as("n_samples"),

@@ -54,6 +54,31 @@ class PcmDecodeSpec extends SparkSpec {
     graft.oracle.Tables.releasePersisted()
   }
 
+  test("malformed containers: odd dlen rejected by BOTH lanes; truncated in-slice claim cannot pollute max_abs") {
+    // odd dlen: the codec rejects it (a 16-bit PCM body is an even byte
+    // count); the column lane must agree — before the parity gate the
+    // column lane folded floor(dlen/2) samples the JVM lane calls invalid
+    val odd = wav(Seq(5, -5)); odd(40) = 3 // header claims dlen = 3
+    assert(PcmCodec.decode(odd).isEmpty, "codec must reject odd dlen")
+    val rowOdd = PcmDecode.parsedPcm(Seq((1L, odd)).toDF("doc_id", "media"))
+      .select(col("n_samples")).head()
+    assert(rowOdd.isNullAt(0), "column lane must NULL odd dlen like the codec's None")
+    // truncated container whose header claims an IN-SLICE dlen: the sum
+    // fold nulls out at the first missing byte (conv('') is NULL) but a
+    // greatest() fold skips that NULL, leaving a non-NULL PARTIAL max
+    // over the loud present samples — the census max must gate it out
+    // (the payload is counted in neither lane: escalation → honest None)
+    val trunc = wav(Seq(30000, -30000, 29999, 1, 2, 3, 4, 5)).take(44 + 6)
+    val quiet = wav(Seq(7, -9))
+    val census = PcmDecode.pcmCensusOf(
+      Seq((1L, trunc), (2L, quiet)).toDF("doc_id", "media")).head()
+    assert(census.getLong(0) == 2 && census.getLong(1) == 1 && census.getLong(2) == 0,
+      s"truncated payload must land in neither lane: $census")
+    assert(census.getLong(3) == 2 && census.getLong(5) == 9L,
+      s"partial loud samples polluted the census: $census")
+    graft.oracle.Tables.releasePersisted()
+  }
+
   test("lanes partition the corpus: n_col + n_jvm == n_payloads, both lanes populated, codec sees exactly the residue") {
     val media = PcmDecode.fixturePcmMedia(
       graft.oracle.Tables.table(spark, sf0001, "documents"))
