@@ -94,6 +94,105 @@ object BpeEncode {
     (merges.result(), v)
   }
 
+  // ------------------------------------------------- batched training
+
+  /** Sweep budget for the batched trainer (q182) — sized so the
+    * smallest fixture (sf0.001: early sweeps yield few merges because
+    * tokens are still single chars and disjointness caps a sweep at
+    * token-vocab/2) still learns ≥64 effective merges (spec-pinned). */
+  val BatchSweeps = 8
+
+  /** Per-sweep merge cap — bounds the replace-chain depth of one vocab
+    * pass (keeps the projection inside codegen limits). */
+  val SweepCap = 32
+
+  /** Census prefix shipped to the greedy selector per sweep: candidates
+    * are the top [[TopC]] pairs by rank key. Bounds the driver collect
+    * and the oracle's fold, independent of corpus scale. */
+  val TopC = 4096
+
+  /** One batched-trainer merge: rnk is the within-sweep application
+    * order (count DESC, pair ASC). */
+  final case class BatchMerge(sweep: Int, rnk: Long, a: String, b: String, pair_count: Long)
+
+  /** Sort-key separator for the census rank key — chr(30), distinct
+    * from the token separator so the key splits unambiguously. */
+  private val KSep = "\u001e"
+
+  /** Greedy token-disjoint matching over a rank-ordered candidate list:
+    * scan in (count DESC, pair ASC) order, select a pair unless it
+    * shares a token with an ALREADY-selected pair, stop at `cap`. The
+    * selected set is pairwise token-disjoint by construction — the
+    * property that makes one-pass chained application safe. Pure
+    * function of the ordered candidates; the oracle runs the SAME scan
+    * as a list_reduce fold. */
+  private[graft] def greedySelect(cands: Seq[(String, String, Long)], cap: Int): Seq[(String, String, Long)] = {
+    val taken = scala.collection.mutable.Set[String]()
+    val out = Seq.newBuilder[(String, String, Long)]
+    var n = 0
+    cands.foreach { case (a, b, c) =>
+      if (n < cap && !taken(a) && !taken(b)) {
+        out += ((a, b, c)); taken += a; taken += b; n += 1
+      }
+    }
+    out.result()
+  }
+
+  /** q182 — merge-BATCHED BPE training (r15 verdict Next #1): [[fit]]
+    * pays one Spark job + one driver collect PER MERGE, which cannot
+    * reach a production ~30k-merge budget. This trainer learns a whole
+    * BATCH of merges per vocab pass — the standard batched-BPE
+    * approximation: per sweep, ship the top-[[TopC]] census prefix to
+    * the driver ONCE (rank key k = lpad(MAXC − c) ∥ chr(30) ∥ pair;
+    * string order ≡ (count DESC, pair ASC) in both engines' binary
+    * collation), [[greedySelect]] a token-DISJOINT batch from it, and
+    * apply the whole batch in ONE vocab pass as a chained literal
+    * replace in rank order (a token minted by an earlier merge in the
+    * sweep is visible to later ones — both engines chain identically).
+    *
+    * SEMANTICS vs [[fit]] (documented divergence, spec-pinned): batch
+    * members beyond the first carry sweep-START counts — sequential
+    * BPE would recount between them. At cap = 1 the top candidate IS
+    * the global argmax and the trainer degenerates to [[fit]] exactly
+    * (BpeEncodeSpec cross-pins the 12-round prefix).
+    *
+    * ECONOMICS (the point): one census collect + one localCheckpoint
+    * per SWEEP for up to [[SweepCap]] merges — jobs-per-merge ≪ 1
+    * (spec-measured via job-group accounting; BASELINE.md records the
+    * ratio), vs [[fit]]'s per-merge census. A 30k-merge budget rides
+    * ~30000/|batch| sweeps. */
+  def fitBatched(docs: DataFrame, sweeps: Int = BatchSweeps, cap: Int = SweepCap): (Seq[BatchMerge], DataFrame) = {
+    var v = vocabOf(docs).localCheckpoint()
+    val merges = Seq.newBuilder[BatchMerge]
+    var exhausted = false
+    (1 to sweeps).foreach { s =>
+      if (!exhausted) {
+        val cands = pairCensus(v)
+          .withColumn("k",
+            concat(lpad((lit(999999999999999L) - col("c")).cast("string"), 15, "0"),
+              lit(KSep), col("pair")))
+          .orderBy(col("k")).limit(TopC)
+          .collect().sortBy(_.getString(2))
+          .map { r =>
+            val Array(a, b) = r.getString(0).split(Sep, 2)
+            (a, b, r.getLong(1))
+          }.toSeq
+        val sel = greedySelect(cands, cap)
+        if (sel.isEmpty) exhausted = true // empty census: training is done
+        else {
+          sel.zipWithIndex.foreach { case ((a, b, c), i) =>
+            merges += BatchMerge(s, (i + 1).toLong, a, b, c)
+          }
+          val applied = sel.foldLeft(col("ts")) { case (acc, (a, b, _)) =>
+            replace(acc, lit(s"$Sep$a$Sep$Sep$b$Sep"), lit(s"$Sep$a$b$Sep"))
+          }
+          v = v.withColumn("ts", applied).localCheckpoint()
+        }
+      }
+    }
+    (merges.result(), v)
+  }
+
   /** Per-source EXACT encoded token counts under the learned merges —
     * the q17 refinement (BpeEncodeSpec cross-pins n_words ≤ exact ≤
     * n_chars per source). One corpus explode joined vocab-grain. */
@@ -154,6 +253,17 @@ object BpeEncode {
       .select(col("source"), col("lang"), col("n_words"), col("enc_tokens"),
         expr("enc_tokens * 1000000 div n_words").as("fert_micro"),
         expr("n_chars * 1000000 div enc_tokens").as("cpt_micro"))
+  }
+
+  // ---------------------------------------------------------------- q182
+  /** The batched trainer's merge table: (sweep, rnk, a, b, pair_count)
+    * — rnk is within-sweep application order. ≥64 effective merges at
+    * every SF under the default budget (spec-pinned), at 2 jobs per
+    * SWEEP instead of per merge. */
+  def q182(spark: SparkSession, sfDir: String): DataFrame = {
+    val (merges, _) = fitBatched(Tables.table(spark, sfDir, "documents").select(col("text")))
+    import spark.implicits._
+    merges.toDF("sweep", "rnk", "a", "b", "pair_count")
   }
 
   // ------------------------------------------------------------- oracles
@@ -219,8 +329,75 @@ object BpeEncode {
        |       CAST(n_chars * 1000000 // enc_tokens AS BIGINT) AS cpt_micro
        |FROM g""".stripMargin
 
+  /** The batched loop unrolled: per sweep a census, the top-C candidate
+    * list in rank-key order, the greedy token-disjoint scan as a
+    * list_reduce fold (acc = selected pairs in WRAPPED form "␟a␟␟b␟"
+    * joined by chr(29); membership test = contains(acc, "␟tok␟") —
+    * exact because tokens never contain chr(31) and chr(29) breaks any
+    * cross-pair span), then one list_reduce replace-fold application in
+    * selection order. Mirrors [[fitBatched]]+[[greedySelect]] exactly —
+    * same key, same tie-break, same conflict rule, same cap, same chain
+    * order. Every CTE MATERIALIZED (the twice-referenced-CTE inlining
+    * trap, BASELINE.md). */
+  private def batchedCtes(sweeps: Int, cap: Int): String = {
+    val sep = "chr(31)"
+    def wrapped(m: String) =
+      s"$sep || split_part($m, $sep, 1) || $sep || $sep || split_part($m, $sep, 2) || $sep"
+    def sweep(k: Int): String =
+      s"""bp$k AS MATERIALIZED (
+         |  SELECT pair, CAST(sum(wc) AS BIGINT) AS c FROM (
+         |    SELECT wc, unnest(list_transform(range(1, len(tk)),
+         |                 i -> tk[i] || $sep || tk[i + 1])) AS pair
+         |    FROM (SELECT wc, string_split(trim(ts, $sep), $sep || $sep) AS tk
+         |          FROM bv${k - 1}))
+         |  GROUP BY pair),
+         |bc$k AS MATERIALIZED (
+         |  SELECT list(pair ORDER BY k) AS cands FROM (
+         |    SELECT pair, lpad(CAST(999999999999999 - c AS VARCHAR), 15, '0') || chr(30) || pair AS k
+         |    FROM bp$k
+         |    QUALIFY row_number() OVER (ORDER BY k) <= $TopC)),
+         |bg$k AS MATERIALIZED (
+         |  SELECT list_reduce(
+         |    list_prepend('', COALESCE(cands, [])),
+         |    (acc, m) -> CASE
+         |      WHEN length(acc) - length(replace(acc, chr(29), '')) >= $cap THEN acc
+         |      WHEN contains(acc, $sep || split_part(m, $sep, 1) || $sep)
+         |        OR contains(acc, $sep || split_part(m, $sep, 2) || $sep) THEN acc
+         |      ELSE acc || chr(29) || ${wrapped("m")} END) AS selstr
+         |  FROM bc$k),
+         |bs$k AS MATERIALIZED (
+         |  SELECT split_part(trim(wp, $sep), $sep || $sep, 1) AS a,
+         |         split_part(trim(wp, $sep), $sep || $sep, 2) AS b,
+         |         CAST(rnk AS BIGINT) AS rnk
+         |  FROM (
+         |    SELECT unnest(lst) AS wp, unnest(range(1, len(lst) + 1)) AS rnk
+         |    FROM (SELECT CASE WHEN selstr = '' THEN CAST([] AS VARCHAR[])
+         |                      ELSE string_split(substr(selstr, 2), chr(29)) END AS lst
+         |          FROM bg$k))),
+         |bv$k AS MATERIALIZED (
+         |  SELECT word, wc, list_reduce(
+         |    list_prepend(ts, (SELECT COALESCE(list(a || $sep || b ORDER BY rnk), []) FROM bs$k)),
+         |    (acc, m) -> replace(acc, ${wrapped("m")},
+         |      $sep || split_part(m, $sep, 1) || split_part(m, $sep, 2) || $sep)) AS ts
+         |  FROM bv${k - 1})""".stripMargin
+    s"""bw AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |bv0 AS MATERIALIZED (SELECT word, count(*) AS wc,
+       |         $sep || array_to_string(string_split(word, ''), $sep || $sep) || $sep AS ts
+       |       FROM bw WHERE length(word) >= 1 GROUP BY word),
+       |${(1 to sweeps).map(sweep).mkString(",\n")}""".stripMargin
+  }
+
+  private def q182Sql(sweeps: Int = BatchSweeps, cap: Int = SweepCap): String =
+    s"""WITH ${batchedCtes(sweeps, cap)}
+       |${(1 to sweeps).map(k =>
+            s"SELECT CAST($k AS INT) AS sweep, s.rnk, s.a, s.b, " +
+              s"CAST(p.c AS BIGINT) AS pair_count " +
+              s"FROM bs$k s JOIN bp$k p ON p.pair = s.a || chr(31) || s.b")
+          .mkString("", "\nUNION ALL\n", "")}""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q177_bpe_merges", q177, Some(q177Sql())),
     QueryDef("q178_bpe_encode", q178(_, _), Some(q178Sql())),
-    QueryDef("q181_bpe_fertility", q181, Some(q181Sql())))
+    QueryDef("q181_bpe_fertility", q181, Some(q181Sql())),
+    QueryDef("q182_bpe_batch_merges", q182, Some(q182Sql())))
 }

@@ -82,6 +82,55 @@ class BpeEncodeSpec extends SparkSpec {
       s"${BpeEncode.Sep}ab${BpeEncode.Sep}")
   }
 
+  test("batched trainer at cap=1 degenerates to exact sequential BPE: the 12-round prefix == q177's merges") {
+    // at cap 1 the local-max top-1 IS the global argmax, so the batched
+    // trainer must reproduce fit()'s merge sequence EXACTLY — this is
+    // the cross-pin that the batching changes economics, not the
+    // underlying statistic
+    val docs = Tables.table(spark, sf0001, "documents").select(col("text"))
+    val (seq12, _) = BpeEncode.fit(docs, BpeEncode.MergeRounds)
+    val (bat12, _) = BpeEncode.fitBatched(docs, sweeps = BpeEncode.MergeRounds, cap = 1)
+    assert(bat12.map(m => (m.sweep, m.a, m.b, m.pair_count)) ==
+      seq12.map(m => (m.round, m.a, m.b, m.pair_count)),
+      s"cap=1 batched trainer diverged from sequential BPE:\n bat $bat12\n seq $seq12")
+    assert(bat12.forall(_.rnk == 1L))
+    graft.oracle.Tables.releasePersisted()
+  }
+
+  test("batched trainer: >=64 effective merges, per-sweep selections token-disjoint, jobs-per-merge << 1") {
+    val docs = Tables.table(spark, sf0001, "documents").select(col("text"))
+    val group = "bpe-batch-econ"
+    spark.sparkContext.setJobGroup(group, "batched-BPE economics", interruptOnCancel = false)
+    val (merges, _) =
+      try BpeEncode.fitBatched(docs) finally spark.sparkContext.clearJobGroup()
+    assert(merges.size >= 64,
+      s"default budget must learn >=64 effective merges at sf0.001, got ${merges.size}")
+    // local-max selections are pairwise token-DISJOINT within a sweep —
+    // the property that makes one-pass chained application safe
+    merges.groupBy(_.sweep).foreach { case (s, ms) =>
+      val owners = ms.flatMap(m => Set(m.a, m.b).toSeq.map(_ -> m.rnk))
+      owners.groupBy(_._1).foreach { case (tok, os) =>
+        assert(os.map(_._2).distinct.size == 1,
+          s"sweep $s: token '$tok' shared across selected pairs ${os.map(_._2)}")
+      }
+    }
+    // economics: Spark jobs during the whole fit, per merge learned.
+    // The status store is listener-fed (async) — poll until stable.
+    def groupJobs(): Int = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    var jobs = groupJobs(); var stable = 0; var waited = 0
+    while (stable < 2 && waited < 50) {
+      Thread.sleep(100); waited += 1
+      val j = groupJobs()
+      if (j == jobs) stable += 1 else { stable = 0; jobs = j }
+    }
+    val perMerge = jobs.toDouble / merges.size
+    info(f"batched BPE: ${merges.size} merges, $jobs Spark jobs, $perMerge%.2f jobs/merge")
+    assert(jobs > 0, "job-group accounting must see the fit's jobs")
+    assert(perMerge < 1.0,
+      f"batched training must be sub-linear in jobs per merge, got $perMerge%.2f ($jobs jobs / ${merges.size} merges)")
+    graft.oracle.Tables.releasePersisted()
+  }
+
   test("corpus cross-pin: exact encoded token counts refine q17's estimates per source") {
     val docs = Tables.table(spark, sf0001, "documents")
     val (merges, v) = BpeEncode.fit(docs.select(col("text")))
