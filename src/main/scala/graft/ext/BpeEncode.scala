@@ -339,7 +339,7 @@ object BpeEncode {
     * same key, same tie-break, same conflict rule, same cap, same chain
     * order. Every CTE MATERIALIZED (the twice-referenced-CTE inlining
     * trap, BASELINE.md). */
-  private def batchedCtes(sweeps: Int, cap: Int): String = {
+  private[ext] def batchedCtes(sweeps: Int, cap: Int, where: String = ""): String = {
     val sep = "chr(31)"
     def wrapped(m: String) =
       s"$sep || split_part($m, $sep, 1) || $sep || $sep || split_part($m, $sep, 2) || $sep"
@@ -380,7 +380,7 @@ object BpeEncode {
          |    (acc, m) -> replace(acc, ${wrapped("m")},
          |      $sep || split_part(m, $sep, 1) || split_part(m, $sep, 2) || $sep)) AS ts
          |  FROM bv${k - 1})""".stripMargin
-    s"""bw AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    s"""bw AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents $where),
        |bv0 AS MATERIALIZED (SELECT word, count(*) AS wc,
        |         $sep || array_to_string(string_split(word, ''), $sep || $sep) || $sep AS ts
        |       FROM bw WHERE length(word) >= 1 GROUP BY word),

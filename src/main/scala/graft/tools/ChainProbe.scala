@@ -34,6 +34,36 @@ object ChainProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_CHAIN_BPE=1: the tokenizer-drift arm (r15 verdict
+    // Next #2) — the q183 rolling fertility chain at sfDir: merges
+    // fitted once on the settled corpus (q182's batched trainer), each
+    // cycle rolls the (source, lang) fertility census from its delta
+    // shard, and the printed drift columns are the merge-budget refit
+    // trigger (max/mean |dfert_micro| per cycle; n_new = strata with no
+    // fit-time baseline). Exits after printing — the rank/spectral
+    // chain below is a different arc.
+    if (sys.env.get("SPARK_GRAFT_CHAIN_BPE").contains("1")) {
+      val t0 = System.nanoTime()
+      val docs = Tables.table(spark, sfDir, "documents")
+      val rows = graft.ext.BpeDrift.fertilityChainOf(docs).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val byCycle = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      byCycle.foreach { case (k, rs) =>
+        val known = rs.filter(!_.isNullAt(6)).map(r => math.abs(r.getLong(6)))
+        val maxD = if (known.isEmpty) 0L else known.max
+        val meanD = if (known.isEmpty) 0L else known.sum / known.size
+        println(s"""{"cycle":$k,"strata":${rs.length},"n_new":${rs.count(_.isNullAt(6))},""" +
+          s""""max_abs_dfert_micro":$maxD,"mean_abs_dfert_micro":$meanD}""")
+      }
+      val lastK = byCycle.last._1
+      val lastMax = byCycle.last._2.filter(!_.isNullAt(6)).map(r => math.abs(r.getLong(6)))
+      println(s"""{"metric":"chain_bpe_probe","cycles":$lastK,"sec":${math.round(sec * 10) / 10.0},""" +
+        s""""strata":${byCycle.last._2.length},""" +
+        s""""final_max_abs_dfert_micro":${if (lastMax.isEmpty) 0L else lastMax.max},"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
+
     // SPARK_GRAFT_CHAIN_LATE=1: the drains arm (r14 verdict Next #1) —
     // every cycle's delta passes the q172 arrival model, the roll is
     // kept-lane + nightly drain corrections, and the warm priors chain
