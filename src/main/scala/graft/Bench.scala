@@ -288,14 +288,33 @@ object Bench {
       if (gateFlag.contains("0") || (only.nonEmpty && !gateFlag.contains("1"))) ""
       else {
         try {
-          val g = graft.tools.GateReplay.run(spark, sfDir)
+          // min-of-2, like the queries (r15 verdict What's-wrong #2: a
+          // single recorded run left a 1.4× same-day band wide enough to
+          // hide a real ~30% regression). The gate's WORK is
+          // deterministic — lane counts are byte-identical across runs
+          // (asserted below) — so only wall-time swings with the host
+          // and the consecutive-run best is the floor-comparable number;
+          // BOTH readings ride the artifact as the run band.
+          val g1 = graft.tools.GateReplay.run(spark, sfDir)
+          val g2 = graft.tools.GateReplay.run(spark, sfDir)
+          if (g1.transitions != g2.transitions || g1.late != g2.late)
+            System.err.println(s"[bench] gate lane counts diverged across runs: " +
+              s"(${g1.transitions},${g1.late}) vs (${g2.transitions},${g2.late})")
+          val g = if (g2.sec < g1.sec) g2 else g1
           // throughput floor ratio (sf0.1 only — the floor is an sf0.1
-          // record): BELOW 1.0 means the gate slowed; the artifact is
-          // self-adjudicating like worst_vs_floor
+          // record): BELOW 1.0 means the gate slowed. gate_flagged
+          // mirrors worst_vs_floor's discipline — sub-floor AND more
+          // than 0.3 s over the floor-implied wall; a sub-ratio reading
+          // inside the absolute guard is host noise, not a regression.
           val vsFloor =
             if (!sfDir.contains("sf0.1")) ""
-            else s""","gate_vs_floor":${math.round(g.eventsPerSec / Floors.gateEventsPerSecSf01 * 100) / 100.0}"""
-          s""","gate_sec":${math.round(g.sec * 1000) / 1000.0},"gate_events_per_sec":${math.round(g.eventsPerSec)},"gate_kept":${g.transitions},"gate_late":${g.late}$vsFloor"""
+            else {
+              val ratio = g.eventsPerSec / Floors.gateEventsPerSecSf01
+              val floorSec = g.events / Floors.gateEventsPerSecSf01
+              val flagged = ratio < 1.0 && g.sec - floorSec > 0.3
+              s""","gate_vs_floor":${math.round(ratio * 100) / 100.0},"gate_flagged":$flagged"""
+            }
+          s""","gate_sec":${math.round(g.sec * 1000) / 1000.0},"gate_events_per_sec":${math.round(g.eventsPerSec)},"gate_eps_runs":[${math.round(g1.eventsPerSec)},${math.round(g2.eventsPerSec)}],"gate_kept":${g.transitions},"gate_late":${g.late}$vsFloor"""
         } catch {
           case t: Throwable =>
             System.err.println(s"[bench] gate replay FAILED: ${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}")
