@@ -251,6 +251,49 @@ object PngDecode {
         col("w_sum"), col("h_sum"), col("n_pixels"), col("sum_px"), col("max_px"))
   }
 
+  // ------------------------------------------- streaming ingestion gate
+
+  /** Headroom multiplier over the static corpus's worst observed
+    * claimed-raw/wire-bytes ratio. */
+  val BombHeadroom = 4L
+
+  /** Streaming DECOMPRESSION-BOMB gate — the ingestion guard the decode
+    * ladder needs in front of it: a payload whose header CLAIMS a raw
+    * size absurdly larger than its actual wire bytes is exactly the
+    * attack (or corruption) that kills a decode farm — the Inflater
+    * would faithfully expand it. The header audit alone cannot see it
+    * (a lying IHDR passes; the CRC is a JVM-lane check by design), so
+    * the gate compares header-claimed raw bytes (h·(w+1) for
+    * grayscale-8) against the payload's on-wire LENGTH, map-side, and
+    * rejects when the ratio exceeds the STATIC corpus's worst observed
+    * ratio × [[BombHeadroom]] — the `*GateStreamStatic` freeze shape:
+    * the cap is a ≤1-row census collected once at build and shipped as
+    * a literal; a micro-batch pays zero joins, zero shuffles, zero
+    * state (spec pins stateOperators empty). Integer centi-ratios only.
+    *
+    * Output: (doc_id, w, hgt, claimed_raw, keep, reason) — reason ∈
+    * {ok, unparsed, bomb}. */
+  def pngGateStreamStatic(streamMedia: DataFrame, staticMedia: DataFrame): DataFrame = {
+    // frozen cap: worst claimed_raw*100 div len over the parsed static
+    // corpus (centi-ratio — INTEGER div: Column./ is double division)
+    val capRow = Tables.swapPersist("png_gate_env", headerAudit(staticMedia))
+      .filter(col("hdr_ok"))
+      .select(expr("hgt * (w + 1) * 100 div length(media)").as("cr"))
+      .agg(coalesce(max(col("cr")), lit(0L)))
+      .head().getLong(0)
+    val cap = capRow * BombHeadroom
+    headerAudit(streamMedia)
+      .withColumn("claimed_raw",
+        expr("CASE WHEN hdr_ok THEN hgt * (w + 1) END"))
+      .withColumn("reason",
+        when(!col("hdr_ok"), "unparsed")
+          .when(col("claimed_raw") * 100 > length(col("media")) * cap, "bomb")
+          .otherwise("ok"))
+      .withColumn("keep", (col("reason") === "ok").cast("int"))
+      .select(col("doc_id"), col("w"), col("hgt"), col("claimed_raw"),
+        col("keep"), col("reason"))
+  }
+
   // ---------------------------------------------------------------- q184
   def q184(spark: SparkSession, sfDir: String): DataFrame =
     pngCensusOf(fixturePngMedia(Tables.table(spark, sfDir, "documents")))

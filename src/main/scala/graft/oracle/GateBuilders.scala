@@ -78,6 +78,12 @@ object GateBuilders {
             docs(s, d).filter(col("doc_id") % 29 === 0))
           .select(col("doc_id"), col("media")),
         graft.ext.HeaderDims.fixtureDimMedia(docs(s, d)))),
+    "png_gate" -> ((s: SparkSession, d: String) =>
+      graft.ext.PngDecode.pngGateStreamStatic(
+        graft.ext.PngDecode.fixturePngMedia(
+            docs(s, d).filter(col("doc_id") % 29 === 0))
+          .select(col("doc_id"), col("media")),
+        graft.ext.PngDecode.fixturePngMedia(docs(s, d)))),
     "rate_anomaly_gate" -> ((s: SparkSession, d: String) => {
       val ev = events(s, d)
       graft.ops.RateAnomaly.rateAnomalyStreamStatic(

@@ -78,6 +78,41 @@ class PngDecodeSpec extends SparkSpec {
     assert(PngCodec.decode(cm.take(cm.length - 5)).isEmpty, "truncated must not census")
   }
 
+  test("bomb gate: a lying IHDR is rejected map-side before any Inflater pays; stateless; stream == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val static = PngDecode.fixturePngMedia(
+      graft.oracle.Tables.table(spark, sf0001, "documents"))
+    val clean = (0L until 200L).find { id =>
+      val v1 = plant(id)._3; v1 % 10 != 0 && v1 % 10 != 3 }.get
+    val cm = fixtureFor(Seq(clean))(clean)
+    // the bomb: patch the IHDR dims to claim ~1e10 raw bytes on a
+    // ~100-byte wire payload — the header audit cannot see the lie (the
+    // CRC is the JVM lane's check by design); the ratio cap must
+    def be(v: Long, off: Int, arr: Array[Byte]): Unit =
+      (0 until 4).foreach(k => arr(off + k) = ((v >> (8 * (3 - k))) & 0xff).toByte)
+    val bomb = cm.clone(); be(100000L, 16, bomb); be(100000L, 20, bomb)
+    val arrivals = Seq((1L, cm), (2L, bomb), (3L, "not a png".getBytes))
+    val batch = PngDecode.pngGateStreamStatic(arrivals.toDF("doc_id", "media"), static)
+      .collect().map(r => r.getLong(0) -> (r.getInt(4), r.getString(5))).toMap
+    assert(batch(1L) == ((1, "ok")), s"clean payload must pass: $batch")
+    assert(batch(2L) == ((0, "bomb")), s"the lying header must be rejected: $batch")
+    assert(batch(3L) == ((0, "unparsed")))
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val sq = PngDecode.pngGateStreamStatic(stream.toDF().toDF("doc_id", "media"), static)
+      .writeStream.format("memory").queryName("png_gate")
+      .outputMode("append").start()
+    try {
+      stream.addData(arrivals)
+      sq.processAllAvailable()
+      assert(sq.lastProgress.stateOperators.isEmpty, "bomb gate must be stateless")
+    } finally sq.stop()
+    val streamed = spark.table("png_gate").collect()
+      .map(r => r.getLong(0) -> (r.getInt(4), r.getString(5))).toMap
+    assert(streamed == batch, "stream != batch")
+    graft.oracle.Tables.releasePersisted()
+  }
+
   test("lanes partition at sf0.001: counts equal the arithmetic cohorts; the codec sees only the header-valid residue") {
     val docs = graft.oracle.Tables.table(spark, sf0001, "documents")
     val r = PngDecode.pngCensusOf(PngDecode.fixturePngMedia(docs)).head()
