@@ -59,7 +59,7 @@ object Floors {
     "q172" -> 1.06, "q173" -> 2.21, "q174" -> 1.12, "q175" -> 3.59,
     // round 15 (min-of-5, ambient load 2.8–4.2 — conservative)
     "q176" -> 6.00, "q177" -> 1.63, "q178" -> 1.57, "q179" -> 0.73, "q180" -> 0.63, "q181" -> 2.35,
-    "q182" -> 1.58, "q183" -> 3.29, "q184" -> 0.61)
+    "q182" -> 1.58, "q183" -> 3.29, "q184" -> 0.61, "q185" -> 1.12)
 
   /** Streaming DLQ-gate replay floor (events/s at sf0.1, local[32],
     * graft.tools.GateReplay defaults — 10 shards, RocksDB state store).

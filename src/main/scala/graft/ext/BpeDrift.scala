@@ -110,13 +110,94 @@ object BpeDrift {
   def q183(spark: SparkSession, sfDir: String): DataFrame =
     fertilityChainOf(Tables.table(spark, sfDir, "documents"))
 
+  // ------------------------------------------------- the tokenizer STORE
+
+  /** Bumped on store layout/semantics changes. */
+  val StoreVersion = 1
+
+  private def storeTag = s"bpe-p$SettledPct-v$StoreVersion"
+
+  /** Fit-time hyperparameters ride the fingerprint: changing the sweep
+    * budget or cap must invalidate stored merges, never reuse them. */
+  private def storeExtra =
+    s"$storeTag|s${BpeEncode.BatchSweeps}|c${BpeEncode.SweepCap}|t${BpeEncode.TopC}"
+
+  /** Yesterday's job: train the batched tokenizer on the settled corpus
+    * and persist BOTH halves of the artifact — the ordered merge table
+    * AND the fit-time fertility baseline (production stores the
+    * baseline WITH the tokenizer: the drift read must never re-derive
+    * "what fertility looked like at fit time" from a corpus that has
+    * since grown). */
+  def fitStore(spark: SparkSession, docs: DataFrame, dir: String, fp: String): String = synchronized {
+    graft.ops.ArtifactStore.beginFit(dir)
+    val vdir = graft.ops.ArtifactStore.versionDir(dir, fp)
+    val d = Tables.swapPersist("q185_fit_d", docsWithDay(docs))
+    val day0 = d.filter(col("day") === 0)
+    val (merges, _) = BpeEncode.fitBatched(day0.select(col("text")))
+    import spark.implicits._
+    merges.toDF("sweep", "rnk", "a", "b", "pair_count")
+      .write.mode("overwrite").parquet(s"$vdir/merges")
+    encodedStratumCensus(day0, merges.map(m => (m.a, m.b)))
+      .select(col("source"), col("lang"), col("n_words"), col("enc_tokens"),
+        expr("enc_tokens * 1000000 div n_words").as("fert0"))
+      .write.mode("overwrite").parquet(s"$vdir/fert0")
+    graft.ops.ArtifactStore.commitFit(dir, fp)
+    vdir
+  }
+
+  /** The recurring drift read (q185): merges + baseline come from the
+    * ARTIFACT (refit only if stale); the arriving corpus (day > 0)
+    * encodes under the STORED merge list — delta-sized work — and the
+    * rolled fertility joins the stored baseline. Output = q183's final
+    * cycle, computed through the store (BpeStoreSpec pins equality;
+    * the oracle match additionally proves the parquet round-trip of
+    * the merges is lossless — they come back as the literal replace
+    * chain). */
+  def storeDriftOf(spark: SparkSession, docs: DataFrame, dir: String, fp: String): DataFrame = {
+    synchronized {
+      if (!graft.ops.ArtifactStore.isFresh(dir, fp)) fitStore(spark, docs, dir, fp)
+    }
+    val vdir = graft.ops.ArtifactStore.versionDir(dir, fp)
+    val ml = spark.read.parquet(s"$vdir/merges")
+      .orderBy(col("sweep"), col("rnk"))
+      .collect().map(r => (r.getString(2), r.getString(3))).toSeq
+    val fit0 = spark.read.parquet(s"$vdir/fert0")
+    val d = Tables.swapPersist("q185_d", docsWithDay(docs))
+    // the ONLY document work is the arriving shard's delta-vocab encode —
+    // the settled side rides the artifact's stored stratum sums
+    val arriving = encodedStratumCensus(d.filter(col("day") > 0), ml)
+    fit0.select(col("source"), col("lang"), col("n_words"), col("enc_tokens"))
+      .unionByName(arriving)
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("n_words")).as("n_words"), sum(col("enc_tokens")).as("enc_tokens"))
+      .join(fit0.select(col("source"), col("lang"), col("fert0")),
+        Seq("source", "lang"), "left")
+      .select(col("source"), col("lang"), col("n_words"), col("enc_tokens"),
+        expr("enc_tokens * 1000000 div n_words").as("fert_micro"),
+        (expr("enc_tokens * 1000000 div n_words") - col("fert0")).as("dfert_micro"))
+  }
+
+  // ---------------------------------------------------------------- q185
+  def q185(spark: SparkSession, sfDir: String): DataFrame =
+    storeDriftOf(spark, Tables.table(spark, sfDir, "documents"),
+      graft.ops.ArtifactStore.root(sfDir, storeTag),
+      graft.ops.ArtifactStore.fingerprint(spark, sfDir, "documents", storeExtra))
+
   /** Monolithic oracle: the batched training replayed on the settled
     * subset (q182's CTEs behind a day-0 WHERE), the learned merges
     * flattened into ONE ordered list, then every cycle's census
     * recomputed FROM SCRATCH over the full day ≤ k prefix — the hash
     * match proves the rolled deltas equal the monolithic recompute at
     * every cut. */
-  private def q183Sql: String = {
+  private def q183Sql: String = driftSql(final_only = false)
+
+  /** q185's oracle is q183's final cycle without the cycle column —
+    * computing it THROUGH the store must land on the same monolithic
+    * answer, which also proves the merges' parquet round-trip is
+    * lossless (they return as the literal replace chain). */
+  private def q185Sql: String = driftSql(final_only = true)
+
+  private def driftSql(final_only: Boolean): String = {
     val sep = "chr(31)"
     val whereFit =
       s"WHERE doc_id * 100 // (SELECT count(*) FROM documents) < $SettledPct"
@@ -141,12 +222,18 @@ object BpeDrift {
          |        FROM (SELECT DISTINCT word FROM dw2 WHERE day <= $k)) e
          |  USING (word)
          |  GROUP BY source, lang)""".stripMargin
-    val rows = (1 to Cycles).map { k =>
-      s"""SELECT CAST($k AS INT) AS cycle, source, lang, n_words, enc_tokens,
-         |       CAST(enc_tokens * 1000000 // n_words AS BIGINT) AS fert_micro,
-         |       CAST(enc_tokens * 1000000 // n_words AS BIGINT) - f0.fert0 AS dfert_micro
-         |FROM fx$k LEFT JOIN f0 USING (source, lang)""".stripMargin
-    }
+    val rows =
+      if (final_only) Seq(
+        s"""SELECT source, lang, n_words, enc_tokens,
+           |       CAST(enc_tokens * 1000000 // n_words AS BIGINT) AS fert_micro,
+           |       CAST(enc_tokens * 1000000 // n_words AS BIGINT) - f0.fert0 AS dfert_micro
+           |FROM fx$Cycles LEFT JOIN f0 USING (source, lang)""".stripMargin)
+      else (1 to Cycles).map { k =>
+        s"""SELECT CAST($k AS INT) AS cycle, source, lang, n_words, enc_tokens,
+           |       CAST(enc_tokens * 1000000 // n_words AS BIGINT) AS fert_micro,
+           |       CAST(enc_tokens * 1000000 // n_words AS BIGINT) - f0.fert0 AS dfert_micro
+           |FROM fx$k LEFT JOIN f0 USING (source, lang)""".stripMargin
+      }
     s"""WITH ${BpeEncode.batchedCtes(BpeEncode.BatchSweeps, BpeEncode.SweepCap, whereFit)},
        |ml AS MATERIALIZED (
        |  SELECT COALESCE(list(a || $sep || b ORDER BY sweep, rnk), []) AS ms FROM (
@@ -174,10 +261,11 @@ object BpeDrift {
        |        FROM (SELECT DISTINCT word FROM dw2 WHERE day = 0)) e
        |  USING (word)
        |  GROUP BY source, lang),
-       |${(1 to Cycles).map(censusCte).mkString(",\n")}
+       |${(if (final_only) Seq(Cycles) else (1 to Cycles).toSeq).map(censusCte).mkString(",\n")}
        |${rows.mkString("", "\nUNION ALL\n", "")}""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q183_bpe_drift_chain", q183, Some(q183Sql)))
+    QueryDef("q183_bpe_drift_chain", q183, Some(q183Sql)),
+    QueryDef("q185_bpe_store_drift", q185, Some(q185Sql)))
 }
