@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round evidence tool: write `.explain("formatted")` of
+  * named registered queries to files (`plans/rNN/<query>_<tag>.txt`), so
+  * before/after plan claims in OPTIMIZATION_rNN.md are checkable without
+  * running Spark.
+  *
+  * Usage: runMain graft.tools.ExplainDump <outDir> <tag> <q1,q2,...>
+  * (query names match by exact-or-`_`-prefix, the NameFilter rule). */
+object ExplainDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ExplainDump <outDir> <tag> <q1,q2,...>")
+    val outDir = new java.io.File(args(0))
+    outDir.mkdirs()
+    val tag = args(1)
+    val only = Some(args(2).split(",").toSeq)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.oracle.Registry.all
+      .filter(q => graft.NameFilter.selected(only, q.name))
+      .foreach { q =>
+        val df = q.run(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val f = new java.io.File(outDir, s"${q.name}_$tag.txt")
+        val w = new java.io.PrintWriter(f)
+        try w.write(txt) finally w.close()
+        println(s"[explain] wrote $f (${txt.length} chars)")
+        graft.oracle.Tables.releasePersisted()
+        spark.catalog.clearCache()
+      }
+    spark.stop()
+  }
+}
