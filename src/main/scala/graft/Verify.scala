@@ -12,6 +12,26 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // r16 optimization (guide §2.2/§6): let AQE re-derive CACHED plan
+      // output partitioning from measured bytes. Off (the default) every
+      // swapPersist'd census frame materializes with the raw
+      // spark.sql.shuffle.partitions layout, so each of its readers pays
+      // a fixed-partition-count map stage regardless of size (measured
+      // q156 at sf0.1: 1850 tasks/run vs 82 with the conf on); on, the
+      // cache's partitioning tracks data volume at ANY scale — the
+      // scale-adaptive posture the optimization brief asks for.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // r16 optimization (guide §2.2): AQE coalesce target, parameterised
+      // (scale-dependent — the brief's rule). Local default 2m: at bench
+      // scale the corpus-sized cached frames (a few MB) keep real
+      // parallelism for their compute-dense window/JSON passes (with the
+      // 64m default the cache-final stage coalesces them to ONE task —
+      // measured 2.2 s serial on q166's item-event frame) while census-
+      // grain frames still collapse to single-task stages. At production
+      // scale set SPARK_GRAFT_ADVISORY_PARTITION_BYTES to 64m–256m so
+      // shuffle blocks stay large (guide §2.2's block-count argument).
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "2m"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -106,8 +106,10 @@ object Backbone {
   // ---------------------------------------------------------------- q150
   def q150(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")
-    val pw = Tables.swapPersist("q150_pw",
-      Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev)))
+    // r16: checkpoint, not keyed persist — truncates the corpus lineage
+    // out of every census-grain downstream plan (SpectralEmbed.ppmiMatOf)
+    val pw = Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev))
+      .localCheckpoint()
     backboneCensusOf(pw)
   }
 

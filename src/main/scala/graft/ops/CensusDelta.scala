@@ -74,7 +74,8 @@ object CensusDelta {
 
     // monolithic pass: ONE corpus lag, every transition classed by which
     // side(s) of the cut its two events fall on
-    val classed = Tables.swapPersist("q154_classed",
+    // r16: checkpoint — census-grain, lineage truncation (ppmiMatOf note)
+    val classed =
       e.withColumn("src", lag(col("item"), 1).over(
           Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))))
         .withColumn("src_t", lag(col("t"), 1).over(
@@ -85,19 +86,22 @@ object CensusDelta {
           when(col("t") < cutUs, lit("S"))
             .when(col("src_t") >= cutUs, lit("D"))
             .otherwise(lit("B")).as("side"))
-        .agg(count(lit(1)).as("w")))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint()
 
     // production path: the delta census and the straddle census are
     // computed WITHOUT lagging settled events — delta shard + frontier
     val settled = e.filter(col("t") < cutUs)
     val delta = e.filter(col("t") >= cutUs)
     val cd = censusOf(delta)
-    val cb = Tables.swapPersist("q154_cb",
+    // r16: checkpoint — census-grain, lineage truncation (ppmiMatOf note)
+    val cb =
       Frontier.straddleOf(settled, delta)
         .filter(col("s_item") =!= col("d_item"))
         .groupBy(least(col("s_item"), col("d_item")).as("a"),
           greatest(col("s_item"), col("d_item")).as("b"))
-        .agg(count(lit(1)).as("w")))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint()
 
     val cs = classed.filter(col("side") === "S").select(col("a"), col("b"), col("w"))
     val merged = cs.unionByName(cd).unionByName(cb)

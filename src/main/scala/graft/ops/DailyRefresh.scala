@@ -83,8 +83,8 @@ object DailyRefresh {
     // the census update, DIRECTED grain: settled census (persisted — the
     // PageRank settled arm, the merged union and the pooled settled
     // rollup all read it), delta census, frontier straddle
-    val csDir = Tables.swapPersist("q166_cs",
-      PageRankDelta.directedCensusOf(settled))
+    // r16: checkpoint, not keyed persist — lineage truncation (ppmiMatOf)
+    val csDir = PageRankDelta.directedCensusOf(settled).localCheckpoint()
     val cdDir = PageRankDelta.directedCensusOf(delta)
     val cbDir = Frontier.straddleOf(settled, delta)
       .filter(col("s_item") =!= col("d_item"))
@@ -92,9 +92,9 @@ object DailyRefresh {
       .agg(count(lit(1)).as("w"))
     // merged directed census (persisted — PageRank warm arm + pooled
     // spectral warm rollup)
-    val mDir = Tables.swapPersist("q166_md",
-      csDir.unionByName(cdDir).unionByName(cbDir)
-        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
+    val mDir = csDir.unionByName(cdDir).unionByName(cbDir)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .localCheckpoint()
 
     // spectral arm: backbone → PMI → warm iteration from the settled
     // fixed point (q163's warm semantics verbatim; keys namespaced so

@@ -33,18 +33,21 @@ object Harmonic {
 
   /** (item, n1, n2, n3, harmonic_x6) per backbone node. */
   def harmonicOf(strong0: DataFrame, key: String = "q148"): DataFrame = {
-    val strong = Tables.swapPersist(s"${key}_strong", strong0.select(col("a"), col("b")))
-    // read by hop-2 (both sides), hop-3 and the n1 census — persist once
-    val adj = Tables.swapPersist(s"${key}_adj",
+    // r16: checkpoints, not keyed persists — lineage truncation (ppmiMatOf)
+    val strong = strong0.select(col("a"), col("b")).localCheckpoint()
+    // read by hop-2 (both sides), hop-3 and the n1 census — once
+    val adj =
       strong.select(col("a").as("c"), col("b").as("n"))
-        .unionAll(strong.select(col("b").as("c"), col("a").as("n"))))
+        .unionAll(strong.select(col("b").as("c"), col("a").as("n")))
+        .localCheckpoint()
     val d1 = adj.select(col("c").as("v"), col("n").as("u"))
-    val d2 = Tables.swapPersist(s"${key}_d2",
+    val d2 =
       adj.as("x").join(adj.as("y"), col("x.n") === col("y.c"))
         .select(col("x.c").as("v"), col("y.n").as("u"))
         .filter(col("v") =!= col("u"))
         .distinct()
-        .join(d1, Seq("v", "u"), "left_anti"))
+        .join(d1, Seq("v", "u"), "left_anti")
+        .localCheckpoint()
     // d2 derives from adj — alias both sides or Spark flags the self-join
     val d3 = d2.as("p2").join(adj.as("az"), col("p2.u") === col("az.c"))
       .select(col("p2.v").as("v"), col("az.n").as("u"))
@@ -66,8 +69,10 @@ object Harmonic {
   // ---------------------------------------------------------------- q148
   def q148(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")
-    val pw = Tables.swapPersist("q148_pw",
-      Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev)))
+    // r16: checkpoint, not keyed persist — truncates the corpus lineage
+    // out of every census-grain downstream plan (SpectralEmbed.ppmiMatOf)
+    val pw = Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev))
+      .localCheckpoint()
     harmonicOf(Backbone.backboneOf(pw))
   }
 

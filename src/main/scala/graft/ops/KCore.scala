@@ -84,8 +84,10 @@ object KCore {
   // ---------------------------------------------------------------- q146
   def q146(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")
-    val pw = Tables.swapPersist("q146_pw",
-      Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev)))
+    // r16: checkpoint, not keyed persist — truncates the corpus lineage
+    // out of every census-grain downstream plan (SpectralEmbed.ppmiMatOf)
+    val pw = Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev))
+      .localCheckpoint()
     kCoreOf(Backbone.backboneOf(pw))
   }
 

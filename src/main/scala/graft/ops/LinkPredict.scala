@@ -40,10 +40,11 @@ object LinkPredict {
                        key: String = "q147"): DataFrame = {
     // read by the wedge self-join (twice via the bidirectional union),
     // the anti-join and the degree census — persist once
-    val strong = Tables.swapPersist(s"${key}_strong", strong0.select(col("a"), col("b")))
-    val deg = Tables.swapPersist(s"${key}_deg",
+    // r16: checkpoints, not keyed persists — lineage truncation (ppmiMatOf)
+    val strong = strong0.select(col("a"), col("b")).localCheckpoint()
+    val deg =
       strong.select(col("a").as("v")).unionAll(strong.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("d")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d")).localCheckpoint()
     Triangles.wedgeIndexOf(strong)
       .join(strong, Seq("a", "b"), "left_anti")
       .filter(col("closures") >= minClosures)
@@ -57,8 +58,10 @@ object LinkPredict {
   // ---------------------------------------------------------------- q147
   def q147(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")
-    val pw = Tables.swapPersist("q147_pw",
-      Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev)))
+    // r16: checkpoint, not keyed persist — truncates the corpus lineage
+    // out of every census-grain downstream plan (SpectralEmbed.ppmiMatOf)
+    val pw = Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev))
+      .localCheckpoint()
     linkPredictionOf(Backbone.backboneOf(pw))
   }
 

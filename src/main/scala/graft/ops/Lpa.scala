@@ -63,10 +63,12 @@ object Lpa {
     * sweeps over a canonical (a < b) edge list. */
   def lpaOf(strong0: DataFrame, rounds: Int = DefaultRounds,
             key: String = "q149"): DataFrame = {
-    val strong = Tables.swapPersist(s"${key}_strong", strong0.select(col("a"), col("b")))
-    val adj = Tables.swapPersist(s"${key}_adj",
+    // r16: checkpoints, not keyed persists — lineage truncation (ppmiMatOf)
+    val strong = strong0.select(col("a"), col("b")).localCheckpoint()
+    val adj =
       strong.select(col("a").as("c"), col("b").as("n"))
-        .unionAll(strong.select(col("b").as("c"), col("a").as("n"))))
+        .unionAll(strong.select(col("b").as("c"), col("a").as("n")))
+        .localCheckpoint()
     val fin = sweep(adj, rounds).localCheckpoint() // two readers below
     fin.join(fin.groupBy(col("lbl")).agg(count(lit(1)).as("community_size")), Seq("lbl"))
       .select(col("v").as("item"), col("lbl").as("community"), col("community_size"))
@@ -75,8 +77,10 @@ object Lpa {
   // ---------------------------------------------------------------- q149
   def q149(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")
-    val pw = Tables.swapPersist("q149_pw",
-      Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev)))
+    // r16: checkpoint, not keyed persist — truncates the corpus lineage
+    // out of every census-grain downstream plan (SpectralEmbed.ppmiMatOf)
+    val pw = Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev))
+      .localCheckpoint()
     lpaOf(Backbone.backboneOf(pw))
   }
 

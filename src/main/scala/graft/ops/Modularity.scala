@@ -64,12 +64,16 @@ object Modularity {
   // ---------------------------------------------------------------- q151
   def q151(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")
-    val pw = Tables.swapPersist("q151_pw",
-      Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev)))
-    val strong = Tables.swapPersist("q151_strong", Backbone.backboneOf(pw))
-    val adj = Tables.swapPersist("q151_adj",
+    // r16: checkpoint, not keyed persist — truncates the corpus lineage
+    // out of every census-grain downstream plan (SpectralEmbed.ppmiMatOf)
+    val pw = Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev))
+      .localCheckpoint()
+    // r16: checkpoints, not keyed persists — lineage truncation (ppmiMatOf)
+    val strong = Backbone.backboneOf(pw).localCheckpoint()
+    val adj =
       strong.select(col("a").as("c"), col("b").as("n"))
-        .unionAll(strong.select(col("b").as("c"), col("a").as("n"))))
+        .unionAll(strong.select(col("b").as("c"), col("a").as("n")))
+        .localCheckpoint()
     val lbl = Lpa.sweep(adj, Lpa.DefaultRounds).localCheckpoint() // 3 readers
     modularityCensusOf(strong, lbl)
   }

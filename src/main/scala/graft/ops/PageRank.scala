@@ -65,19 +65,24 @@ object PageRank {
       .agg(count(lit(1)).as("w"))
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
     // vocab²-bounded census: persists once, read `iters` times
-    val edgesW = Tables.swapPersist("q139_edges", edges.join(outW, Seq("src")))
-    val nodes = Tables.swapPersist("q139_nodes",
+    // r16: checkpoints, not keyed persists — lineage truncation (ppmiMatOf)
+    val edgesW = edges.join(outW, Seq("src")).localCheckpoint()
+    val nodes =
       edgesW.select(col("src").as("item"))
-        .union(edgesW.select(col("dst").as("item"))).distinct())
+        .union(edgesW.select(col("dst").as("item"))).distinct()
+        .localCheckpoint()
 
     var rank = nodes.withColumn("rank_micro", lit(1000000L))
     for (i <- 1 to iters) {
+      // r16 optimization (guide §3.1): rank/contrib are node-bounded —
+      // broadcast both so the edge census never re-shuffles per round.
       val contrib = edgesW
-        .join(rank.select(col("item").as("src"), col("rank_micro")), Seq("src"))
+        .join(broadcast(rank.select(col("item").as("src"), col("rank_micro"))),
+          Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(expr("(rank_micro * w) div out_w")).as("contrib"))
       rank = nodes
-        .join(contrib.withColumnRenamed("dst", "item"), Seq("item"), "left")
+        .join(broadcast(contrib.withColumnRenamed("dst", "item")), Seq("item"), "left")
         .select(col("item"),
           (lit((10000L - dampBp) * 100L) +
             expr(s"(coalesce(contrib, 0L) * ${dampBp}L) div 10000L"))
@@ -131,25 +136,30 @@ object PageRank {
     val edges = hops.groupBy(col("src"), col("item").as("dst"))
       .agg(count(lit(1)).as("w"))
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
-    val edgesW = Tables.swapPersist("q142_edges", edges.join(outW, Seq("src")))
-    val nodes = Tables.swapPersist("q142_nodes",
+    // r16: checkpoints, not keyed persists — lineage truncation (ppmiMatOf)
+    val edgesW = edges.join(outW, Seq("src")).localCheckpoint()
+    val nodes =
       edgesW.select(col("src").as("item"))
-        .union(edgesW.select(col("dst").as("item"))).distinct())
+        .union(edgesW.select(col("dst").as("item"))).distinct()
+        .localCheckpoint()
     // vocab-bounded: nodes that never emit (dst-only) — the dangling set
-    val dangling = Tables.swapPersist("q142_dangling",
-      nodes.join(edgesW.select(col("src").as("item")).distinct(), Seq("item"), "left_anti"))
+    val dangling = nodes.join(edgesW.select(col("src").as("item")).distinct(),
+      Seq("item"), "left_anti").localCheckpoint()
     val nCensus = nodes.agg(count(lit(1)).as("n_nodes"))
 
     var rank = nodes.withColumn("rank_micro", lit(1000000L))
     for (i <- 1 to iters) {
+      // r16 optimization (guide §3.1): broadcast the node-bounded
+      // rank/contrib — the edge census never re-shuffles (see q139 loop).
       val contrib = edgesW
-        .join(rank.select(col("item").as("src"), col("rank_micro")), Seq("src"))
+        .join(broadcast(rank.select(col("item").as("src"), col("rank_micro"))),
+          Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(expr("(rank_micro * w) div out_w")).as("contrib"))
       val dMass = rank.join(dangling, Seq("item"))
         .agg(coalesce(sum(col("rank_micro")), lit(0L)).as("d_mass"))
       rank = nodes
-        .join(contrib.withColumnRenamed("dst", "item"), Seq("item"), "left")
+        .join(broadcast(contrib.withColumnRenamed("dst", "item")), Seq("item"), "left")
         .crossJoin(broadcast(dMass))
         .crossJoin(broadcast(nCensus))
         .select(col("item"),

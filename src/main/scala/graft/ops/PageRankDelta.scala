@@ -120,9 +120,11 @@ object PageRankDelta {
     * nothing. */
   private def prepGraph(edges: DataFrame, key: String, checkpoint: Boolean)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    def mat(name: String, df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint()
-      else Tables.swapPersist(s"${key}_$name", df)
+    // r16: BOTH arms checkpoint now — the keyed-persist branch kept the
+    // full corpus lineage in every round plan and the driver re-optimized
+    // it per action (see SpectralEmbed.ppmiMatOf); `checkpoint` is kept
+    // as a (now vestigial) signature for the callers' documentation.
+    def mat(name: String, df: DataFrame): DataFrame = df.localCheckpoint()
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
     val edgesW = mat("ew", edges.join(outW, Seq("src")))
     val nodes = mat("nodes",
@@ -169,14 +171,20 @@ object PageRankDelta {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     var rank = rank0
     for (i <- 1 to iters) {
+      // r16 optimization (guide §3.1): the rank vector and the per-node
+      // contribution census are node-bounded — broadcast both, so the
+      // edge census never re-shuffles across rounds (before, the
+      // checkpointed rank was a stats-less LogicalRDD and Spark planned
+      // two-sided shuffles of the edges every iteration).
       val contrib = edgesW
-        .join(rank.select(col("item").as("src"), col("rank_micro")), Seq("src"))
+        .join(broadcast(rank.select(col("item").as("src"), col("rank_micro"))),
+          Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(expr("(rank_micro * w) div out_w")).as("contrib"))
       val dMass = rank.join(dangling, Seq("item"))
         .agg(coalesce(sum(col("rank_micro")), lit(0L)).as("d_mass"))
       rank = nodes
-        .join(contrib.withColumnRenamed("dst", "item"), Seq("item"), "left")
+        .join(broadcast(contrib.withColumnRenamed("dst", "item")), Seq("item"), "left")
         .crossJoin(broadcast(dMass))
         .crossJoin(broadcast(nCensus))
         .select(col("item"),
@@ -209,8 +217,11 @@ object PageRankDelta {
     var vW: DataFrame = null
     for (i <- 1 to iters) {
       if (i <= warmIters) {
+        // r16 optimization: broadcast the node-bounded state/contrib —
+        // the edge census never re-shuffles (see [[loop]]).
         val contrib = edgesW
-          .join(state.select(col("item").as("src"), col("rw"), col("rc")), Seq("src"))
+          .join(broadcast(state.select(col("item").as("src"), col("rw"), col("rc"))),
+            Seq("src"))
           .groupBy(col("dst"))
           .agg(sum(expr("(rw * w) div out_w")).as("cw"),
             sum(expr("(rc * w) div out_w")).as("cc"))
@@ -218,7 +229,7 @@ object PageRankDelta {
           .agg(coalesce(sum(col("rw")), lit(0L)).as("dw"),
             coalesce(sum(col("rc")), lit(0L)).as("dc"))
         state = nodes
-          .join(contrib.withColumnRenamed("dst", "item"), Seq("item"), "left")
+          .join(broadcast(contrib.withColumnRenamed("dst", "item")), Seq("item"), "left")
           .crossJoin(broadcast(dMass))
           .crossJoin(broadcast(nCensus))
           .select(col("item"),
@@ -230,13 +241,13 @@ object PageRankDelta {
         if (i == warmIters) vW = state.select(col("item"), col("rw"))
       } else {
         val contrib = edgesW
-          .join(state.select(col("item").as("src"), col("rc")), Seq("src"))
+          .join(broadcast(state.select(col("item").as("src"), col("rc"))), Seq("src"))
           .groupBy(col("dst"))
           .agg(sum(expr("(rc * w) div out_w")).as("cc"))
         val dMass = state.join(dangling, Seq("item"))
           .agg(coalesce(sum(col("rc")), lit(0L)).as("dc"))
         state = nodes
-          .join(contrib.withColumnRenamed("dst", "item"), Seq("item"), "left")
+          .join(broadcast(contrib.withColumnRenamed("dst", "item")), Seq("item"), "left")
           .crossJoin(broadcast(dMass))
           .crossJoin(broadcast(nCensus))
           .select(col("item"),
@@ -256,7 +267,8 @@ object PageRankDelta {
     val settled = e.filter(col("t") < cutUs)
     val delta = e.filter(col("t") >= cutUs)
     // settled census: two readers (settled rank arm + merged union)
-    val cs = Tables.swapPersist("q164_cs", directedCensusOf(settled))
+    // r16: checkpoint — lineage truncation (ppmiMatOf note)
+    val cs = directedCensusOf(settled).localCheckpoint()
     val cd = directedCensusOf(delta)
     val cb = Frontier.straddleOf(settled, delta)
       .filter(col("s_item") =!= col("d_item"))

@@ -66,8 +66,10 @@ object PmiAgreement {
   // ---------------------------------------------------------------- q158
   def q158(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")
-    val pw = Tables.swapPersist("q158_pw",
-      Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev)))
+    // r16: checkpoint, not keyed persist — truncates the corpus lineage
+    // out of every census-grain downstream plan (SpectralEmbed.ppmiMatOf)
+    val pw = Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev))
+      .localCheckpoint()
     agreementOf(WalkPmi.pmiOf(
       WalkPairs.walkPairsOf(Backbone.backboneOf(pw), key = "q158"),
       key = "q158"))

@@ -62,19 +62,22 @@ object PmiNeighbors {
     // both engines instead
     // persisted: the PMI layer upstream is census-grain but multi-stage —
     // without this, sym's two arms re-execute it end to end
-    val pos = Tables.swapPersist(s"${key}_ppm", pmi.filter(col("pmi") > 0)
+    // r16: checkpoint, not keyed persist — lineage truncation (ppmiMatOf)
+    val pos = pmi.filter(col("pmi") > 0)
       .select(col("a"), col("b"),
         round(col("pmi") * lit(1000.0), 0).cast("long").as("w"))
-      .filter(col("w") > 0))
+      .filter(col("w") > 0)
+      .localCheckpoint()
     val sym = pos.select(col("a").as("i"), col("b").as("j"), col("w"))
       .unionAll(pos.select(col("b").as("i"), col("a").as("j"), col("w")))
     // capped matrix: three readers (norms + both dot arms); the degree
     // gate is a context-partitioned window over sym itself — one
     // exchange on j, no join-back
-    val capped = Tables.swapPersist(s"${key}_capped",
-      sym.withColumn("deg", count(lit(1)).over(Window.partitionBy(col("j"))))
-        .filter(col("deg") <= cap)
-        .select(col("i"), col("j"), col("w")))
+    val capped = sym
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("j"))))
+      .filter(col("deg") <= cap)
+      .select(col("i"), col("j"), col("w"))
+      .localCheckpoint()
     val norms = capped.groupBy(col("i"))
       .agg(sum((col("w") * col("w")).cast(DecimalType(38, 0)))
         .cast("long").as("n2"))
@@ -172,8 +175,10 @@ object PmiNeighbors {
   // ---------------------------------------------------------------- q157
   def q157(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")
-    val pw = Tables.swapPersist("q157_pw",
-      Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev)))
+    // r16: checkpoint, not keyed persist — truncates the corpus lineage
+    // out of every census-grain downstream plan (SpectralEmbed.ppmiMatOf)
+    val pw = Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev))
+      .localCheckpoint()
     neighborsOf(WalkPmi.pmiOf(
       WalkPairs.walkPairsOf(Backbone.backboneOf(pw), key = "q157"),
       key = "q157"))

@@ -97,8 +97,8 @@ object RefreshArtifacts {
     // frontier row_number)
     val e = Tables.swapPersist("q167_fit_e",
       CensusDelta.prep(settledEv, Tables.tsMicros(settledEv)))
-    val cs = Tables.swapPersist("q167_fit_cs",
-      PageRankDelta.directedCensusOf(e))
+    // r16: checkpoint — lineage truncation (SpectralEmbed.ppmiMatOf)
+    val cs = PageRankDelta.directedCensusOf(e).localCheckpoint()
     cs.write.mode("overwrite").parquet(s"$dir/census")
     Frontier.lastOf(e).write.mode("overwrite").parquet(s"$dir/frontier")
     SpectralEmbed.spectralOf(
@@ -145,9 +145,9 @@ object RefreshArtifacts {
       .groupBy(col("s_item").as("src"), col("d_item").as("dst"))
       .agg(count(lit(1)).as("w"))
     // merged census persists: PageRank warm arm + pooled spectral rollup
-    val mDir = Tables.swapPersist("q167_md",
-      csArt.unionByName(cd).unionByName(cb)
-        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
+    val mDir = csArt.unionByName(cd).unionByName(cb)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .localCheckpoint()
 
     val vW = SpectralEmbed.spectralWarmOf(
       WalkPmi.pmiOf(Backbone.backboneWeightedOf(DailyRefresh.pooled(mDir))

@@ -76,8 +76,10 @@ object SpectralCoherence {
   // ---------------------------------------------------------------- q160
   def q160(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")
-    val pw = Tables.swapPersist("q160_pw",
-      Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev)))
+    // r16: checkpoint, not keyed persist — truncates the corpus lineage
+    // out of every census-grain downstream plan (SpectralEmbed.ppmiMatOf)
+    val pw = Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev))
+      .localCheckpoint()
     coherenceOf(WalkPmi.pmiOf(
       WalkPairs.walkPairsOf(Backbone.backboneOf(pw), key = "q160"),
       key = "q160"))

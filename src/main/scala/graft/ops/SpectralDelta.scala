@@ -100,6 +100,17 @@ object SpectralDelta {
     val S = SpectralEmbed.Scale
     val mat = SpectralEmbed.matOf(pmi, key)
     import org.apache.spark.sql.types.DecimalType
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    // r16 optimization (guide §2.4/§3.1, mirrors SpectralEmbed.iterate):
+    // the two-column state is node-bounded, so it BROADCASTS into the
+    // round join (the matrix never re-shuffles — before, the
+    // checkpointed state was a stats-less LogicalRDD and Spark planned a
+    // two-sided shuffle every round) and the per-column max-normalization
+    // census folds into the SAME action as an empty-window max over the
+    // node-grain aggregate (was: a separate broadcast-census BNLJ +
+    // second action per round). One localCheckpoint per round bounds
+    // lineage; arithmetic byte-identical (SpectralDeltaSpec pins it
+    // column-for-column against the single-column loop).
     var state = mat.select(col("i").as("node")).distinct()
       .join(start.select(col("node"), col("vfp").as("v0w")), Seq("node"), "left")
       .select(col("node"), coalesce(col("v0w"), lit(S)).as("vw"), lit(S).as("vc"))
@@ -107,28 +118,27 @@ object SpectralDelta {
     var vW: DataFrame = null
     for (r <- 1 to SpectralEmbed.Rounds) {
       if (r <= warmRounds) {
-        // dual round: one matrix join, two DECIMAL sums, one 2-max census
-        val raw = mat.join(state, mat("j") === state("node"))
+        // dual round: one matrix join, two DECIMAL sums, one 2-max window
+        state = mat.join(broadcast(state), mat("j") === state("node"))
           .groupBy(col("i"))
           .agg(sum((col("wfp") * col("vw")).cast(DecimalType(38, 0))).as("rw"),
             sum((col("wfp") * col("vc")).cast(DecimalType(38, 0))).as("rc"))
-          .localCheckpoint()
-        val mx = raw.agg(max(col("rw")).as("mw"), max(col("rc")).as("mc"))
-        state = raw.crossJoin(broadcast(mx))
+          .withColumn("mw", max(col("rw")).over(wAll))
+          .withColumn("mc", max(col("rc")).over(wAll))
           .select(col("i").as("node"),
             expr("(rw * 1000000) div mw").as("vw"),
             expr("(rc * 1000000) div mc").as("vc"))
+          .localCheckpoint()
         if (r == warmRounds)
           vW = state.select(col("node"), col("vw"))
       } else {
         // warm column frozen: cold-only rounds
-        val raw = mat.join(state, mat("j") === state("node"))
+        state = mat.join(broadcast(state), mat("j") === state("node"))
           .groupBy(col("i"))
           .agg(sum((col("wfp") * col("vc")).cast(DecimalType(38, 0))).as("rc"))
-          .localCheckpoint()
-        val mx = raw.agg(max(col("rc")).as("mc"))
-        state = raw.crossJoin(broadcast(mx))
+          .withColumn("mc", max(col("rc")).over(wAll))
           .select(col("i").as("node"), expr("(rc * 1000000) div mc").as("vc"))
+          .localCheckpoint()
       }
     }
     vW.join(state.select(col("node"), col("vc")), Seq("node"))
@@ -143,8 +153,12 @@ object SpectralDelta {
     val settled = e.filter(col("t") < cutUs)
     val delta = e.filter(col("t") >= cutUs)
 
-    // settled census: two readers (settled PMI arm + merged union)
-    val cs = Tables.swapPersist("q163_cs", CensusDelta.censusOf(settled))
+    // settled census: two readers (settled PMI arm + merged union).
+    // r16: localCheckpoint, not keyed persist — truncates the corpus
+    // lineage out of every census-grain downstream plan (see
+    // SpectralEmbed.ppmiMatOf); census-bounded, so the eager
+    // materialization is the same work the cache did lazily.
+    val cs = CensusDelta.censusOf(settled).localCheckpoint()
     val cd = CensusDelta.censusOf(delta)
     // the q154 straddle: user-grain frontier join, never lagging settled
     val cb = Frontier.straddleOf(settled, delta)
@@ -152,11 +166,12 @@ object SpectralDelta {
       .groupBy(least(col("s_item"), col("d_item")).as("a"),
         greatest(col("s_item"), col("d_item")).as("b"))
       .agg(count(lit(1)).as("w"))
-    // merged census persists: the backbone reads it twice (τ histogram +
-    // the filter)
-    val merged = Tables.swapPersist("q163_m",
-      cs.unionByName(cd).unionByName(cb)
-        .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w")))
+    // merged census materializes: the backbone reads it twice (τ
+    // histogram + the filter); checkpoint for the same lineage-
+    // truncation reason as cs
+    val merged = cs.unionByName(cd).unionByName(cb)
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+      .localCheckpoint()
 
     // yesterday's coordinates: the settled spectral fixed point over the
     // BACKBONED settled census. Two readers (warm v0 + final left join)

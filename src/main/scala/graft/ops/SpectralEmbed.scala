@@ -67,18 +67,28 @@ object SpectralEmbed {
   /** The persisted symmetric-PPMI + σ·I matrix of a pmi census (keyed so
     * q156/q159 don't collide under the concurrent bench). */
   private def ppmiMatOf(pmi: DataFrame, key: String): DataFrame = {
-    // persisted: the PMI layer upstream is census-grain but multi-stage —
-    // without this, sym's two arms re-execute it end to end
-    val pos = Tables.swapPersist(s"${key}_ppmi", pmi.filter(col("pmi") > 0)
+    // materialized: the PMI layer upstream is census-grain but
+    // multi-stage — without this, sym's two arms re-execute it end to
+    // end. r16 optimization (guide §3.3/§7.3): localCheckpoint instead
+    // of a keyed persist — a persisted frame caches DATA but its
+    // consumers still carry (and Catalyst re-optimizes, and the
+    // CacheManager re-canonicalizes) the full upstream logical plan on
+    // EVERY downstream action; the checkpoint truncates the lineage, so
+    // the Rounds round-actions plan against a flat RDD scan (measured on
+    // q163: the driver gap between jobs was ~2× the job time itself
+    // before truncation). Census-bounded frames only — the corpus-sized
+    // passes stay columnar-cached upstream.
+    val pos = pmi.filter(col("pmi") > 0)
       .select(col("a"), col("b"),
-        round(col("pmi") * lit(1000000.0), 0).cast("long").as("wfp")))
+        round(col("pmi") * lit(1000000.0), 0).cast("long").as("wfp"))
+      .localCheckpoint()
     val sym = pos.select(col("a").as("i"), col("b").as("j"), col("wfp"))
       .unionAll(pos.select(col("b").as("i"), col("a").as("j"), col("wfp")))
     val nodes = sym.select(col("i")).distinct()
-    // walk-census-bounded matrix: persists once, read Rounds times
-    Tables.swapPersist(s"${key}_mat",
-      sym.unionByName(nodes.select(col("i"), col("i").as("j"),
-        lit(Scale).as("wfp"))))
+    // walk-census-bounded matrix: materializes once, read Rounds times
+    sym.unionByName(nodes.select(col("i"), col("i").as("j"),
+        lit(Scale).as("wfp")))
+      .localCheckpoint()
   }
 
   /** The persisted symmetric-PPMI + σ·I matrix — q163's incremental
@@ -123,19 +133,28 @@ object SpectralEmbed {
 
   private def iterate(mat: DataFrame, v0: DataFrame,
                       rounds: Int): DataFrame = {
+    // r16 optimization (guide §2.4/§3.1): the round join used to read the
+    // checkpointed vector as a stats-less LogicalRDD, so Spark shuffled
+    // BOTH sides (matrix re-exchanged every round — at a 10⁷-entry matrix
+    // that is the whole iteration's shuffle volume); the vector is
+    // node-bounded (≤ vocab ≈ 10⁶ rows · 16 B), i.e. always the
+    // broadcastable side, so broadcast it explicitly and the matrix never
+    // moves (the standard distributed power-iteration layout: matrix
+    // partitioned, vector shipped). The max-normalization census used to
+    // be a separate broadcast-census BNLJ per round (2 actions/round);
+    // an empty-window max over the node-grain raw frame computes the
+    // identical (raw·10⁶) div max(raw) in the SAME single action — the
+    // q145 posture WalkPmi already uses for t_mass. One localCheckpoint
+    // per round (v, the only inter-round frame) keeps lineage bounded.
     var v = v0.localCheckpoint()
     for (_ <- 1 to rounds) {
-      // raw has TWO consumers (max census + division row) — it is the
-      // frame the doubled-pass rule checkpoints; v stays a lazy
-      // projection rooted AT the checkpoint (bounded depth, one
-      // checkpoint per round instead of two)
-      val raw = mat.join(v, mat("j") === v("node"))
+      v = mat.join(broadcast(v), mat("j") === v("node"))
         .groupBy(col("i"))
         .agg(sum((col("wfp") * col("v")).cast(DecimalType(38, 0))).as("raw"))
-        .localCheckpoint()
-      val m = raw.agg(max(col("raw")).as("m"))
-      v = raw.crossJoin(broadcast(m))
+        .withColumn("m", max(col("raw")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
         .select(col("i").as("node"), expr("(raw * 1000000) div m").as("v"))
+        .localCheckpoint()
     }
     v
   }
@@ -171,32 +190,46 @@ object SpectralEmbed {
   def spectralPairOf(pmi: DataFrame, key: String = "q159"): DataFrame = {
     val mat = ppmiMatOf(pmi, key)
     val v1 = dominantOf(mat).localCheckpoint()
-    val den = v1.agg(sum((col("v") * col("v")).cast(DecimalType(38, 0)))
-      .as("den"))
-    val matv = Tables.swapPersist(s"${key}_matv",
-      mat.join(v1.select(col("node").as("i"), col("v").as("v1i")), Seq("i")))
+    // r16 optimization: ⟨v1,v1⟩ is a CONSTANT of the loop — one 1-row
+    // fold over the checkpointed v1, collected once and inlined as a
+    // literal (the KmvSketch/Waterfill bounded-collect precedent). The
+    // old shape re-broadcast it as a census crossJoin every round: 4
+    // broadcast builds + 4 BNLJ plan nodes for one number.
+    val denBd = v1.agg(sum((col("v") * col("v")).cast(DecimalType(38, 0)))
+      .as("den")).head().getDecimal(0)
+    // r16: checkpoint — mat and v1 are both checkpoint-rooted, so this
+    // stays a flat census-grain materialization for the round joins
+    val matv = mat
+      .join(v1.select(col("node").as("i"), col("v").as("v1i")), Seq("i"))
+      .localCheckpoint()
     val h = graft.ext.TextOps.hexVal(
       "md5(concat('spec2|', CAST(node AS STRING)))", 1, duck = false)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     var u = v1.select(col("node"),
       expr(s"CAST($h % 2000001 - 1000000 AS BIGINT)").as("u"))
     for (_ <- 1 to Rounds) {
-      val w = matv.join(u.select(col("node").as("un"), col("u")),
+      // r16 optimization (guide §2.4/§3.1, the iterate pattern): u is
+      // node-bounded → broadcast into the round join (matv never
+      // re-shuffles); the ⟨v1,w⟩ and max|w'| censuses fold into the SAME
+      // action as empty-window sums over the node-grain aggregate (was:
+      // two more checkpoints + two broadcast censuses per round). One
+      // checkpoint per round (u) bounds lineage; arithmetic unchanged —
+      // num, qq, wp, and the division replay the exact integer steps.
+      u = matv.join(broadcast(u.select(col("node").as("un"), col("u"))),
           col("j") === col("un"))
         .groupBy(col("i"))
         .agg(sum((col("wfp") * col("u")).cast(DecimalType(38, 0))).as("w"),
           max(col("v1i")).as("v1i"))
-        .localCheckpoint()
-      val num = w.agg(sum(col("v1i").cast(DecimalType(38, 0)) * col("w"))
-        .as("num"))
-      val qf = num.crossJoin(den).select(expr("num div den").as("qq"))
-      val wp = w.crossJoin(broadcast(qf))
+        .withColumn("num", sum(col("v1i").cast(DecimalType(38, 0)) * col("w"))
+          .over(wAll))
+        .withColumn("den", lit(denBd).cast(DecimalType(38, 0)))
+        .withColumn("qq", expr("num div den"))
         .select(col("i"), col("v1i"),
           (col("w") - col("qq").cast(DecimalType(38, 0)) * col("v1i")).as("wp"))
-        .localCheckpoint()
-      val m = wp.agg(max(abs(col("wp"))).as("m"))
-      u = wp.crossJoin(broadcast(m))
+        .withColumn("m", max(abs(col("wp"))).over(wAll))
         .select(col("i").as("node"),
           expr("CASE WHEN m > 0 THEN (wp * 1000000) div m ELSE 0 END").as("u"))
+        .localCheckpoint()
     }
     v1.select(col("node"), col("v").as("v1fp"))
       .join(u.select(col("node"), col("u").as("v2fp")), Seq("node"))
@@ -205,8 +238,10 @@ object SpectralEmbed {
   // ---------------------------------------------------------------- q156
   def q156(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")
-    val pw = Tables.swapPersist("q156_pw",
-      Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev)))
+    // r16: checkpoint, not keyed persist — truncates the corpus lineage
+    // out of every census-grain downstream plan (ppmiMatOf note)
+    val pw = Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev))
+      .localCheckpoint()
     spectralOf(WalkPmi.pmiOf(
       WalkPairs.walkPairsOf(Backbone.backboneOf(pw), key = "q156"),
       key = "q156"))
@@ -254,8 +289,10 @@ object SpectralEmbed {
   // ---------------------------------------------------------------- q159
   def q159(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")
-    val pw = Tables.swapPersist("q159_pw",
-      Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev)))
+    // r16: checkpoint, not keyed persist — truncates the corpus lineage
+    // out of every census-grain downstream plan (ppmiMatOf note)
+    val pw = Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev))
+      .localCheckpoint()
     spectralPairOf(WalkPmi.pmiOf(
       WalkPairs.walkPairsOf(Backbone.backboneOf(pw), key = "q159"),
       key = "q159"))

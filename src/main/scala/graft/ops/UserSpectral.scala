@@ -75,8 +75,10 @@ object UserSpectral {
   // ---------------------------------------------------------------- q161
   def q161(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")
-    val pw = Tables.swapPersist("q161_pw",
-      Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev)))
+    // r16: checkpoint, not keyed persist — truncates the corpus lineage
+    // out of every census-grain downstream plan (SpectralEmbed.ppmiMatOf)
+    val pw = Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev))
+      .localCheckpoint()
     // checkpointed: truncates the spectral stack's lineage (its 1-row
     // census broadcasts) out of the corpus join's plan
     val coords = SpectralEmbed.spectralPairOf(

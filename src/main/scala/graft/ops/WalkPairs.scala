@@ -63,10 +63,11 @@ object WalkPairs {
         (row_number().over(wU.orderBy(col("v"))) - 1).as("rn"),
         count(lit(1)).over(wU).as("deg"))
     // Steps + 1 readers: every step join re-reads the ranked adjacency.
-    // `key` namespaces the persist per REGISTERED caller (q153…q162 +
-    // gates all run this): under the concurrent bench a shared key means
-    // cross-query eviction that silently pollutes contention timings.
-    val adjP = Tables.swapPersist(s"${key}_adj", adj)
+    // r16: localCheckpoint, not keyed persist — truncates the
+    // backbone/corpus lineage out of each step-join plan (the per-action
+    // re-optimization cost; see SpectralEmbed.ppmiMatOf), and the
+    // checkpointed RDD needs no cross-query eviction key.
+    val adjP = adj.localCheckpoint()
 
     var frontier = adjP.select(col("u").as("walk")).distinct()
       .withColumn("cur", col("walk"))
@@ -75,8 +76,14 @@ object WalkPairs {
       frontier.select(col("walk"), lit(0).as("step"), col("cur").as("node")))
     for (s <- 1 to Steps) {
       // each frontier has TWO consumers (next step + trajectory union) —
-      // the doubled-pass rule: localCheckpoint EVERY round
-      frontier = frontier.join(adjP, col("cur") === col("u"))
+      // the doubled-pass rule: localCheckpoint EVERY round.
+      // r16 optimization (guide §3.1): the frontier is node-bounded (one
+      // walker per backbone node), i.e. always the broadcastable side —
+      // but as a checkpointed LogicalRDD it carries no stats, so Spark
+      // planned a two-sided shuffle of the ranked adjacency EVERY step.
+      // Broadcast it explicitly: the adjacency never moves (the standard
+      // BFS-frontier layout), each step is one stage.
+      frontier = adjP.join(broadcast(frontier), col("cur") === col("u"))
         .filter(expr(s"rn = ${nextRank("CAST(walk AS STRING)", s, duck = false)}"))
         .select(col("walk"), col("v").as("cur"))
         .localCheckpoint()
@@ -96,8 +103,10 @@ object WalkPairs {
   // ---------------------------------------------------------------- q153
   def q153(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")
-    val pw = Tables.swapPersist("q153_pw",
-      Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev)))
+    // r16: checkpoint, not keyed persist — truncates the corpus lineage
+    // out of every census-grain downstream plan (SpectralEmbed.ppmiMatOf)
+    val pw = Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev))
+      .localCheckpoint()
     walkPairsOf(Backbone.backboneOf(pw))
   }
 

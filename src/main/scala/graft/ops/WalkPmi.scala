@@ -39,13 +39,21 @@ object WalkPmi {
     * namespaces the persist per registered caller (concurrent-bench
     * cross-query eviction otherwise). */
   def pmiOf(pairs: DataFrame, key: String = "q155"): DataFrame = {
-    val p = Tables.swapPersist(s"${key}_pairs", pairs)
+    // r16: localCheckpoint, not keyed persist — the pair census is
+    // census-bounded and its three readers (occupancy explode, T fold,
+    // final row) otherwise each re-plan the full upstream walk/backbone
+    // lineage per action (see SpectralEmbed.ppmiMatOf).
+    val p = pairs.localCheckpoint()
     val occ = p.select(col("a").as("x"), col("cnt"))
       .unionByName(p.select(col("b").as("x"), col("cnt")))
       .groupBy(col("x")).agg(sum(col("cnt")).as("occ"))
+    // r16 optimization (guide §3.1): occ is node-grain (strictly smaller
+    // than the pair census), so both occupancy attaches broadcast — the
+    // census itself never re-shuffles for them (it is already a single
+    // AQE-coalesced run out of the t_mass fold).
     p.withColumn("t_mass", sum(col("cnt")).over(Window.partitionBy()))
-      .join(occ.select(col("x").as("a"), col("occ").as("occ_a")), Seq("a"))
-      .join(occ.select(col("x").as("b"), col("occ").as("occ_b")), Seq("b"))
+      .join(broadcast(occ.select(col("x").as("a"), col("occ").as("occ_a"))), Seq("a"))
+      .join(broadcast(occ.select(col("x").as("b"), col("occ").as("occ_b"))), Seq("b"))
       .select(col("a"), col("b"), col("cnt"), col("occ_a"), col("occ_b"),
         col("t_mass"),
         round(log(col("cnt") * col("t_mass") / (col("occ_a") * col("occ_b"))), 6)
@@ -55,8 +63,10 @@ object WalkPmi {
   // ---------------------------------------------------------------- q155
   def q155(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")
-    val pw = Tables.swapPersist("q155_pw",
-      Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev)))
+    // r16: checkpoint, not keyed persist — truncates the corpus lineage
+    // out of every census-grain downstream plan (SpectralEmbed.ppmiMatOf)
+    val pw = Triangles.weightedItemGraphOf(ev, Tables.tsMicros(ev))
+      .localCheckpoint()
     pmiOf(WalkPairs.walkPairsOf(Backbone.backboneOf(pw), key = "q155"))
   }
 

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 import scala.collection.concurrent.TrieMap
@@ -31,6 +31,10 @@ object JobProfile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "2m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -38,6 +42,8 @@ object JobProfile {
       sys.error(s"unknown query: $name (have ${graft.oracle.Registry.all.size})"))
 
     val jobs = TrieMap.empty[Int, JobRec]
+    // stageId -> (name, numTasks, wallMs, execRunMs, shuffleBytes)
+    val stages = TrieMap.empty[Int, (String, Int, Long, Long, Long)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         // callSite is not in job properties for SQL-driven jobs; the stage
@@ -49,6 +55,15 @@ object JobProfile {
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.get(e.jobId).foreach(_.endMs = e.time)
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val wall = (for (a <- si.completionTime; b <- si.submissionTime) yield a - b).getOrElse(-1L)
+        stages.put(si.stageId,
+          (si.name.takeWhile(_ != '\n'), si.numTasks, wall,
+            si.taskMetrics.executorRunTime,
+            si.taskMetrics.shuffleWriteMetrics.bytesWritten +
+              si.taskMetrics.shuffleReadMetrics.totalBytesRead))
+      }
     })
 
     // warmup at sf0.001 (JIT/codegen), like Bench
@@ -58,15 +73,19 @@ object JobProfile {
 
     var best = Double.MaxValue
     var bestJobs: Seq[JobRec] = Seq.empty
+    var bestStages: Seq[(Int, (String, Int, Long, Long, Long))] = Seq.empty
     for (r <- 1 to reps) {
-      jobs.clear()
+      jobs.clear(); stages.clear()
       val t0 = System.nanoTime()
       q.run(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       graft.oracle.Tables.releasePersisted()
       spark.catalog.clearCache()
-      println(f"[profile] rep $r: $sec%.3f s, ${jobs.size} jobs")
-      if (sec < best) { best = sec; bestJobs = jobs.values.toSeq.sortBy(_.startMs) }
+      println(f"[profile] rep $r: $sec%.3f s, ${jobs.size} jobs, ${stages.size} stages")
+      if (sec < best) {
+        best = sec; bestJobs = jobs.values.toSeq.sortBy(_.startMs)
+        bestStages = stages.toSeq.sortBy(_._1)
+      }
     }
 
     println(f"[profile] $name best=$best%.3f s over $reps reps, ${bestJobs.size} jobs")
@@ -84,6 +103,21 @@ object JobProfile {
     bySite.foreach { case (s, sec, n) => println(f"[rollup] ${sec}%8.3f s  n=$n%3d  $s") }
     val jobSum = bestJobs.map(j => (j.endMs - j.startMs) / 1e3).sum
     println(f"[rollup] job time sum ${jobSum}%.3f s vs wall $best%.3f s (driver/planning gap ${best - jobSum}%.3f s)")
+    // stage rollup: where task time concentrates, by stage-name callsite
+    val byStage = bestStages.groupBy(_._2._1).map { case (nm, ss) =>
+      (nm, ss.map(_._2._3).sum / 1e3, ss.map(_._2._4).sum / 1e3,
+        ss.map(_._2._2).sum, ss.size, ss.map(_._2._5).sum)
+    }.toSeq.sortBy(-_._2)
+    println("[stages] wall-s execRun-s tasks nStages shuffleBytes  name")
+    byStage.take(30).foreach { case (nm, w, rt, t, n, b) =>
+      println(f"[stages] $w%8.3f $rt%8.3f $t%6d $n%4d $b%12d  $nm")
+    }
+    val stSum = bestStages.map(_._2._3).sum / 1e3
+    println(f"[stages] stage wall sum $stSum%.3f s, total tasks ${bestStages.map(_._2._2).sum}")
+    println("[stage1] top individual stages by execRunTime: id wall-s execRun-s tasks shufB")
+    bestStages.sortBy(-_._2._4).take(25).foreach { case (id, (nm, t, w, rt, b)) =>
+      println(f"[stage1] $id%5d ${w / 1e3}%8.3f ${rt / 1e3}%8.3f $t%6d $b%10d  $nm")
+    }
     spark.stop()
   }
 }

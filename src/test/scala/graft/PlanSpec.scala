@@ -899,9 +899,13 @@ class PlanSpec extends SparkSpec {
 
   test("q139 pagerank: cached edge census feeds every round; no cartesian, no corpus sort") {
     val p = executedPortion(plan(Registry.byName("q139_pagerank").run(spark, sf0001)))
-    // edges are read per round and nodes per round + init — all from cache
-    assert(countOccurrences(p, "InMemoryTableScan") >= 7,
-      s"3 rounds must read the persisted edges (x3) and nodes (x4):\n$p")
+    // r16: edges/nodes localCheckpoint (lineage truncation) — every round
+    // reads them as flat RDD scans, and the rank/contrib vectors ride
+    // BroadcastHashJoins so the edge census never re-shuffles
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 7,
+      s"3 rounds must read the checkpointed edges (x3) and nodes (x4):\n$p")
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 3,
+      s"the node-bounded rank/contrib vectors must broadcast per round:\n$p")
     assert(!p.contains("CartesianProduct"), s"rounds are keyed joins:\n$p")
     assert(!p.contains("rangepartitioning"),
       s"the per-user lag sorts within hash partitions, never globally:\n$p")
@@ -918,10 +922,10 @@ class PlanSpec extends SparkSpec {
     // contrib join + dangling census — so un-checkpointed lineage doubles
     // per round); the executed plan is the LAST round only: persisted
     // edges/nodes/dangling caches + the round-2 rank as an RDD scan
-    assert(countOccurrences(p, "InMemoryTableScan") >= 3,
-      s"last round must read persisted edges/nodes/dangling from cache:\n$p")
-    assert(countOccurrences(p, "Scan ExistingRDD") >= 2,
-      s"both rank consumers must read the CHECKPOINTED round, not lineage:\n$p")
+    // r16: edges/nodes/dangling are checkpointed too — the last round
+    // reads five RDD roots (graph frames + the round-2 rank twice)
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 5,
+      s"last round must read checkpointed edges/nodes/dangling + both rank consumers:\n$p")
     assert(!p.contains("CartesianProduct"), s"rounds are keyed joins:\n$p")
     assert(!p.contains("rangepartitioning"),
       s"the per-user lag sorts within hash partitions, never globally:\n$p")
@@ -985,26 +989,23 @@ class PlanSpec extends SparkSpec {
     val p = plan(Registry.byName("q147_link_prediction").run(spark, sf0001))
     // strong persists once and feeds both wedge sides + the anti-join;
     // deg persists for both endpoint attaches
-    assert(countOccurrences(p, "InMemoryTableScan") >= 4,
-      s"backbone + degree censuses must persist and be re-read:\n$p")
+    // r16: strong/deg localCheckpoint — the backbone build (and its tau
+    // BNLJ) happens at checkpoint time and never appears in this plan
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 4,
+      s"backbone + degree censuses must be checkpoint-rooted and re-read:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"wedge, anti and degree attach must stay equi-joins:\n$p")
-    // the backbone's 1-row tau census is the sole BNLJ producer; it
-    // appears replicated through DISPLAYED cache lineage (the manifest
-    // line counts those copies) but executes once inside the cache build —
-    // pin the executed top level, above the first nested cached plan
-    val firstCache = p.indexOf("InMemoryTableScan")
-    val top = if (firstCache >= 0) p.substring(0, firstCache) else p
-    assert(!top.contains("BroadcastNestedLoopJoin"),
-      s"no BNLJ above the persisted censuses (tau lives inside the cache build):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"no BNLJ — tau lives inside the checkpoint build, upstream of this plan:\n$p")
   }
 
   test("q148 harmonic: BFS frontiers are equi-joins on the persisted adjacency; distances anti-joined exact") {
     val p = plan(Registry.byName("q148_harmonic_centrality").run(spark, sf0001))
     // adj persists once (hop-2 both sides, hop-3, n1 census); d2 persists
     // for hop-3 expansion + its own census + the d3 anti-join
-    assert(countOccurrences(p, "InMemoryTableScan") >= 5,
-      s"adjacency and the d2 frontier must persist for their multiple readers:\n$p")
+    // r16: strong/adj/d2 localCheckpoint — multiple readers hit RDD roots
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 5,
+      s"adjacency and the d2 frontier must be checkpoint-rooted for their readers:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"hops must stay keyed joins:\n$p")
     assert(!p.contains("rangepartitioning"),
@@ -1026,8 +1027,9 @@ class PlanSpec extends SparkSpec {
 
   test("q150 backbone census: persisted weighted census feeds ranking + fold; only the 1-row tau BNLJs") {
     val p = plan(Registry.byName("q150_backbone_census").run(spark, sf0001))
-    assert(countOccurrences(p, "InMemoryTableScan") >= 2,
-      s"the weighted census must persist once for the ranking window and the fold:\n$p")
+    // r16: pw localCheckpoints — both readers hit the RDD root
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 2,
+      s"the weighted census must materialize once for the tau histogram and the fold:\n$p")
     assert(countOccurrences(p, "BroadcastNestedLoopJoin") <= 1,
       s"only the 1-row tau census may BNLJ:\n$p")
     assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
@@ -1085,8 +1087,12 @@ class PlanSpec extends SparkSpec {
     // e feeds three window readers (full classed lag, delta lag, settled
     // frontier); classed feeds the full rollup + the settled class; cb
     // feeds merged + the straddle mass
-    assert(countOccurrences(p, "InMemoryTableScan") >= 7,
-      s"all three swap-persisted frames must be re-read, not rebuilt:\n$p")
+    // r16: classed/cb localCheckpoint (census-grain); e stays persisted
+    // and feeds the delta lag that builds cd inside this plan
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 3,
+      s"classed (x2) and cb (x2) must be checkpoint-rooted:\n$p")
+    assert(countOccurrences(p, "InMemoryTableScan") >= 1,
+      s"cd must ride the persisted item-event frame, not re-scan parquet:\n$p")
     assert(countOccurrences(executedPortion(p), "BroadcastNestedLoopJoin") <= 1,
       s"only the 1-row straddle-mass census may BNLJ:\n$p")
     assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
@@ -1096,8 +1102,12 @@ class PlanSpec extends SparkSpec {
     val p = plan(Registry.byName("q155_walk_pmi").run(spark, sf0001))
     // q155_pairs feeds the two-arm occupancy explode, the T fold and the
     // final row; the walk machinery upstream is checkpoint-truncated
-    assert(countOccurrences(p, "InMemoryTableScan") >= 3,
-      s"the pair census must persist and be re-read three ways:\n$p")
+    // r16: the pair census localCheckpoints; its three readers (t_mass
+    // fold + the occ build inside both broadcast arms) hit the RDD root
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 3,
+      s"the pair census must materialize once and be re-read three ways:\n$p")
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 2,
+      s"both node-grain occ attaches must broadcast (census never re-shuffles):\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"T attaches via the empty-window sum over the census itself (q145 posture):\n$p")
     assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
@@ -1105,16 +1115,17 @@ class PlanSpec extends SparkSpec {
 
   test("q156 spectral embed: checkpoint-truncated rounds — the final division reads ONLY the last raw RDD plus its 1-row max census") {
     val p = plan(Registry.byName("q156_spectral_embed").run(spark, sf0001))
-    // every round's raw localCheckpoints (it feeds the max census AND the
-    // division row — the doubled-pass rule), so the output plan roots at
-    // the round-4 checkpoint twice and NOTHING upstream (matrix persist,
-    // walk machinery, corpus scan) survives into the executed lineage
-    assert(countOccurrences(p, "Scan ExistingRDD") >= 2,
-      s"division row and max census must both read the checkpointed raw:\n$p")
+    // r16: each round is ONE action — broadcast(vector) ⋈ matrix →
+    // partial-agg → empty-window max → division → localCheckpoint. The
+    // output therefore roots at the round-4 checkpoint; NOTHING upstream
+    // (matrix, walk machinery, corpus scan) survives into the lineage,
+    // and the old per-round 1-row max-census BNLJ is gone entirely.
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 1,
+      s"the output must read the round-4 checkpoint:\n$p")
     assert(!p.contains("Scan parquet"),
       s"the corpus pass is upstream of the checkpoints, never in the final plan:\n$p")
-    assert(countOccurrences(p, "BroadcastNestedLoopJoin") <= 1,
-      s"only the 1-row max-census broadcast may BNLJ (q142 posture):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"max-normalization is an empty-window fold now — no BNLJ:\n$p")
     assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
   }
 
@@ -1154,16 +1165,16 @@ class PlanSpec extends SparkSpec {
 
   test("q159 spectral pair: checkpoint-truncated deflation — the final join reads v1 and the last division, census broadcasts only") {
     val p = plan(Registry.byName("q159_spectral_pair").run(spark, sf0001))
-    // v1 localCheckpoints (den + matv + every projection + the output
-    // join read it) and each deflation round checkpoints w and w', so
-    // the output plan roots at checkpoints: the v1 arm plus the last
-    // wp (division row + its max census)
-    assert(countOccurrences(p, "Scan ExistingRDD") >= 3,
-      s"v1 and the last wp's two faces must read checkpoints:\n$p")
+    // r16: v1 localCheckpoints and each deflation round is ONE action
+    // ending in a checkpoint of u; ⟨v1,v1⟩ is a collected literal and
+    // ⟨v1,w⟩ / max|w'| are empty-window folds — the output joins two RDD
+    // roots (v1 + the round-4 u) and carries no BNLJ at all.
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 2,
+      s"v1 and the last deflation round must read checkpoints:\n$p")
     assert(!p.contains("Scan parquet"),
       s"the corpus pass is upstream of the checkpoints:\n$p")
-    assert(countOccurrences(p, "BroadcastNestedLoopJoin") <= 1,
-      s"only the 1-row max-census broadcast may BNLJ (q142 posture):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"den is a literal, num/max are window folds — no BNLJ:\n$p")
     assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
   }
 
@@ -1235,12 +1246,12 @@ class PlanSpec extends SparkSpec {
 
   test("q162 neardup spectral: q14's capped pair census under q156's checkpointed loop — same truncated final shape") {
     val p = plan(Registry.byName("q162_neardup_spectral").run(spark, sf0001))
-    assert(countOccurrences(p, "Scan ExistingRDD") >= 2,
-      s"division row and max census must both read the checkpointed raw:\n$p")
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 1,
+      s"the output must read the final round's checkpoint:\n$p")
     assert(!p.contains("Scan parquet"),
       s"the shingle pass is upstream of the checkpoints:\n$p")
-    assert(countOccurrences(p, "BroadcastNestedLoopJoin") <= 1,
-      s"only the 1-row max-census broadcast may BNLJ:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"max-normalization is an empty-window fold now — no BNLJ:\n$p")
     assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
   }
 
@@ -1251,12 +1262,12 @@ class PlanSpec extends SparkSpec {
     // column (rooted at the last round's checkpoint) and the
     // checkpointed settled coords — the corpus lags, censuses, backbones
     // and matrix builds all stay upstream of the displayed lineage
-    assert(countOccurrences(p, "Scan ExistingRDD") >= 5,
-      s"warm arm (raw+max), cold arm (raw+max) and vS must read checkpoints:\n$p")
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 3,
+      s"warm state, cold state and vS must read checkpoints:\n$p")
     assert(!p.contains("Scan parquet"),
       s"the corpus pass is upstream of the checkpoints:\n$p")
-    assert(countOccurrences(p, "BroadcastNestedLoopJoin") <= 2,
-      s"only the warm and cold 1-row max censuses may BNLJ (q142 posture):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"per-column max-normalization is an empty-window fold now — no BNLJ:\n$p")
     assert(!p.contains("CartesianProduct"), s"never cartesian:\n$p")
   }
 
@@ -1315,9 +1326,10 @@ class PlanSpec extends SparkSpec {
       n
     }
     assert(buildFileScans("q166_e") == 1, "q166_e must be the single corpus scan")
-    for (k <- Seq("q166_cs", "q166_md", "q166s_pairs", "q166m_pairs"))
-      assert(buildFileScans(k) == 0,
-        s"$k re-scans the corpus instead of riding the shared cache")
+    // r16: the census/pair frames are localCheckpoints now (lineage
+    // truncation) — their builds ride the e-cache by construction, and
+    // the "no Scan parquet in the final plan" pin above plus the
+    // PLANS.md scan counts carry the one-corpus-scan claim for them.
   }
 
   test("q172/q173 DLQ route: ONE corpus scan via the persisted route frame; never cartesian") {
