@@ -34,10 +34,16 @@ object Components {
     // q14's shingle -> inverted-index -> verify chain, the most expensive
     // subtree in the query). Materialize it once; it is the (small) output
     // of near-dup detection, not the corpus.
+    // r16: localCheckpoint, not cache — the edge list is the (small)
+    // output of near-dup detection, and the checkpoint ALSO truncates the
+    // expensive upstream pair derivation (q14's shingle → inverted-index
+    // → verify chain) out of every round's plan, where the cache left it
+    // for the driver to re-optimize per convergence count (see
+    // SpectralEmbed.ppmiMatOf).
     val bi = pairs.select(col(a).as("x"), col(b).as("y"))
       .union(pairs.select(col(b).as("x"), col(a).as("y")))
       .distinct()
-      .cache()
+      .localCheckpoint()
     // Round 1 fused into initialization: label(v) = min(v, neighbors(v)) is
     // one aggregation over the edge list — a full propagation round for the
     // price of the vertex-derivation scan the old self-label seed paid
@@ -59,9 +65,12 @@ object Components {
       // convergence count needs no second join against the prior frame.
       // Inner join is total: every labeled v appears as bi.x with >= 1
       // neighbor by construction.
-      val nbrMin = bi.join(labels.select(col("v").as("y"), col("lbl").as("nl")), "y")
+      // r16 (guide §3.1): labels and nbrMin are vertex-bounded — broadcast
+      // both sides' vectors so the edge list never re-shuffles per round
+      // (the cached round frames carry no stats, so Spark planned SMJ).
+      val nbrMin = bi.join(broadcast(labels.select(col("v").as("y"), col("lbl").as("nl"))), "y")
         .groupBy(col("x").as("v")).agg(min(col("nl")).as("nl"))
-      val steppedRaw = labels.join(nbrMin, "v")
+      val steppedRaw = labels.join(broadcast(nbrMin), "v")
         .select(col("v"), least(col("lbl"), col("nl")).as("lbl"), col("lbl").as("prev"))
       // Every 5th round, localCheckpoint instead of cache: the label frame
       // is tiny (one row per near-dup vertex) but its LOGICAL plan nests

@@ -63,7 +63,10 @@ object LateRepair {
     // affected users' settled history — the ONLY settled rows the
     // repair touches; two readers (old census + spliced census)
     val au = late.select(col("user_id")).distinct()
-    val eAu = Tables.swapPersist(s"${key}_eau", settled.join(au, Seq("user_id")))
+    // r16: checkpoint, not keyed persist — |affected-users|-bounded, and
+    // the truncation keeps the two census lags planning against a flat
+    // RDD (see SpectralEmbed.ppmiMatOf)
+    val eAu = settled.join(au, Seq("user_id")).localCheckpoint()
 
     val oldAu = PageRankDelta.directedCensusOf(eAu)
     val newAu = PageRankDelta.directedCensusOf(eAu.unionByName(late))

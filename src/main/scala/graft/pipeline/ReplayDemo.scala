@@ -36,6 +36,20 @@ object ReplayDemo {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+    // r16 optimization (guide §2.2, parameterised per the brief's rule):
+    // the stateful streaming queries pin their state-store count to the
+    // session's shuffle partitions at first checkpoint; at the session
+    // default (=cpu count) every micro-batch of the ~10-chunk replay pays
+    // that many state-store open/commit cycles per query — fixed cost at
+    // demo scale. Local default 8; production sizes
+    // SPARK_GRAFT_GATE_PARTITIONS to keyed-state volume. Alert counts are
+    // deterministic either way (the replay's record stays 152).
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.getOption(partKey)
+    spark.conf.set(partKey,
+      sys.env.getOrElse("SPARK_GRAFT_GATE_PARTITIONS", "8"))
+    try {
+
     val base = 1767680040L // minute-aligned virtual clock
     val logsDf = LogGenerator.logs(spark, base, seconds).as[RawLog].cache()
     val nLogs = logsDf.count()
@@ -118,6 +132,12 @@ object ReplayDemo {
       s"$nDecoded decoded, key sample=${wire.select("key").head.getString(0)}")
     logsDf.unpersist(); esc.unpersist()
     ReplayCounts(nLogs, spikeAlerts.count(), breachAlerts.count(), nEsc, nDecoded)
+    } finally {
+      prevParts match {
+        case Some(v) => spark.conf.set(partKey, v)
+        case None => spark.conf.unset(partKey)
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -68,6 +68,21 @@ object GateReplay {
     val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // r16 optimization (guide §2.2, scale-dependent setting parameterised
+    // per the brief's rule): the stateful operator's shuffle-partition
+    // count fixes the RocksDB state-store count for the stream's
+    // lifetime; at the session default (=cpu count) every micro-batch
+    // pays that many state-store task open/commit cycles for ~10k events
+    // — pure fixed cost at fixture scale. Local default 8 keeps real
+    // parallelism; production sizes SPARK_GRAFT_GATE_PARTITIONS to the
+    // expected keyed-state volume (the count is pinned at the first
+    // checkpoint, so it is a deployment choice, not a hot knob). Work is
+    // unchanged — Bench asserts the lane counts are byte-identical
+    // across runs either way.
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.getOption(partKey)
+    spark.conf.set(partKey,
+      sys.env.getOrElse("SPARK_GRAFT_GATE_PARTITIONS", "8"))
 
     val transitions = new java.util.concurrent.atomic.AtomicLong()
     val late = new java.util.concurrent.atomic.AtomicLong()
@@ -95,6 +110,10 @@ object GateReplay {
       prevProvider match {
         case Some(v) => spark.conf.set(providerKey, v)
         case None => spark.conf.unset(providerKey)
+      }
+      prevParts match {
+        case Some(v) => spark.conf.set(partKey, v)
+        case None => spark.conf.unset(partKey)
       }
     }
     GateCounts(nEvents, transitions.get(), late.get(),
