@@ -75,7 +75,16 @@ object BpeEncode {
     * frame is vocab-grain throughout; each round costs one vocab pass +
     * one 1-row collect. */
   def fit(docs: DataFrame, rounds: Int = MergeRounds): (Seq[Merge], DataFrame) = {
-    var v = vocabOf(docs).localCheckpoint()
+    // r17 (guide §1.2/§7.3): LAZY localCheckpoints — the loop is
+    // inherently one census collect per merge (BPE training is
+    // sequential), but the per-round EAGER checkpoint was a second full
+    // vocab-pass job per round just to persist the replace's output.
+    // Marked lazy, round k's census collect materializes v_k's blocks as
+    // a side effect of the same job (the census is a full per-partition
+    // top-k pass, so every partition computes), and the lineage truncates
+    // right after — jobs per merge drop from 2 to 1 with the identical
+    // plan depth per job.
+    var v = vocabOf(docs).localCheckpoint(false)
     val merges = Seq.newBuilder[Merge]
     var exhausted = false
     (1 to rounds).foreach { k =>
@@ -87,7 +96,7 @@ object BpeEncode {
           merges += Merge(k, a, b, top(0).getLong(1))
           v = v.withColumn("ts",
               replace(col("ts"), lit(s"$Sep$a$Sep$Sep$b$Sep"), lit(s"$Sep$a$b$Sep")))
-            .localCheckpoint()
+            .localCheckpoint(false)
         }
       }
     }
@@ -162,7 +171,9 @@ object BpeEncode {
     * ratio), vs [[fit]]'s per-merge census. A 30k-merge budget rides
     * ~30000/|batch| sweeps. */
   def fitBatched(docs: DataFrame, sweeps: Int = BatchSweeps, cap: Int = SweepCap): (Seq[BatchMerge], DataFrame) = {
-    var v = vocabOf(docs).localCheckpoint()
+    // lazy checkpoints — materialized by each sweep's census collect in
+    // the same job (see [[fit]]'s r17 note): 1 job per sweep, not 2
+    var v = vocabOf(docs).localCheckpoint(false)
     val merges = Seq.newBuilder[BatchMerge]
     var exhausted = false
     (1 to sweeps).foreach { s =>
@@ -186,7 +197,7 @@ object BpeEncode {
           val applied = sel.foldLeft(col("ts")) { case (acc, (a, b, _)) =>
             replace(acc, lit(s"$Sep$a$Sep$Sep$b$Sep"), lit(s"$Sep$a$b$Sep"))
           }
-          v = v.withColumn("ts", applied).localCheckpoint()
+          v = v.withColumn("ts", applied).localCheckpoint(false)
         }
       }
     }

@@ -93,20 +93,28 @@ object KMeans {
     * stats rollup and q53's SemDeDup assignment so the fixed point
     * cannot drift between them.
     *
-    * `checkpointEvery` additionally truncates the centroid frame's
-    * lineage every N rounds mid-loop; without it the logical plan nests
-    * one join+agg per round and planner cost grows superlinearly in
-    * `iters`. */
+    * `checkpointEvery` truncates the centroid frame's lineage every N
+    * rounds mid-loop. r17 (guide §1.2 "the distributed algorithm",
+    * §7.3): the default is EVERY round, not every 5th — each round's
+    * plan references the previous centroids TWICE (the broadcast
+    * assignment row AND the empty-cluster coalesce's prev side), so an
+    * un-checkpointed round's corpus-pass subtree executes twice in the
+    * next round (and 2^r times r rounds later — the q142 doubling).
+    * JobProfile measured fit(iters=2) at THREE corpus passes instead of
+    * two before the change; the checkpoint itself is a k-row job. */
   private[graft] def fit(pts: DataFrame, k: Int, iters: Int,
-                         checkpointEvery: Int = 5): DataFrame =
+                         checkpointEvery: Int = 1): DataFrame =
     // Seed by RANK, not by value: orderBy+limit takes the k smallest ids
     // whatever the id space looks like (sparse / offset frames included) —
     // a `vec_id < k` filter on a sparse frame yields fewer than k seeds.
     // TakeOrderedAndProject keeps this a k-row driver-side top-k, never a
-    // full sort of the corpus.
+    // full sort of the corpus. Checkpointed (k rows): round 1 references
+    // the seed twice (broadcast row + prev side), and each reference is
+    // otherwise a full per-partition top-k pass over `pts`.
     fitFrom(pts,
       pts.orderBy(col("vec_id")).limit(k)
-        .select(col("vec_id").cast("int").as("cid"), col("q").as("cvec")),
+        .select(col("vec_id").cast("int").as("cid"), col("q").as("cvec"))
+        .localCheckpoint(),
       iters, checkpointEvery)
 
   /** The Lloyd loop from an EXPLICIT starting centroid frame — the
@@ -115,10 +123,11 @@ object KMeans {
     * body is shared with [[fit]] (cold ≡ fitFrom(pts, rank-seed, iters)
     * by construction). */
   private[graft] def fitFrom(pts: DataFrame, start: DataFrame, iters: Int,
-                             checkpointEvery: Int = 5): DataFrame = {
+                             checkpointEvery: Int = 1): DataFrame = {
     var cents = start
     for (i <- 0 until iters) {
       cents = update(assign(pts, cents), cents)
+      // every round by default — see [[fit]]'s doubling note
       if ((i + 1) % checkpointEvery == 0 && i + 1 < iters)
         cents = cents.localCheckpoint()
     }
@@ -167,10 +176,13 @@ object KMeans {
     * it — every round reads it). */
   private[graft] def fitSub(pts: DataFrame, sub: DataFrame, m: Int,
                             subDim: Int, k: Int, iters: Int,
-                            checkpointEvery: Int = 5): DataFrame = {
+                            checkpointEvery: Int = 1): DataFrame = {
     val seeds = pts.orderBy(col("vec_id")).limit(k)
     var cents = subExplode(seeds, m, subDim)
       .select(col("s"), col("vec_id").cast("int").as("cid"), col("qs").as("cvec"))
+      // m·k rows; round 1 otherwise re-runs the corpus top-k twice — see
+      // [[fit]]'s doubling note
+      .localCheckpoint()
     for (i <- 0 until iters) {
       val sums = assignSub(sub, cents)
         .select(col("s"), col("cid"), posexplode(col("qs")).as(Seq("d", "v")))
@@ -183,10 +195,10 @@ object KMeans {
           sums.withColumnRenamed("s", "ns").withColumnRenamed("cid", "ncid"),
           col("s") === col("ns") && col("cid") === col("ncid"), "left")
         .select(col("s"), col("cid"), coalesce(col("ncvec"), col("cvec")).as("cvec"))
-      // same mid-loop lineage truncation as [[fit]]: one join+agg nests
-      // per round, so planner cost grows superlinearly in `iters` without
-      // a periodic cut (current callers use iters=2; this keeps the
-      // kernel safe for the deep-refinement fits that don't exist yet)
+      // every round by default — the previous centroids feed both the
+      // broadcast assignment row and the coalesce's prev side, so an
+      // un-checkpointed round's subspace-corpus pass would execute twice
+      // in the next round (see [[fit]]'s doubling note)
       if ((i + 1) % checkpointEvery == 0 && i + 1 < iters)
         cents = cents.localCheckpoint()
     }
