@@ -49,12 +49,22 @@ object CurationOps {
     * collected anywhere). */
   def decontaminationAgainst(trainDocs: DataFrame, benchDocs: DataFrame,
                              minShareNum: Int = 1, minShareDen: Int = 2,
-                             broadcastVocab: Boolean = true): DataFrame = {
+                             broadcastVocab: Boolean = true): DataFrame =
+    decontaminationAgainstInstances(TextOps.shingleInstances(trainDocs),
+      benchDocs, minShareNum, minShareDen, broadcastVocab)
+
+  /** [[decontaminationAgainst]] over a pre-computed TRAIN
+    * [[TextOps.shingleInstances]] frame — shares one persisted shingle
+    * pass with the pair machinery in composed DAGs (see
+    * TextOps.shingleInstances). The bench side still shingles its own
+    * (eval-sized) docs. */
+  def decontaminationAgainstInstances(trainSi: DataFrame, benchDocs: DataFrame,
+                                      minShareNum: Int = 1, minShareDen: Int = 2,
+                                      broadcastVocab: Boolean = true): DataFrame = {
     val bench = TextOps.shingleArr(benchDocs, distinct = true)
       .select(explode(col("sarr")).as("s")).distinct()
-    TextOps.shingleArr(trainDocs, distinct = true)
-      .select(col("doc_id"), size(col("sarr")).cast("long").as("n_shingles"),
-        explode(col("sarr")).as("s"))
+    trainSi
+      .select(col("doc_id"), col("n").cast("long").as("n_shingles"), col("s"))
       .join(if (broadcastVocab) broadcast(bench) else bench, "s")
       .groupBy(col("doc_id"), col("n_shingles"))
       .agg(count(lit(1)).as("n_overlap"))

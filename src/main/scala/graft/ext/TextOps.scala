@@ -326,15 +326,38 @@ object TextOps {
     ngramJaccardOf(Tables.table(spark, sfDir, "documents"), dfCap)
 
   /** General form over any (doc_id, text) frame. */
-  def ngramJaccardOf(docs: DataFrame, dfCap: Int = DefaultDfCap): DataFrame = {
+  def ngramJaccardOf(docs: DataFrame, dfCap: Int = DefaultDfCap): DataFrame =
+    ngramJaccardOfInstances(shingleInstances(docs), dfCap)
+
+  /** Exploded distinct shingle instances (doc_id, n, s) — the shared
+    * materialization grain for composed DAGs (r17, guide §1.2 "don't
+    * compute things twice"): q52 runs BOTH the near-dup pair machinery
+    * and benchmark decontamination over the same train corpus, and each
+    * was shingling it independently — word_ngrams is the dominant map
+    * expression, so the composed DAG paid the corpus's heaviest
+    * projection twice. The caller persists ONE instance pass and feeds
+    * both consumers; scalar string columns, so the columnar cache build
+    * stays cheap (an array<string> cache build measured slower than the
+    * second shingling pass it saved). */
+  def shingleInstances(docs: DataFrame): DataFrame =
+    instancesOfArr(shingleArr(docs, distinct = true))
+
+  /** The instance explode of a (doc_id, sarr) frame — split out so a
+    * composed DAG can materialize the ARR grain (one row per doc, the
+    * cheapest-to-store shape: measured 4.3 s vs 5.1 s for a cached
+    * instance grain on q52) and explode per consumer. */
+  def instancesOfArr(sharr: DataFrame): DataFrame =
+    sharr.select(col("doc_id"), size(col("sarr")).as("n"), explode(col("sarr")).as("s"))
+
+  /** [[ngramJaccardOf]] over a pre-computed [[shingleInstances]] frame. */
+  def ngramJaccardOfInstances(si: DataFrame, dfCap: Int = DefaultDfCap): DataFrame = {
     // Inverted-index formulation, join-free: group shingle instances into
     // posting lists, emit ordered doc pairs per list in-row, count pair
     // multiplicity = intersection size. Exactly two shuffles total (by
     // shingle, then by pair) versus the naive self-join's four (two join
     // inputs + pair agg + count join); per-doc set sizes travel inside the
     // posting rows so no count table is ever joined back.
-    shingleArr(docs, distinct = true)
-      .select(col("doc_id"), size(col("sarr")).as("n"), explode(col("sarr")).as("s"))
+    si
       .groupBy(col("s"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
       .filter(size(col("ids")).between(2, dfCap))

@@ -71,11 +71,27 @@ object CurationPipeline {
     // AQE reuses the exchange across the co-keyed joins).
     val surp = CurationOps.surprisalScoreOf(train.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("flagged").as("surp_flagged"))
-    val contam = CurationOps.decontaminationAgainst(train, bench)
+    // r17 (guide §1.2): decontamination and the near-dup pair machinery
+    // both shingle the SAME train corpus — word_ngrams is the dominant
+    // map expression, so the DAG paid its heaviest projection twice. ONE
+    // shingle pass now feeds both consumers, materialized at the ARR
+    // grain (one row per doc) via a LAZY localCheckpoint: the CC edge
+    // list's eager checkpoint materializes it in the same jobs, and the
+    // measured alternatives lose — keyed columnar persist of the arrays
+    // 6.0 s, of the exploded instances 5.1 s, this shape 4.3 s (the
+    // array<string> columnar encode costs more than the second shingle
+    // pass it saves; UnsafeRow checkpoint blocks don't). Trade, stated:
+    // checkpoint blocks are executor-local (fine on local[*]; a cluster
+    // deployment that needs executor-loss recovery for this corpus-grain
+    // frame should swap the checkpoint for the keyed persist) and are
+    // released on GC rather than by Tables.releasePersisted.
+    val si = TextOps.instancesOfArr(
+      TextOps.shingleArr(train, distinct = true).localCheckpoint(false))
+    val contam = CurationOps.decontaminationAgainstInstances(si, bench)
       .select(col("doc_id"), lit(1).as("contaminated"))
     val split = Components.leakageFreeSplit(
         train.select(col("doc_id")),
-        TextOps.ngramJaccardOf(train).select(col("doc_a"), col("doc_b")))
+        TextOps.ngramJaccardOfInstances(si).select(col("doc_a"), col("doc_b")))
       .select(col("doc_id"), col("split"))
 
     perDoc
