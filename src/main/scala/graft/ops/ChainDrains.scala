@@ -175,18 +175,24 @@ object ChainDrains {
           val s0 = ev(Tables.persistedFrame("chainld_r").get
             .filter(col("day") === 0))
           val cs0 = PageRankDelta.directedCensusOf(s0).localCheckpoint()
-          r = PageRankDelta.rankOf(cs0, key = "chainld_r0").localCheckpoint()
-          v = SpectralEmbed.spectralOf(
-            WalkPmi.pmiOf(Backbone.backboneWeightedOf(DailyRefresh.pooled(cs0))
-              .withColumnRenamed("w", "cnt"), key = "chainld_s0"),
-            key = "chainld_s0").localCheckpoint()
+          // r17 (guide §2.6): rank/spectral priors are independent given
+          // the checkpointed census — overlap them (the q166 posture)
+          val rv = graft.oracle.Par.par2(
+            PageRankDelta.rankOf(cs0, key = "chainld_r0").localCheckpoint(),
+            SpectralEmbed.spectralOf(
+              WalkPmi.pmiOf(Backbone.backboneWeightedOf(DailyRefresh.pooled(cs0))
+                .withColumnRenamed("w", "cnt"), key = "chainld_s0"),
+              key = "chainld_s0").localCheckpoint())
+          r = rv._1; v = rv._2
         }
-        val wcR = PageRankDelta.rankWarmColdOf(m, r, key = s"chainld_r$k")
-          .localCheckpoint()
-        val wcV = SpectralDelta.spectralWarmColdOf(
-          WalkPmi.pmiOf(Backbone.backboneWeightedOf(DailyRefresh.pooled(m))
-            .withColumnRenamed("w", "cnt"), key = s"chainld_s$k"),
-          v, SpectralDelta.WarmRounds, key = s"chainld_s$k").localCheckpoint()
+        // per-cycle rank and spectral arms are independent — overlap them
+        val (wcR, wcV) = graft.oracle.Par.par2(
+          PageRankDelta.rankWarmColdOf(m, r, key = s"chainld_r$k")
+            .localCheckpoint(),
+          SpectralDelta.spectralWarmColdOf(
+            WalkPmi.pmiOf(Backbone.backboneWeightedOf(DailyRefresh.pooled(m))
+              .withColumnRenamed("w", "cnt"), key = s"chainld_s$k"),
+            v, SpectralDelta.WarmRounds, key = s"chainld_s$k").localCheckpoint())
         val rd = wcR.agg(count(lit(1)).as("nodes"),
           sum(abs(col("rank_warm") - col("rank_cold"))).as("rank_l1"),
           max(abs(col("rank_warm") - col("rank_cold"))).as("rank_max"))

@@ -96,22 +96,34 @@ object DailyRefresh {
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .localCheckpoint()
 
-    // spectral arm: backbone → PMI → warm iteration from the settled
-    // fixed point (q163's warm semantics verbatim; keys namespaced so
-    // the concurrent bench can't cross-evict)
-    val vS = SpectralEmbed.spectralOf(
-      WalkPmi.pmiOf(Backbone.backboneWeightedOf(pooled(csDir))
-        .withColumnRenamed("w", "cnt"), key = "q166s"),
-      key = "q166s").localCheckpoint()
-    val vW = SpectralEmbed.spectralWarmOf(
-      WalkPmi.pmiOf(Backbone.backboneWeightedOf(pooled(mDir))
-        .withColumnRenamed("w", "cnt"), key = "q166m"),
-      vS, SpectralDelta.WarmRounds, key = "q166m")
-
-    // PageRank arm: settled ranks (two readers — warm r0 + output
-    // column), then the warm-only refresh over the merged census
-    val rS = PageRankDelta.rankOf(csDir, key = "q166sr").localCheckpoint()
-    val rW = PageRankDelta.rankFrom(mDir, rS, key = "q166mr")
+    // r17 (guide §2.6): the spectral chain (settled → warm) and the
+    // PageRank chain (settled → warm) are independent given the two
+    // checkpointed censuses above — each is an eager per-round
+    // checkpoint sequence, so run one on a helper thread: the two
+    // chains' per-job driver cost (JobProfile: 125 jobs, most of them
+    // census-grain round actions) and their stage tails overlap.
+    val ((vS, vW), (rS, rW)) = graft.oracle.Par.par2(
+      {
+        // spectral arm: backbone → PMI → warm iteration from the settled
+        // fixed point (q163's warm semantics verbatim; keys namespaced so
+        // the concurrent bench can't cross-evict)
+        val s = SpectralEmbed.spectralOf(
+          WalkPmi.pmiOf(Backbone.backboneWeightedOf(pooled(csDir))
+            .withColumnRenamed("w", "cnt"), key = "q166s"),
+          key = "q166s").localCheckpoint()
+        val w = SpectralEmbed.spectralWarmOf(
+          WalkPmi.pmiOf(Backbone.backboneWeightedOf(pooled(mDir))
+            .withColumnRenamed("w", "cnt"), key = "q166m"),
+          s, SpectralDelta.WarmRounds, key = "q166m")
+        (s, w)
+      },
+      {
+        // PageRank arm: settled ranks (two readers — warm r0 + output
+        // column), then the warm-only refresh over the merged census
+        val s = PageRankDelta.rankOf(csDir, key = "q166sr").localCheckpoint()
+        val w = PageRankDelta.rankFrom(mDir, s, key = "q166mr")
+        (s, w)
+      })
 
     rW.select(col("item"), col("rank_micro").as("rank_warm"))
       .join(rS.select(col("item"), col("rank_micro").as("rank_settled")),

@@ -118,26 +118,34 @@ object RollingRefresh {
     // prior vectors (r0/v0/r1/v1) each have exactly ONE reader — the
     // next stage's alignment join, which the warm loops checkpoint
     // internally — so none carries its own localCheckpoint.
-    val r0 = PageRankDelta.rankOf(cs0, key = "q169r0")
-    val v0 = SpectralEmbed.spectralOf(
-      WalkPmi.pmiOf(Backbone.backboneWeightedOf(DailyRefresh.pooled(cs0))
-        .withColumnRenamed("w", "cnt"), key = "q169s0"),
-      key = "q169s0")
-
-    // day 1: refresh off (cs0, f0, r0, v0) + the d1 shard
-    val r1 = PageRankDelta.rankFrom(m1, r0, key = "q169r1")
-    val v1 = SpectralEmbed.spectralWarmOf(
-      WalkPmi.pmiOf(Backbone.backboneWeightedOf(DailyRefresh.pooled(m1))
-        .withColumnRenamed("w", "cnt"), key = "q169s1"),
-      v0, SpectralDelta.WarmRounds, key = "q169s1")
-
-    // day 2: refresh off the COMPACTED state + the d2 shard; warm and
-    // cold fused for the chained-drift audit
-    val wcV = SpectralDelta.spectralWarmColdOf(
-      WalkPmi.pmiOf(Backbone.backboneWeightedOf(DailyRefresh.pooled(m2))
-        .withColumnRenamed("w", "cnt"), key = "q169s2"),
-      v1, SpectralDelta.WarmRounds, key = "q169s2")
-    val wcR = PageRankDelta.rankWarmColdOf(m2, r1, key = "q169r2")
+    // r17 (guide §2.6): the rank chain (r0 → r1 → wcR) and the spectral
+    // chain (v0 → v1 → wcV) are independent given the checkpointed
+    // censuses — run the whole rank chain on a helper thread so the two
+    // chains' eager per-round jobs and driver cost overlap (the q166
+    // posture, across all three days).
+    val (wcR, wcV) = graft.oracle.Par.par2(
+      {
+        val r0 = PageRankDelta.rankOf(cs0, key = "q169r0")
+        // day 1: refresh off (cs0, f0, r0) + the d1 shard
+        val r1 = PageRankDelta.rankFrom(m1, r0, key = "q169r1")
+        // day 2: refresh off the COMPACTED state + the d2 shard; warm and
+        // cold fused for the chained-drift audit
+        PageRankDelta.rankWarmColdOf(m2, r1, key = "q169r2")
+      },
+      {
+        val v0 = SpectralEmbed.spectralOf(
+          WalkPmi.pmiOf(Backbone.backboneWeightedOf(DailyRefresh.pooled(cs0))
+            .withColumnRenamed("w", "cnt"), key = "q169s0"),
+          key = "q169s0")
+        val v1 = SpectralEmbed.spectralWarmOf(
+          WalkPmi.pmiOf(Backbone.backboneWeightedOf(DailyRefresh.pooled(m1))
+            .withColumnRenamed("w", "cnt"), key = "q169s1"),
+          v0, SpectralDelta.WarmRounds, key = "q169s1")
+        SpectralDelta.spectralWarmColdOf(
+          WalkPmi.pmiOf(Backbone.backboneWeightedOf(DailyRefresh.pooled(m2))
+            .withColumnRenamed("w", "cnt"), key = "q169s2"),
+          v1, SpectralDelta.WarmRounds, key = "q169s2")
+      })
 
     wcR.join(wcV.withColumnRenamed("node", "item"), Seq("item"), "left")
       .select(col("item"), col("rank_warm"), col("rank_cold"),
@@ -174,11 +182,14 @@ object RollingRefresh {
     val s = e.filter(col("t") < cuts.head)
     var cs = PageRankDelta.directedCensusOf(s).localCheckpoint()
     var f = Frontier.lastOf(s).localCheckpoint()
-    var r = PageRankDelta.rankOf(cs, key = "chain_r0").localCheckpoint()
-    var v = SpectralEmbed.spectralOf(
-      WalkPmi.pmiOf(Backbone.backboneWeightedOf(DailyRefresh.pooled(cs))
-        .withColumnRenamed("w", "cnt"), key = "chain_s0"),
-      key = "chain_s0").localCheckpoint()
+    // r17 (guide §2.6): rank and spectral priors are independent given
+    // the checkpointed census — overlap their eager chains (q166 posture)
+    var (r, v) = graft.oracle.Par.par2(
+      PageRankDelta.rankOf(cs, key = "chain_r0").localCheckpoint(),
+      SpectralEmbed.spectralOf(
+        WalkPmi.pmiOf(Backbone.backboneWeightedOf(DailyRefresh.pooled(cs))
+          .withColumnRenamed("w", "cnt"), key = "chain_s0"),
+        key = "chain_s0").localCheckpoint())
 
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val his = cuts.tail.map(Some(_)) :+ None
@@ -198,12 +209,14 @@ object RollingRefresh {
       f = Frontier.advance(f, Frontier.lastOf(d)).localCheckpoint()
 
       val k = idx + 1
-      val wcR = PageRankDelta.rankWarmColdOf(m, r, key = s"chain_r$k")
-        .localCheckpoint()
-      val wcV = SpectralDelta.spectralWarmColdOf(
-        WalkPmi.pmiOf(Backbone.backboneWeightedOf(DailyRefresh.pooled(m))
-          .withColumnRenamed("w", "cnt"), key = s"chain_s$k"),
-        v, SpectralDelta.WarmRounds, key = s"chain_s$k").localCheckpoint()
+      // per-cycle rank and spectral arms are independent — overlap them
+      val (wcR, wcV) = graft.oracle.Par.par2(
+        PageRankDelta.rankWarmColdOf(m, r, key = s"chain_r$k")
+          .localCheckpoint(),
+        SpectralDelta.spectralWarmColdOf(
+          WalkPmi.pmiOf(Backbone.backboneWeightedOf(DailyRefresh.pooled(m))
+            .withColumnRenamed("w", "cnt"), key = s"chain_s$k"),
+          v, SpectralDelta.WarmRounds, key = s"chain_s$k").localCheckpoint())
 
       val rd = wcR.agg(count(lit(1)).as("nodes"),
         sum(abs(col("rank_warm") - col("rank_cold"))).as("rank_l1"),
