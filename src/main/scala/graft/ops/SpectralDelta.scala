@@ -111,10 +111,13 @@ object SpectralDelta {
     // second action per round). One localCheckpoint per round bounds
     // lineage; arithmetic byte-identical (SpectralDeltaSpec pins it
     // column-for-column against the single-column loop).
+    // r17: lazy checkpoints — each round's state is materialized by the
+    // next round's broadcast build inside one job cascade (see
+    // SpectralEmbed.iterate's r17 note); lineage still truncates per round
     var state = mat.select(col("i").as("node")).distinct()
       .join(start.select(col("node"), col("vfp").as("v0w")), Seq("node"), "left")
       .select(col("node"), coalesce(col("v0w"), lit(S)).as("vw"), lit(S).as("vc"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var vW: DataFrame = null
     for (r <- 1 to SpectralEmbed.Rounds) {
       if (r <= warmRounds) {
@@ -128,7 +131,7 @@ object SpectralDelta {
           .select(col("i").as("node"),
             expr("(rw * 1000000) div mw").as("vw"),
             expr("(rc * 1000000) div mc").as("vc"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         if (r == warmRounds)
           vW = state.select(col("node"), col("vw"))
       } else {
@@ -138,7 +141,7 @@ object SpectralDelta {
           .agg(sum((col("wfp") * col("vc")).cast(DecimalType(38, 0))).as("rc"))
           .withColumn("mc", max(col("rc")).over(wAll))
           .select(col("i").as("node"), expr("(rc * 1000000) div mc").as("vc"))
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
     }
     vW.join(state.select(col("node"), col("vc")), Seq("node"))

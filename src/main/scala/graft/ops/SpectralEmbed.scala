@@ -146,7 +146,14 @@ object SpectralEmbed {
     // identical (raw·10⁶) div max(raw) in the SAME single action — the
     // q145 posture WalkPmi already uses for t_mass. One localCheckpoint
     // per round (v, the only inter-round frame) keeps lineage bounded.
-    var v = v0.localCheckpoint()
+    // r17 (guide §7.3): LAZY checkpoints — each round's vector has ONE
+    // consumer (the next round's broadcast build, which collects every
+    // partition and therefore materializes the checkpoint as a side
+    // effect), so the per-round EAGER checkpoint was a separate action
+    // whose only job was to run the round one action earlier. Lazy, the
+    // whole loop executes as one job cascade under the caller's first
+    // action; lineage still truncates at every round.
+    var v = v0.localCheckpoint(false)
     for (_ <- 1 to rounds) {
       v = mat.join(broadcast(v), mat("j") === v("node"))
         .groupBy(col("i"))
@@ -154,7 +161,7 @@ object SpectralEmbed {
         .withColumn("m", max(col("raw")).over(
           org.apache.spark.sql.expressions.Window.partitionBy()))
         .select(col("i").as("node"), expr("(raw * 1000000) div m").as("v"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     v
   }
@@ -189,7 +196,10 @@ object SpectralEmbed {
     * (doubled-pass rule). */
   def spectralPairOf(pmi: DataFrame, key: String = "q159"): DataFrame = {
     val mat = ppmiMatOf(pmi, key)
-    val v1 = dominantOf(mat).localCheckpoint()
+    // dominantOf's last round is already a (lazy) checkpoint; the denBd
+    // collect right below materializes it, so the old extra EAGER
+    // checkpoint here was a second copy of the same k-row frame
+    val v1 = dominantOf(mat)
     // r16 optimization: ⟨v1,v1⟩ is a CONSTANT of the loop — one 1-row
     // fold over the checkpointed v1, collected once and inlined as a
     // literal (the KmvSketch/Waterfill bounded-collect precedent). The
@@ -229,7 +239,9 @@ object SpectralEmbed {
         .withColumn("m", max(abs(col("wp"))).over(wAll))
         .select(col("i").as("node"),
           expr("CASE WHEN m > 0 THEN (wp * 1000000) div m ELSE 0 END").as("u"))
-        .localCheckpoint()
+        // lazy — one consumer per round (the next round's broadcast
+        // build / the final join); see iterate's r17 note
+        .localCheckpoint(false)
     }
     v1.select(col("node"), col("v").as("v1fp"))
       .join(u.select(col("node"), col("u").as("v2fp")), Seq("node"))
