@@ -73,16 +73,22 @@ object PageRank {
         .localCheckpoint()
 
     var rank = nodes.withColumn("rank_micro", lit(1000000L))
+    // r17 (verdict What's-wrong #2): the forced broadcasts are gated on
+    // the measured bytes of the checkpointed node table (rank/contrib ≤
+    // one row per node) — past the cap the round degrades to the shuffle
+    // join instead of an OOM; zero extra jobs (driver storage registry).
+    val fits = ScaleGuard.fits(nodes)
+    def gated(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     for (i <- 1 to iters) {
       // r16 optimization (guide §3.1): rank/contrib are node-bounded —
       // broadcast both so the edge census never re-shuffles per round.
       val contrib = edgesW
-        .join(broadcast(rank.select(col("item").as("src"), col("rank_micro"))),
+        .join(gated(rank.select(col("item").as("src"), col("rank_micro"))),
           Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(expr("(rank_micro * w) div out_w")).as("contrib"))
       rank = nodes
-        .join(broadcast(contrib.withColumnRenamed("dst", "item")), Seq("item"), "left")
+        .join(gated(contrib.withColumnRenamed("dst", "item")), Seq("item"), "left")
         .select(col("item"),
           (lit((10000L - dampBp) * 100L) +
             expr(s"(coalesce(contrib, 0L) * ${dampBp}L) div 10000L"))
@@ -148,18 +154,22 @@ object PageRank {
     val nCensus = nodes.agg(count(lit(1)).as("n_nodes"))
 
     var rank = nodes.withColumn("rank_micro", lit(1000000L))
+    // r17: size-gated forced broadcasts — see pageRankOf's note (the
+    // 1-row dMass/nCensus crossJoins stay unconditional by construction)
+    val fits = ScaleGuard.fits(nodes)
+    def gated(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     for (i <- 1 to iters) {
       // r16 optimization (guide §3.1): broadcast the node-bounded
       // rank/contrib — the edge census never re-shuffles (see q139 loop).
       val contrib = edgesW
-        .join(broadcast(rank.select(col("item").as("src"), col("rank_micro"))),
+        .join(gated(rank.select(col("item").as("src"), col("rank_micro"))),
           Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(expr("(rank_micro * w) div out_w")).as("contrib"))
       val dMass = rank.join(dangling, Seq("item"))
         .agg(coalesce(sum(col("rank_micro")), lit(0L)).as("d_mass"))
       rank = nodes
-        .join(broadcast(contrib.withColumnRenamed("dst", "item")), Seq("item"), "left")
+        .join(gated(contrib.withColumnRenamed("dst", "item")), Seq("item"), "left")
         .crossJoin(broadcast(dMass))
         .crossJoin(broadcast(nCensus))
         .select(col("item"),

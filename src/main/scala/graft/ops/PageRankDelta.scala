@@ -170,6 +170,12 @@ object PageRankDelta {
                    dampBp: Long): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     var rank = rank0
+    // r17 (verdict What's-wrong #2): forced broadcasts gated on the
+    // measured bytes of the checkpointed node table (rank/contrib are
+    // node-bounded) — past the cap the round degrades to the shuffle
+    // join; zero extra jobs (driver storage registry).
+    val fits = ScaleGuard.fits(nodes)
+    def gated(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     for (i <- 1 to iters) {
       // r16 optimization (guide §3.1): the rank vector and the per-node
       // contribution census are node-bounded — broadcast both, so the
@@ -177,14 +183,14 @@ object PageRankDelta {
       // checkpointed rank was a stats-less LogicalRDD and Spark planned
       // two-sided shuffles of the edges every iteration).
       val contrib = edgesW
-        .join(broadcast(rank.select(col("item").as("src"), col("rank_micro"))),
+        .join(gated(rank.select(col("item").as("src"), col("rank_micro"))),
           Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(expr("(rank_micro * w) div out_w")).as("contrib"))
       val dMass = rank.join(dangling, Seq("item"))
         .agg(coalesce(sum(col("rank_micro")), lit(0L)).as("d_mass"))
       rank = nodes
-        .join(broadcast(contrib.withColumnRenamed("dst", "item")), Seq("item"), "left")
+        .join(gated(contrib.withColumnRenamed("dst", "item")), Seq("item"), "left")
         .crossJoin(broadcast(dMass))
         .crossJoin(broadcast(nCensus))
         .select(col("item"),
@@ -209,6 +215,9 @@ object PageRankDelta {
       s"warmIters out of [1, $iters]: $warmIters")
     val (edgesW, nodes, dangling, nCensus) = prepGraph(edges, key, checkpoint = true)
     val base = (10000L - dampBp) * 100L
+    // r17: size-gated forced broadcasts — see [[loop]]'s note
+    val fits = ScaleGuard.fits(nodes)
+    def gated(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     var state = nodes
       .join(start.select(col("item"), col("rank_micro").as("r0w")), Seq("item"), "left")
       .select(col("item"), coalesce(col("r0w"), lit(1000000L)).as("rw"),
@@ -220,7 +229,7 @@ object PageRankDelta {
         // r16 optimization: broadcast the node-bounded state/contrib —
         // the edge census never re-shuffles (see [[loop]]).
         val contrib = edgesW
-          .join(broadcast(state.select(col("item").as("src"), col("rw"), col("rc"))),
+          .join(gated(state.select(col("item").as("src"), col("rw"), col("rc"))),
             Seq("src"))
           .groupBy(col("dst"))
           .agg(sum(expr("(rw * w) div out_w")).as("cw"),
@@ -229,7 +238,7 @@ object PageRankDelta {
           .agg(coalesce(sum(col("rw")), lit(0L)).as("dw"),
             coalesce(sum(col("rc")), lit(0L)).as("dc"))
         state = nodes
-          .join(broadcast(contrib.withColumnRenamed("dst", "item")), Seq("item"), "left")
+          .join(gated(contrib.withColumnRenamed("dst", "item")), Seq("item"), "left")
           .crossJoin(broadcast(dMass))
           .crossJoin(broadcast(nCensus))
           .select(col("item"),
@@ -241,13 +250,13 @@ object PageRankDelta {
         if (i == warmIters) vW = state.select(col("item"), col("rw"))
       } else {
         val contrib = edgesW
-          .join(broadcast(state.select(col("item").as("src"), col("rc"))), Seq("src"))
+          .join(gated(state.select(col("item").as("src"), col("rc"))), Seq("src"))
           .groupBy(col("dst"))
           .agg(sum(expr("(rc * w) div out_w")).as("cc"))
         val dMass = state.join(dangling, Seq("item"))
           .agg(coalesce(sum(col("rc")), lit(0L)).as("dc"))
         state = nodes
-          .join(broadcast(contrib.withColumnRenamed("dst", "item")), Seq("item"), "left")
+          .join(gated(contrib.withColumnRenamed("dst", "item")), Seq("item"), "left")
           .crossJoin(broadcast(dMass))
           .crossJoin(broadcast(nCensus))
           .select(col("item"),

@@ -119,29 +119,54 @@ object SpectralDelta {
       .select(col("node"), coalesce(col("v0w"), lit(S)).as("vw"), lit(S).as("vc"))
       .localCheckpoint(false)
     var vW: DataFrame = null
+    // r17: broadcast + single-partition window folds gated on the
+    // measured matrix bytes (state ≤ nodes ≤ matrix rows) — see
+    // SpectralEmbed.iterate's note; the fallback arm is the pre-r16
+    // checkpoint + 1-row-census crossJoin shape (identical arithmetic)
+    val fits = ScaleGuard.fits(mat)
+    def gatedState(s: DataFrame): DataFrame = if (fits) broadcast(s) else s
     for (r <- 1 to SpectralEmbed.Rounds) {
       if (r <= warmRounds) {
         // dual round: one matrix join, two DECIMAL sums, one 2-max window
-        state = mat.join(broadcast(state), mat("j") === state("node"))
+        val agg = mat.join(gatedState(state), mat("j") === state("node"))
           .groupBy(col("i"))
           .agg(sum((col("wfp") * col("vw")).cast(DecimalType(38, 0))).as("rw"),
             sum((col("wfp") * col("vc")).cast(DecimalType(38, 0))).as("rc"))
-          .withColumn("mw", max(col("rw")).over(wAll))
-          .withColumn("mc", max(col("rc")).over(wAll))
-          .select(col("i").as("node"),
-            expr("(rw * 1000000) div mw").as("vw"),
-            expr("(rc * 1000000) div mc").as("vc"))
-          .localCheckpoint(false)
+        state =
+          if (fits)
+            agg.withColumn("mw", max(col("rw")).over(wAll))
+              .withColumn("mc", max(col("rc")).over(wAll))
+              .select(col("i").as("node"),
+                expr("(rw * 1000000) div mw").as("vw"),
+                expr("(rc * 1000000) div mc").as("vc"))
+              .localCheckpoint(false)
+          else {
+            val raw = agg.localCheckpoint()
+            raw.crossJoin(broadcast(raw.agg(
+                max(col("rw")).as("mw"), max(col("rc")).as("mc"))))
+              .select(col("i").as("node"),
+                expr("(rw * 1000000) div mw").as("vw"),
+                expr("(rc * 1000000) div mc").as("vc"))
+              .localCheckpoint(false)
+          }
         if (r == warmRounds)
           vW = state.select(col("node"), col("vw"))
       } else {
         // warm column frozen: cold-only rounds
-        state = mat.join(broadcast(state), mat("j") === state("node"))
+        val agg = mat.join(gatedState(state), mat("j") === state("node"))
           .groupBy(col("i"))
           .agg(sum((col("wfp") * col("vc")).cast(DecimalType(38, 0))).as("rc"))
-          .withColumn("mc", max(col("rc")).over(wAll))
-          .select(col("i").as("node"), expr("(rc * 1000000) div mc").as("vc"))
-          .localCheckpoint(false)
+        state =
+          if (fits)
+            agg.withColumn("mc", max(col("rc")).over(wAll))
+              .select(col("i").as("node"), expr("(rc * 1000000) div mc").as("vc"))
+              .localCheckpoint(false)
+          else {
+            val raw = agg.localCheckpoint()
+            raw.crossJoin(broadcast(raw.agg(max(col("rc")).as("mc"))))
+              .select(col("i").as("node"), expr("(rc * 1000000) div mc").as("vc"))
+              .localCheckpoint(false)
+          }
       }
     }
     vW.join(state.select(col("node"), col("vc")), Seq("node"))

@@ -153,15 +153,31 @@ object SpectralEmbed {
     // whose only job was to run the round one action earlier. Lazy, the
     // whole loop executes as one job cascade under the caller's first
     // action; lineage still truncates at every round.
+    // r17 (verdict What's-wrong #2/#3): the forced broadcast AND the
+    // single-partition window fold are gated on the MEASURED bytes of
+    // the checkpointed matrix (nodes ≤ matrix rows, vector bytes ≤
+    // matrix bytes — a node-grain bound with zero extra jobs). Past the
+    // cap the round degrades to the shuffle join and the pre-r16
+    // checkpoint + 1-row-census crossJoin shape (identical arithmetic,
+    // oracle-pinned in r15) instead of an OOM / serial window stage.
+    val fits = ScaleGuard.fits(mat)
     var v = v0.localCheckpoint(false)
     for (_ <- 1 to rounds) {
-      v = mat.join(broadcast(v), mat("j") === v("node"))
+      val agg = mat.join(if (fits) broadcast(v) else v, mat("j") === v("node"))
         .groupBy(col("i"))
         .agg(sum((col("wfp") * col("v")).cast(DecimalType(38, 0))).as("raw"))
-        .withColumn("m", max(col("raw")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy()))
-        .select(col("i").as("node"), expr("(raw * 1000000) div m").as("v"))
-        .localCheckpoint(false)
+      v =
+        if (fits)
+          agg.withColumn("m", max(col("raw")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy()))
+            .select(col("i").as("node"), expr("(raw * 1000000) div m").as("v"))
+            .localCheckpoint(false)
+        else {
+          val raw = agg.localCheckpoint() // doubled pass: census + division
+          raw.crossJoin(broadcast(raw.agg(max(col("raw")).as("m"))))
+            .select(col("i").as("node"), expr("(raw * 1000000) div m").as("v"))
+            .localCheckpoint(false)
+        }
     }
     v
   }
@@ -217,6 +233,9 @@ object SpectralEmbed {
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     var u = v1.select(col("node"),
       expr(s"CAST($h % 2000001 - 1000000 AS BIGINT)").as("u"))
+    // r17: broadcast + single-partition window folds gated on the
+    // measured matv bytes (u ≤ nodes ≤ matv rows) — see iterate's note
+    val fits = ScaleGuard.fits(matv)
     for (_ <- 1 to Rounds) {
       // r16 optimization (guide §2.4/§3.1, the iterate pattern): u is
       // node-bounded → broadcast into the round join (matv never
@@ -225,23 +244,44 @@ object SpectralEmbed {
       // two more checkpoints + two broadcast censuses per round). One
       // checkpoint per round (u) bounds lineage; arithmetic unchanged —
       // num, qq, wp, and the division replay the exact integer steps.
-      u = matv.join(broadcast(u.select(col("node").as("un"), col("u"))),
+      val uSide = u.select(col("node").as("un"), col("u"))
+      val w = matv.join(if (fits) broadcast(uSide) else uSide,
           col("j") === col("un"))
         .groupBy(col("i"))
         .agg(sum((col("wfp") * col("u")).cast(DecimalType(38, 0))).as("w"),
           max(col("v1i")).as("v1i"))
-        .withColumn("num", sum(col("v1i").cast(DecimalType(38, 0)) * col("w"))
-          .over(wAll))
-        .withColumn("den", lit(denBd).cast(DecimalType(38, 0)))
-        .withColumn("qq", expr("num div den"))
-        .select(col("i"), col("v1i"),
-          (col("w") - col("qq").cast(DecimalType(38, 0)) * col("v1i")).as("wp"))
-        .withColumn("m", max(abs(col("wp"))).over(wAll))
-        .select(col("i").as("node"),
-          expr("CASE WHEN m > 0 THEN (wp * 1000000) div m ELSE 0 END").as("u"))
-        // lazy — one consumer per round (the next round's broadcast
-        // build / the final join); see iterate's r17 note
-        .localCheckpoint(false)
+      u =
+        if (fits)
+          w.withColumn("num", sum(col("v1i").cast(DecimalType(38, 0)) * col("w"))
+              .over(wAll))
+            .withColumn("den", lit(denBd).cast(DecimalType(38, 0)))
+            .withColumn("qq", expr("num div den"))
+            .select(col("i"), col("v1i"),
+              (col("w") - col("qq").cast(DecimalType(38, 0)) * col("v1i")).as("wp"))
+            .withColumn("m", max(abs(col("wp"))).over(wAll))
+            .select(col("i").as("node"),
+              expr("CASE WHEN m > 0 THEN (wp * 1000000) div m ELSE 0 END").as("u"))
+            // lazy — one consumer per round (the next round's broadcast
+            // build / the final join); see iterate's r17 note
+            .localCheckpoint(false)
+        else {
+          // pre-r16 shape (oracle-pinned then): checkpoint the doubled-
+          // pass frames, 1-row censuses crossJoin back — no serial
+          // window stage at production node counts
+          val wC = w.localCheckpoint()
+          val wp = wC
+            .crossJoin(broadcast(wC.agg(
+              sum(col("v1i").cast(DecimalType(38, 0)) * col("w")).as("num"))))
+            .withColumn("den", lit(denBd).cast(DecimalType(38, 0)))
+            .withColumn("qq", expr("num div den"))
+            .select(col("i"), col("v1i"),
+              (col("w") - col("qq").cast(DecimalType(38, 0)) * col("v1i")).as("wp"))
+            .localCheckpoint()
+          wp.crossJoin(broadcast(wp.agg(max(abs(col("wp"))).as("m"))))
+            .select(col("i").as("node"),
+              expr("CASE WHEN m > 0 THEN (wp * 1000000) div m ELSE 0 END").as("u"))
+            .localCheckpoint(false)
+        }
     }
     v1.select(col("node"), col("v").as("v1fp"))
       .join(u.select(col("node"), col("u").as("v2fp")), Seq("node"))

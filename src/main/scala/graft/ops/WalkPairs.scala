@@ -83,7 +83,11 @@ object WalkPairs {
       // planned a two-sided shuffle of the ranked adjacency EVERY step.
       // Broadcast it explicitly: the adjacency never moves (the standard
       // BFS-frontier layout), each step is one stage.
-      frontier = adjP.join(broadcast(frontier), col("cur") === col("u"))
+      // r17: gated on the measured adjacency bytes (one walker per
+      // backbone node → frontier ≤ adjacency rows) — verdict #2
+      frontier = adjP.join(
+          if (ScaleGuard.fits(adjP)) broadcast(frontier) else frontier,
+          col("cur") === col("u"))
         .filter(expr(s"rn = ${nextRank("CAST(walk AS STRING)", s, duck = false)}"))
         .select(col("walk"), col("v").as("cur"))
         .localCheckpoint()
