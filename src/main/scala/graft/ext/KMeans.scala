@@ -61,14 +61,18 @@ object KMeans {
     * since `cs` is cid-sorted); the label is `cs[argmin].cid`.
     * `private[ext]` so [[OutlierPrune.outlierGateStreamStatic]] can label
     * a stream against the SAME fixed point its thresholds came from. */
-  private[ext] def assign(pts: DataFrame, cents: DataFrame): DataFrame =
+  private[ext] def assign(pts: DataFrame, cents: DataFrame): DataFrame = {
+    // r17: native fused int_l2 per centroid (the IntDot precedent) — the
+    // HOF fold paid interpreted lambdas + a zipped temp array per point
+    // per centroid; arithmetic bit-identical
+    graft.functions.IntL2.register(pts.sparkSession)
     pts.crossJoin(broadcast(centsRow(cents)))
-      .withColumn("darr", expr(
-        "transform(cs, c -> aggregate(zip_with(q, c.cvec, (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x))"))
+      .withColumn("darr", expr("transform(cs, c -> int_l2(q, c.cvec))"))
       .withColumn("pi", (array_position(col("darr"), array_min(col("darr"))) - 1).cast("int"))
       .withColumn("cid", expr("cs[pi].cid"))
       .withColumn("dist", expr("darr[pi]"))
       .select(col("vec_id"), col("q"), col("cid"), col("dist"))
+  }
 
   /** Exact integer centroid update; clusters that lost every point keep
     * their previous centroid (both engines coalesce identically). */
@@ -160,15 +164,16 @@ object KMeans {
   /** Fused map-side assignment: each (vec_id, s, qs) row folds over ONLY
     * its subspace's structs (order inherited from the (s, cid)-sorted
     * row → first-min = lowest cid, the sequential tie rule). */
-  private[ext] def assignSub(sub: DataFrame, cents: DataFrame): DataFrame =
+  private[ext] def assignSub(sub: DataFrame, cents: DataFrame): DataFrame = {
+    graft.functions.IntL2.register(sub.sparkSession) // see [[assign]]
     sub.crossJoin(broadcast(subCentsRow(cents)))
       .withColumn("mine", expr("filter(cs, c -> c.s = s)"))
-      .withColumn("darr", expr(
-        "transform(mine, c -> aggregate(zip_with(qs, c.cvec, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x))"))
+      .withColumn("darr", expr("transform(mine, c -> int_l2(qs, c.cvec))"))
       .withColumn("pi", (array_position(col("darr"), array_min(col("darr"))) - 1).cast("int"))
       .withColumn("cid", expr("mine[pi].cid"))
       .withColumn("dist", expr("darr[pi]"))
       .select(col("vec_id"), col("s"), col("qs"), col("cid"), col("dist"))
+  }
 
   /** Fused Lloyd over all m subspaces at once → checkpointed
     * (s, cid, cvec) fixed point, bit-identical to m sequential

@@ -237,6 +237,7 @@ object Pq {
                          m: Int = M, subDim: Int = SubDim,
                          codes: Int = Codes, iters: Int = Iters,
                          coarseK: Int = 8, coarseIters: Int = 2): DataFrame = {
+    graft.functions.IntL2.register(streamEmbeds.sparkSession) // native kernel (r17)
     val p = KMeans.quantize(staticEmbeds)
     val sub = KMeans.subExplode(p, m, subDim)
     val cb = KMeans.fitSub(p, sub, m, subDim, codes, iters)
@@ -267,15 +268,14 @@ object Pq {
       // coarse cell: first-min over cid-sorted centroids = lowest cid on
       // ties, the KMeans.assign rule
       .withColumn("_cd", expr(
-        "transform(_cvec, c -> aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x))"))
+        "transform(_cvec, c -> int_l2(q, c))")) // native kernel (r17)
       .withColumn("cell", expr(
         "CAST(element_at(_ccid, CAST(array_position(_cd, array_min(_cd)) AS INT)) AS BIGINT)"))
       // per-subspace distance arrays once; codes + distortion fold over them
       .withColumn("_sd", expr(
         s"""transform(sequence(0, ${m - 1}), s ->
            |  transform(element_at(_cb, CAST(s + 1 AS INT)), cv ->
-           |    aggregate(zip_with(slice(q, CAST(s * $subDim + 1 AS INT), $subDim), cv,
-           |      (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)))""".stripMargin))
+           |    int_l2(slice(q, CAST(s * $subDim + 1 AS INT), $subDim), cv)))""".stripMargin))
       .withColumn("codes", expr(
         "transform(_sd, darr -> CAST(array_position(darr, array_min(darr)) - 1 AS INT))"))
       .withColumn("distortion", expr(

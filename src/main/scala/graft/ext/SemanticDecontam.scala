@@ -34,6 +34,7 @@ object SemanticDecontam {
   def semanticDecontamOf(embeds: DataFrame, evalMaxId: Long = 50L,
                          tau: Long = 1500000L, k: Int = 8,
                          iters: Int = 2): DataFrame = {
+    graft.functions.IntL2.register(embeds.sparkSession) // native kernel (r17)
     val p = Tables.swapPersist("q126_pts", KMeans.quantize(embeds))
     val asg = Tables.swapPersist("q126_asg",
       KMeans.assign(p, KMeans.fit(p, k, iters)))
@@ -41,8 +42,7 @@ object SemanticDecontam {
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("cid").as("qcid"))
     val train = asg.filter(col("vec_id") >= evalMaxId)
     train.join(broadcast(evalSide), col("cid") === col("qcid"))
-      .withColumn("d", expr(
-        "aggregate(zip_with(q, qq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("d", expr("int_l2(q, qq)")) // native kernel (r17)
       .groupBy(col("query_id"), col("qcid").cast("long").as("cell"))
       .agg(count(lit(1)).as("n_train_in_cell"),
         count(when(col("d") <= tau, 1)).as("n_close"),

@@ -84,3 +84,70 @@ object IntDot {
       (children: Seq[Expression]) => IntDot(children.head, children(1)))
   }
 }
+
+/** Native codegen'd int64 squared-L2 distance over two `array<bigint>`
+  * columns — the Lloyd assignment kernel (KMeans.assign evaluates it per
+  * point per centroid; the HOF formulation paid three interpreted lambda
+  * walks and a zipped temp array per evaluation). Same wrap-on-overflow
+  * long arithmetic and left-to-right fold as the HOF it replaces. */
+case class IntL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"int_l2 requires two array<bigint> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int_l2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntL2 {
+  /** Register `int_l2(a, b)`. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry
+          .functionExists(FunctionIdentifier("int_l2"))) return
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("int_l2"),
+      new ExpressionInfo(classOf[IntL2].getName, "int_l2"),
+      (children: Seq[Expression]) => IntL2(children.head, children(1)))
+  }
+}
