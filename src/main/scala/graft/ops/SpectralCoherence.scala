@@ -39,13 +39,18 @@ object SpectralCoherence {
   def coherenceOf(pmi: DataFrame, key: String = "q160"): DataFrame = {
     // three faces (doubled-pass rule, and the q158 display lesson)
     val p = pmi.localCheckpoint()
-    // two endpoint readers
-    val coords = SpectralEmbed.spectralPairOf(p, key = key).localCheckpoint()
-    val nnp = PmiNeighbors.neighborsOf(p, key = key)
-      .select(least(col("node"), col("nbr")).as("a"),
-        greatest(col("node"), col("nbr")).as("b"))
-      .distinct()
-      .withColumn("in_topk", lit(true))
+    // r17 (guide §2.6): the spectral stack and the similarity stack are
+    // independent given the checkpointed census — materialize both
+    // concurrently (the q166 posture) so their jobs and per-job driver
+    // cost overlap; each is checkpointed for its two endpoint readers.
+    val (coords, nnp) = graft.oracle.Par.par2(
+      SpectralEmbed.spectralPairOf(p, key = key).localCheckpoint(),
+      PmiNeighbors.neighborsOf(p, key = key)
+        .select(least(col("node"), col("nbr")).as("a"),
+          greatest(col("node"), col("nbr")).as("b"))
+        .distinct()
+        .withColumn("in_topk", lit(true))
+        .localCheckpoint())
     val ppm = p.filter(col("pmi") > 0)
       .select(col("a"), col("b"),
         round(col("pmi") * lit(1000.0), 0).cast("long").as("w"))
