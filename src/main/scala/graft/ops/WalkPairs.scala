@@ -74,6 +74,10 @@ object WalkPairs {
       .localCheckpoint()
     val trajs = scala.collection.mutable.ArrayBuffer[DataFrame](
       frontier.select(col("walk"), lit(0).as("step"), col("cur").as("node")))
+    // r17: gate measured ONCE per walk (the adjacency is fixed across
+    // steps; a per-step fits() call pays a storage-registry scan per
+    // round for the same answer)
+    val fits = ScaleGuard.fits(adjP)
     for (s <- 1 to Steps) {
       // each frontier has TWO consumers (next step + trajectory union) —
       // the doubled-pass rule: localCheckpoint EVERY round.
@@ -86,7 +90,7 @@ object WalkPairs {
       // r17: gated on the measured adjacency bytes (one walker per
       // backbone node → frontier ≤ adjacency rows) — verdict #2
       frontier = adjP.join(
-          if (ScaleGuard.fits(adjP)) broadcast(frontier) else frontier,
+          if (fits) broadcast(frontier) else frontier,
           col("cur") === col("u"))
         .filter(expr(s"rn = ${nextRank("CAST(walk AS STRING)", s, duck = false)}"))
         .select(col("walk"), col("v").as("cur"))
